@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {qid: sec, ...}, "sf": <sf>}
+
+Each query is materialized through the JVM-side noop sink so every
+column is computed (a .count() would let column pruning skip the
+expensive expressions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metoffice_spark.registry import all_queries
+from metoffice_spark.session import get_spark
+
+HEADLINE = [
+    "q_sink_http_form",   # flagship: full derivation chain + windows
+    "q_rain_daily_delta", # stateful time-series windows
+    "q_agg_hash",         # TPC-H Q1-style scan+aggregate
+    "q_join_shuffle",     # big-big join
+    "q_join_broadcast",   # dim broadcast join
+    "q_win_rank",         # ranking window
+    "q_dedup_exact",      # documents dedup
+    "q_sim_search",       # embedding cosine top-k
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("metoffice-bench")
+    reg = all_queries()
+    qids = [q for q in HEADLINE if q in reg]
+
+    # warm-up: JVM + parquet footer caches, one light action
+    reg[qids[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for qid in qids:
+        t0 = time.perf_counter()
+        materialize(reg[qid](spark, sf_dir))
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,342 @@
+"""Ingestion sources + record sinks (MWC:108-183, 369-409), engine form.
+
+- q_src_json_rest   — the Mobile Alerts JSON payload shape (MWC:115-138)
+  round-tripped through ``to_json``/``from_json`` with the explicit
+  nested schema (FIXTURES.md §A1): proves typed extraction from nested
+  JSON documents. The live HTTP fetch lives in
+  ``metoffice_spark.sources.rest_json`` (driver-side, stubbed in tests).
+- q_src_text_scrape — the barometer HTML workaround (MWC:160-183):
+  anchor search + fixed-width slice with the narrower-slice retry when
+  the first parse fails.
+- q_sink_http_form  — the full 13-field WOW observation payload
+  (MWC:373-387) including form-encoded body: the flagship end-to-end
+  derivation chain (dew point → wind decode/correction → SMHI
+  reduction → rain state machine → imperial units → fixed-precision
+  strings).
+- q_sink_error_alert— dead-letter side-channel (MWC:125-135, 399-409):
+  rows failing validation are routed with a reason instead of
+  aborting the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from metoffice_spark.functions import weather as W
+from metoffice_spark.obs import (
+    MAST_HEIGHT_M,
+    SITE_ALTITUDE_M,
+    SITE_LATITUDE_DEG,
+    observations,
+    oracle_cte,
+)
+from metoffice_spark.operators.rain import _RAIN_BASE_SQL, _rain_state
+from metoffice_spark.operators.weather import (
+    _DEWPOINT_SQL,
+    _MAST_CORR_SQL,
+    _SLP_SQL,
+)
+from metoffice_spark.parity import fixed_str, fixed_str_sql
+from metoffice_spark.session import tune
+
+_CTE = oracle_cte()
+
+# Mobile Alerts measurement document schema (FIXTURES.md §A1; MWC:137-157).
+MEASUREMENT_SCHEMA = StructType(
+    [
+        StructField(
+            "devices",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("deviceid", StringType()),
+                        StructField(
+                            "measurement",
+                            StructType(
+                                [
+                                    StructField("ts", LongType()),
+                                    StructField("t1", DoubleType()),
+                                    StructField("h", DoubleType()),
+                                    StructField("ws", DoubleType()),
+                                    StructField("wg", DoubleType()),
+                                    StructField("wd", IntegerType()),
+                                    StructField("r", DoubleType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def q_src_json_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: build the 3-device payload (positional
+    contract MWC:109-114), parse with the explicit schema, extract
+    typed fields (MWC:142-157)."""
+    df = observations(tune(spark), sf_dir)
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.concat(F.col("station_id"), F.lit("-th")).alias("deviceid"),
+                    F.struct(
+                        F.unix_timestamp("ts").alias("ts"),
+                        F.col("tempc").alias("t1"),
+                        F.col("hum").alias("h"),
+                        F.lit(None).cast("double").alias("ws"),
+                        F.lit(None).cast("double").alias("wg"),
+                        F.lit(None).cast("int").alias("wd"),
+                        F.lit(None).cast("double").alias("r"),
+                    ).alias("measurement"),
+                ),
+                F.struct(
+                    F.concat(F.col("station_id"), F.lit("-wind")).alias("deviceid"),
+                    F.struct(
+                        F.unix_timestamp("ts").alias("ts"),
+                        F.lit(None).cast("double").alias("t1"),
+                        F.lit(None).cast("double").alias("h"),
+                        F.col("windspeed_ms").alias("ws"),
+                        F.col("windgust_ms").alias("wg"),
+                        F.col("winddir_sector").alias("wd"),
+                        F.lit(None).cast("double").alias("r"),
+                    ).alias("measurement"),
+                ),
+                F.struct(
+                    F.concat(F.col("station_id"), F.lit("-rain")).alias("deviceid"),
+                    F.struct(
+                        F.unix_timestamp("rain_sensor_ts").alias("ts"),
+                        F.lit(None).cast("double").alias("t1"),
+                        F.lit(None).cast("double").alias("h"),
+                        F.lit(None).cast("double").alias("ws"),
+                        F.lit(None).cast("double").alias("wg"),
+                        F.lit(None).cast("int").alias("wd"),
+                        F.col("rain_counter_mm").alias("r"),
+                    ).alias("measurement"),
+                ),
+            ).alias("devices")
+        )
+    )
+    parsed = df.select("obs_id", F.from_json(payload, MEASUREMENT_SCHEMA).alias("doc"))
+    m = F.col("doc.devices")
+    return parsed.select(
+        "obs_id",
+        m[0]["deviceid"].alias("deviceid_th"),
+        m[0]["measurement"]["t1"].alias("t1"),
+        m[0]["measurement"]["h"].alias("h"),
+        m[1]["measurement"]["ws"].alias("ws"),
+        m[1]["measurement"]["wg"].alias("wg"),
+        m[1]["measurement"]["wd"].alias("wd"),
+        m[2]["measurement"]["r"].alias("r"),
+        m[2]["measurement"]["ts"].alias("rain_ts_epoch"),
+    )
+
+
+ORACLE_SRC_JSON_REST = f"""{_CTE}
+SELECT obs_id,
+       station_id || '-th' AS deviceid_th,
+       tempc AS t1,
+       hum AS h,
+       windspeed_ms AS ws,
+       windgust_ms AS wg,
+       winddir_sector AS wd,
+       rain_counter_mm AS r,
+       CAST(floor(epoch(rain_sensor_ts)) AS BIGINT) AS rain_ts_epoch
+FROM observations
+"""
+
+
+def q_src_text_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-substring extraction with retry (MWC:169-183): find 'hPa',
+    slice 6 chars, and when that fails to parse, slice 5 (the
+    3-digit-pressure fallback at MWC:181-183)."""
+    df = observations(tune(spark), sf_dir)
+    page = F.concat(
+        F.lit("<div>Pressure p="),
+        fixed_str(F.col("pressure_site_hpa"), 1),
+        F.lit(" hPa</div>"),
+    )
+    df = df.withColumn("page", page).withColumn("n", F.locate("hPa", F.col("page")))
+    wide = F.col("page").substr(F.col("n") - 7, F.lit(6))
+    narrow = F.col("page").substr(F.col("n") - 6, F.lit(5))
+    parsed = F.coalesce(
+        F.expr("try_cast(substring(page, n - 7, 6) AS DOUBLE)"),
+        F.expr("try_cast(substring(page, n - 6, 5) AS DOUBLE)"),
+    )
+    return df.select(
+        "obs_id",
+        wide.alias("slice_wide"),
+        narrow.alias("slice_narrow"),
+        parsed.alias("pressure_scraped"),
+    )
+
+
+_PAGE_SQL = (
+    "('<div>Pressure p=' || " + fixed_str_sql("pressure_site_hpa", 1) + " || ' hPa</div>')"
+)
+ORACLE_SRC_TEXT_SCRAPE = f"""{_CTE},
+pages AS (
+  SELECT obs_id, {_PAGE_SQL} AS page, strpos({_PAGE_SQL}, 'hPa') AS n
+  FROM observations
+)
+SELECT obs_id,
+       substring(page, n - 7, 6) AS slice_wide,
+       substring(page, n - 6, 5) AS slice_narrow,
+       COALESCE(TRY_CAST(substring(page, n - 7, 6) AS DOUBLE),
+                TRY_CAST(substring(page, n - 6, 5) AS DOUBLE)) AS pressure_scraped
+FROM pages
+"""
+
+
+def wow_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full WOW observation record (MWC:373-387): every REF
+    derivation composed end-to-end, one row per observation."""
+    st = _rain_state(spark, sf_dir)
+    raining = F.col("fresh") & (F.col("r") != F.col("day_start"))
+    c2 = F.coalesce(F.col("prev_saved"), F.lit(0.0))
+    daily = F.when(raining, F.col("r") - F.col("day_start")).otherwise(F.lit(0.0))
+    rate = F.when(
+        raining,
+        F.when(c2 != 0.0, F.lit(4.0) * (F.col("r") - c2)).otherwise(
+            F.lit(4.0) * (F.col("r") - F.col("day_start"))
+        ),
+    ).otherwise(F.lit(0.0))
+
+    dewpt = W.dewpoint_c(F.col("tempc"), F.col("hum"))
+    ws_corr = W.corrected_windspeed(F.col("windspeed_ms"), MAST_HEIGHT_M)
+    wg_corr = W.corrected_windgust(F.col("windgust_ms"), F.col("windspeed_ms"), MAST_HEIGHT_M)
+    slp = W.sea_level_pressure_hpa(
+        F.col("pressure_site_hpa"), F.col("tempc"), SITE_LATITUDE_DEG, SITE_ALTITUDE_M
+    )
+
+    out = st.select(
+        F.col("obs_id"),
+        F.concat(F.lit("wow-"), F.col("station_id")).alias("siteid"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dateutc"),
+        fixed_str(W.c_to_f(F.col("tempc")), 1).alias("tempf"),
+        fixed_str(F.col("hum"), 0).alias("humidity"),
+        fixed_str(W.ms_to_mph(ws_corr), 2).alias("windspeedmph"),
+        fixed_str(W.ms_to_mph(wg_corr), 2).alias("windgustmph"),
+        W.wind_dir_str(F.col("winddir_sector"), F.col("windspeed_ms")).alias("winddir"),
+        fixed_str(W.c_to_f(dewpt), 1).alias("dewptf"),
+        fixed_str(W.mm_to_in(daily), 3).alias("dailyrainin"),
+        fixed_str(W.mm_to_in(rate), 3).alias("rainin"),
+        fixed_str(W.hpa_to_inhg(slp), 3).alias("baromin"),
+        F.lit("metoffice-spark").alias("softwaretype"),
+    )
+    enc = lambda c: F.replace(F.replace(c, F.lit(" "), F.lit("+")), F.lit(":"), F.lit("%3A"))
+    body = F.concat_ws(
+        "&",
+        F.concat(F.lit("siteid="), F.col("siteid")),
+        F.concat(F.lit("dateutc="), enc(F.col("dateutc"))),
+        F.concat(F.lit("tempf="), F.col("tempf")),
+        F.concat(F.lit("humidity="), F.col("humidity")),
+        F.concat(F.lit("windspeedmph="), F.col("windspeedmph")),
+        F.concat(F.lit("windgustmph="), F.col("windgustmph")),
+        F.concat(F.lit("winddir="), F.col("winddir")),
+        F.concat(F.lit("dewptf="), F.col("dewptf")),
+        F.concat(F.lit("dailyrainin="), F.col("dailyrainin")),
+        F.concat(F.lit("rainin="), F.col("rainin")),
+        F.concat(F.lit("baromin="), F.col("baromin")),
+        F.concat(F.lit("softwaretype="), F.col("softwaretype")),
+    )
+    return out.withColumn("body", body)
+
+
+def q_sink_http_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wow_payload(spark, sf_dir)
+
+
+_DAILY_SQL = "CASE WHEN fresh AND r <> day_start THEN r - day_start ELSE 0.0 END"
+_RATE_SQL = (
+    "CASE WHEN fresh AND r <> day_start THEN "
+    "CASE WHEN COALESCE(prev_saved, 0.0) <> 0.0 THEN 4.0 * (r - prev_saved) "
+    "ELSE 4.0 * (r - day_start) END ELSE 0.0 END"
+)
+_WS_CORR_SQL = f"(CASE WHEN windspeed_ms <> 0 THEN windspeed_ms * {_MAST_CORR_SQL} ELSE windspeed_ms END)"
+_WG_CORR_SQL = f"(CASE WHEN windspeed_ms <> 0 THEN windgust_ms * {_MAST_CORR_SQL} ELSE windgust_ms END)"
+
+ORACLE_SINK_HTTP_FORM = f"""{_CTE}, {_RAIN_BASE_SQL.strip()},
+payload AS (
+SELECT obs_id,
+       'wow-' || station_id AS siteid,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS dateutc,
+       {fixed_str_sql("tempc * 1.8 + 32.0", 1)} AS tempf,
+       {fixed_str_sql("hum", 0)} AS humidity,
+       {fixed_str_sql(f"({_WS_CORR_SQL}) * 2.236936", 2)} AS windspeedmph,
+       {fixed_str_sql(f"({_WG_CORR_SQL}) * 2.236936", 2)} AS windgustmph,
+       CASE WHEN windspeed_ms = 0 THEN '000'
+            WHEN winddir_sector <> 0 THEN
+              CAST(CAST(floor(CAST(winddir_sector AS DOUBLE) * 22.5 + 0.5) AS INT) AS STRING)
+            ELSE '360' END AS winddir,
+       {fixed_str_sql(f"({_DEWPOINT_SQL}) * 1.8 + 32.0", 1)} AS dewptf,
+       {fixed_str_sql(f"({_DAILY_SQL}) * 0.0393701", 3)} AS dailyrainin,
+       {fixed_str_sql(f"({_RATE_SQL}) * 0.0393701", 3)} AS rainin,
+       {fixed_str_sql(f"({_SLP_SQL}) * 0.029529983071445", 3)} AS baromin,
+       'metoffice-spark' AS softwaretype
+FROM rain_state
+)
+SELECT *,
+       'siteid=' || siteid
+       || '&dateutc=' || replace(replace(dateutc, ' ', '+'), ':', '%3A')
+       || '&tempf=' || tempf
+       || '&humidity=' || humidity
+       || '&windspeedmph=' || windspeedmph
+       || '&windgustmph=' || windgustmph
+       || '&winddir=' || winddir
+       || '&dewptf=' || dewptf
+       || '&dailyrainin=' || dailyrainin
+       || '&rainin=' || rainin
+       || '&baromin=' || baromin
+       || '&softwaretype=' || softwaretype AS body
+FROM payload
+"""
+
+
+def q_sink_error_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter channel (MWC:125-135, 399-409): validation failures
+    become rows with a reason instead of aborting — the distributed
+    analog of log+email+abort."""
+    df = observations(tune(spark), sf_dir)
+    reason = (
+        F.when(F.col("hum") > 99.5, F.lit("humidity_out_of_range"))
+        .when(F.col("windgust_ms") > F.lit(25.0), F.lit("gust_implausible"))
+        .when(F.col("pressure_site_hpa") < 980.0, F.lit("pressure_low"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        df.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("obs_id", "station_id", "reason")
+    )
+
+
+ORACLE_SINK_ERROR_ALERT = f"""{_CTE}
+SELECT obs_id, station_id,
+       CASE WHEN hum > 99.5 THEN 'humidity_out_of_range'
+            WHEN windgust_ms > 25.0 THEN 'gust_implausible'
+            WHEN pressure_site_hpa < 980.0 THEN 'pressure_low' END AS reason
+FROM observations
+WHERE (CASE WHEN hum > 99.5 THEN 'humidity_out_of_range'
+            WHEN windgust_ms > 25.0 THEN 'gust_implausible'
+            WHEN pressure_site_hpa < 980.0 THEN 'pressure_low' END) IS NOT NULL
+"""
+
+QUERIES = {
+    "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
+    "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
+    "q_sink_http_form": (q_sink_http_form, ORACLE_SINK_HTTP_FORM),
+    "q_sink_error_alert": (q_sink_error_alert, ORACLE_SINK_ERROR_ALERT),
+}

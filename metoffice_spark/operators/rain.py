@@ -1,0 +1,282 @@
+"""The reference's stateful rain logic (MWC:196-280), batch form.
+
+The reference keeps three state cells in a spreadsheet between ticks:
+B2 = counter at first observation of the current day, C2 = counter at
+the last observation that advanced it today (0 = "no rain yet
+today"), D2 = that observation's time. Re-expressed over the full
+observation history these become window functions:
+
+- B2  → ``first(r)`` over (station, day) ordered by time
+- C2  → ``max(r where fresh and r != day_start)`` over the preceding
+        rows of the same (station, day) — max == last because the
+        counter is monotone (MWC:199-205)
+- day-boundary reset (MWC:231-240) falls out of the per-day partition
+- staleness guard (MWC:244): sensor date must equal observation date
+
+Semantics preserved exactly, including: rain across midnight is
+attributed to neither day (reset writes C2=0, MWC:236-239), and the
+first rain of the day uses the daily accumulation as the rate base
+(MWC:257-263).
+
+Scale note: the windows partition by (station_id, day) — at 100 TB
+that is the natural parquet partition layout, so the sort is local
+per partition and no global shuffle hotspot exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.obs import OBS_PER_HOUR, observations, oracle_cte
+from metoffice_spark.session import tune
+
+_CTE = oracle_cte()
+
+# Shared CTE chain used by all rain oracle SQL. Dialect-common.
+_RAIN_BASE_SQL = """
+rain_base AS (
+  SELECT *,
+         rain_counter_mm AS r,
+         CAST(ts AS DATE) AS day,
+         CAST(rain_sensor_ts AS DATE) = CAST(ts AS DATE) AS fresh,
+         FIRST_VALUE(rain_counter_mm) OVER (
+           PARTITION BY station_id, CAST(ts AS DATE)
+           ORDER BY ts, obs_id) AS day_start
+  FROM observations
+),
+rain_state AS (
+  SELECT *,
+         MAX(CASE WHEN fresh AND r <> day_start THEN r END) OVER (
+           PARTITION BY station_id, day ORDER BY ts, obs_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_saved
+  FROM rain_base
+)
+"""
+
+
+def add_rain_state(df: DataFrame) -> DataFrame:
+    """Attach day/fresh/day_start/prev_saved state columns to any
+    obs-shaped DataFrame (station_id, ts, obs_id, rain_counter_mm,
+    rain_sensor_ts). DataFrame mirror of the rain_base/rain_state CTEs."""
+    w_day = Window.partitionBy("station_id", "day").orderBy("ts", "obs_id")
+    base = (
+        df.withColumn("r", F.col("rain_counter_mm"))
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("fresh", F.to_date("rain_sensor_ts") == F.to_date("ts"))
+        .withColumn("day_start", F.first("r").over(w_day))
+    )
+    return base.withColumn(
+        "prev_saved",
+        F.max(F.when(F.col("fresh") & (F.col("r") != F.col("day_start")), F.col("r"))).over(
+            w_day.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+
+
+def _rain_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_rain_state(observations(tune(spark), sf_dir))
+
+
+def rain_metrics_from_obs(df: DataFrame) -> DataFrame:
+    """dailyrainmm + rainmm per observation, exactly per MWC:229-280."""
+    st = add_rain_state(df)
+    raining = F.col("fresh") & (F.col("r") != F.col("day_start"))
+    daily = F.when(raining, F.col("r") - F.col("day_start")).otherwise(F.lit(0.0))
+    c2 = F.coalesce(F.col("prev_saved"), F.lit(0.0))
+    rate = F.when(
+        raining,
+        F.when(c2 != 0.0, F.lit(float(OBS_PER_HOUR)) * (F.col("r") - c2)).otherwise(
+            F.lit(float(OBS_PER_HOUR)) * (F.col("r") - F.col("day_start"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return st.select(
+        "station_id",
+        "obs_id",
+        "ts",
+        "r",
+        daily.alias("dailyrainmm"),
+        rate.alias("rainmm"),
+    )
+
+
+def rain_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rain_metrics_from_obs(observations(tune(spark), sf_dir))
+
+
+_RAIN_METRICS_SELECT = f"""
+SELECT station_id, obs_id, ts, r,
+       CASE WHEN fresh AND r <> day_start THEN r - day_start ELSE 0.0 END AS dailyrainmm,
+       CASE WHEN fresh AND r <> day_start THEN
+         CASE WHEN COALESCE(prev_saved, 0.0) <> 0.0
+              THEN {OBS_PER_HOUR}.0 * (r - prev_saved)
+              ELSE {OBS_PER_HOUR}.0 * (r - day_start) END
+       ELSE 0.0 END AS rainmm
+FROM rain_state
+"""
+
+ORACLE_RAIN_METRICS = f"{_CTE}, {_RAIN_BASE_SQL.strip().rstrip()} {_RAIN_METRICS_SELECT}"
+
+
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous-observation lookup (Totalrainlatest analog, MWC:216/256)."""
+    df = observations(tune(spark), sf_dir)
+    w = Window.partitionBy("station_id").orderBy("ts", "obs_id")
+    prev_r = F.lag("rain_counter_mm").over(w)
+    return df.select(
+        "station_id",
+        "obs_id",
+        F.col("rain_counter_mm").alias("r"),
+        prev_r.alias("prev_r"),
+        (F.col("rain_counter_mm") - F.coalesce(prev_r, F.col("rain_counter_mm"))).alias(
+            "delta_r"
+        ),
+    )
+
+
+ORACLE_WIN_LAG = f"""{_CTE}
+SELECT station_id, obs_id, rain_counter_mm AS r,
+       LAG(rain_counter_mm) OVER (PARTITION BY station_id ORDER BY ts, obs_id) AS prev_r,
+       rain_counter_mm - COALESCE(
+         LAG(rain_counter_mm) OVER (PARTITION BY station_id ORDER BY ts, obs_id),
+         rain_counter_mm) AS delta_r
+FROM observations
+"""
+
+
+def q_win_first_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-start anchor (Totalrainstart analog, MWC:215/249)."""
+    st = _rain_state(spark, sf_dir)
+    return st.select("station_id", "obs_id", "day", "r", "day_start")
+
+
+ORACLE_WIN_FIRST_OF_DAY = f"""{_CTE}, {_RAIN_BASE_SQL.strip()}
+SELECT station_id, obs_id, day, r, day_start FROM rain_state
+"""
+
+
+def q_rain_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dailyrainmm with day-boundary reset + staleness guard (MWC:229-255)."""
+    return rain_metrics(spark, sf_dir).select(
+        "station_id", "obs_id", "ts", "r", "dailyrainmm"
+    )
+
+
+ORACLE_RAIN_DAILY = f"""{_CTE}, {_RAIN_BASE_SQL.strip()}
+SELECT station_id, obs_id, ts, r,
+       CASE WHEN fresh AND r <> day_start THEN r - day_start ELSE 0.0 END AS dailyrainmm
+FROM rain_state
+"""
+
+
+def q_rain_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rainmm rate incl. first-rain-of-day branch (MWC:256-279)."""
+    return rain_metrics(spark, sf_dir).select("station_id", "obs_id", "ts", "r", "rainmm")
+
+
+ORACLE_RAIN_RATE = f"""{_CTE}, {_RAIN_BASE_SQL.strip()}
+SELECT station_id, obs_id, ts, r,
+       CASE WHEN fresh AND r <> day_start THEN
+         CASE WHEN COALESCE(prev_saved, 0.0) <> 0.0
+              THEN {OBS_PER_HOUR}.0 * (r - prev_saved)
+              ELSE {OBS_PER_HOUR}.0 * (r - day_start) END
+       ELSE 0.0 END AS rainmm
+FROM rain_state
+"""
+
+# --- state table: what the spreadsheet rows would contain ------------------
+
+_STATE_TABLE_SQL = f"""{_CTE}, {_RAIN_BASE_SQL.strip()}
+SELECT station_id, day,
+       MIN(r) AS day_start_r,
+       COALESCE(MAX(CASE WHEN fresh AND r <> day_start THEN r END), 0.0) AS last_saved_r,
+       MAX(ts) AS last_obs_ts
+FROM rain_state
+GROUP BY station_id, day
+"""
+
+
+def state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-day rainhistory rows (A2-D2 analog, MWC:211-216/236-239/271-272).
+
+    ``min(r)``/``max(...)`` are valid day_start/last_saved because the
+    counter is monotone within a day.
+    """
+    st = _rain_state(spark, sf_dir)
+    return st.groupBy("station_id", "day").agg(
+        F.min("r").alias("day_start_r"),
+        F.coalesce(
+            F.max(F.when(F.col("fresh") & (F.col("r") != F.col("day_start")), F.col("r"))),
+            F.lit(0.0),
+        ).alias("last_saved_r"),
+        F.max("ts").alias("last_obs_ts"),
+    )
+
+
+def q_sink_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state rows a day's run would write back (MWC:236-239, 271-272)."""
+    return state_table(spark, sf_dir)
+
+
+def q_src_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-table scan (MWC:210-216): persist the rainhistory rows to
+    parquet and read them back — a real small-dim state source that
+    Catalyst will auto-broadcast in joins."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "metoffice_spark_state", os.path.basename(sf_dir))
+    state_table(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_join_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup join: each observation × yesterday's state row
+    (the MWC:211-216 read, generalized per station-day). The state side
+    is tiny → explicit ``broadcast`` hash join, no shuffle of the obs side."""
+    st = state_table(spark, sf_dir).select(
+        "station_id",
+        F.date_add("day", 1).alias("next_day"),
+        F.col("last_saved_r").alias("y_last_saved_r"),
+        F.col("day_start_r").alias("y_day_start_r"),
+    )
+    obs = _rain_state(spark, sf_dir)
+    joined = obs.join(
+        F.broadcast(st),
+        (obs.station_id == st.station_id) & (obs.day == st.next_day),
+        "left",
+    )
+    return joined.select(
+        obs.station_id.alias("station_id"),
+        "obs_id",
+        "r",
+        "y_day_start_r",
+        (F.col("r") - F.coalesce(F.col("y_day_start_r"), F.col("r"))).alias(
+            "rain_since_yesterday_start"
+        ),
+    )
+
+
+ORACLE_JOIN_STATE_LOOKUP = f"""{_CTE}, {_RAIN_BASE_SQL.strip()},
+state AS (
+  SELECT station_id, day,
+         MIN(r) AS day_start_r,
+         COALESCE(MAX(CASE WHEN fresh AND r <> day_start THEN r END), 0.0) AS last_saved_r
+  FROM rain_state GROUP BY station_id, day
+)
+SELECT o.station_id, o.obs_id, o.r,
+       s.day_start_r AS y_day_start_r,
+       o.r - COALESCE(s.day_start_r, o.r) AS rain_since_yesterday_start
+FROM rain_state o
+LEFT JOIN state s ON o.station_id = s.station_id AND o.day = s.day + 1
+"""
+
+QUERIES = {
+    "q_win_lag": (q_win_lag, ORACLE_WIN_LAG),
+    "q_win_first_of_day": (q_win_first_of_day, ORACLE_WIN_FIRST_OF_DAY),
+    "q_rain_daily_delta": (q_rain_daily_delta, ORACLE_RAIN_DAILY),
+    "q_rain_rate": (q_rain_rate, ORACLE_RAIN_RATE),
+    "q_sink_state_upsert": (q_sink_state_upsert, _STATE_TABLE_SQL),
+    "q_src_state_table": (q_src_state_table, _STATE_TABLE_SQL),
+    "q_join_state_lookup": (q_join_state_lookup, ORACLE_JOIN_STATE_LOOKUP),
+}

@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Compares a Spark query result against its DuckDB oracle on row count,
+schema (normalized type classes), and order-insensitive exact values
+(floats must agree bitwise — the parity helpers exist to make that
+true). Used by ``tools/check_parity.py`` and the pytest suite.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from metoffice_spark.io import TABLES, table_path
+
+_TYPEMAP = {
+    "bigint": "i", "int": "i", "integer": "i", "smallint": "i", "tinyint": "i",
+    "hugeint": "i",
+    "double": "f", "float": "f",
+    "string": "s", "varchar": "s",
+    "boolean": "b",
+    "timestamp": "t", "timestamp_ntz": "t",
+    "date": "d",
+}
+
+
+def _norm_type(t: str) -> str:
+    return _TYPEMAP.get(t.lower(), t.lower())
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return v
+
+
+def connect_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def compare(spark, con, fn, sql, sf_dir: str) -> list[str]:
+    """Run query + oracle; return a list of problems (empty = pass)."""
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(_canon(v) for v in row) for row in sdf.collect()]
+    scols = [(f.name.lower(), _norm_type(f.dataType.simpleString())) for f in sdf.schema.fields]
+
+    rel = con.sql(sql)
+    orows = [tuple(_canon(v) for v in row) for row in rel.fetchall()]
+    ocols = [(c.lower(), _norm_type(str(t))) for c, t in zip(rel.columns, rel.types)]
+
+    problems: list[str] = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if [c for c, _ in scols] != [c for c, _ in ocols]:
+        problems.append(
+            f"colnames spark={[c for c, _ in scols]} oracle={[c for c, _ in ocols]}"
+        )
+    elif [t for _, t in scols] != [t for _, t in ocols]:
+        problems.append(f"coltypes spark={scols} oracle={ocols}")
+    if not problems:
+        order = sorted(range(len(scols)), key=lambda i: scols[i][0])
+        skey = sorted(tuple(str(r[i]) for i in order) for r in srows)
+        okey = sorted(tuple(str(r[i]) for i in order) for r in orows)
+        if skey != okey:
+            ndiff = sum(1 for a, b in zip(skey, okey) if a != b)
+            problems.append(f"values differ in {ndiff}/{len(skey)} rows")
+            for a, b in zip(skey, okey):
+                if a != b:
+                    problems.append(f"  spark : {a}")
+                    problems.append(f"  oracle: {b}")
+                    break
+    return problems

@@ -1,0 +1,79 @@
+"""Dialect-common SQL snippets shared by Spark queries and DuckDB oracles.
+
+Rounding is the classic cross-engine trap: Spark's ``round``/
+``format_string`` use Java HALF_UP, DuckDB's ``printf`` uses C
+half-even, and JS ``toFixed`` (the reference, MWC:349-365) rounds
+half-away-from-zero on the exact double. To make the two sides of the
+correctness harness agree bit-for-bit, every rounded value is computed
+with the SAME SQL text on both sides — integer-exact floor arithmetic
+that has one defined answer in IEEE doubles:
+
+- ``rhu(x, d)``      → round-half-up to d decimals, returned as DOUBLE
+- ``fixed_str(x, d)``→ fixed-precision decimal STRING (toFixed analog)
+
+Spark consumes these via ``F.expr(...)``; oracle SQL embeds the same
+text verbatim. Both parsers accept the subset used here (CASE, CAST,
+floor, abs, lpad, ``||``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def rhu_sql(x: str, d: int) -> str:
+    """Round-half-up(+inf) of expression ``x`` to ``d`` decimals, as DOUBLE."""
+    if d == 0:
+        return f"floor(({x}) + 0.5)"
+    p = 10 ** d
+    return f"(floor(({x}) * {p} + 0.5) / {p})"
+
+
+def fixed_str_sql(x: str, d: int) -> str:
+    """Fixed ``d``-decimal string of ``x`` via integer-exact arithmetic.
+
+    JS ``toFixed`` analog (MWC:290, 349-365) with half-up-on-abs ties;
+    sign handled separately so negative values render correctly.
+    """
+    if d == 0:
+        return (
+            f"(CASE WHEN ({x}) < 0 AND floor(abs({x}) + 0.5) > 0 THEN '-' ELSE '' END"
+            f" || CAST(CAST(floor(abs({x}) + 0.5) AS BIGINT) AS STRING))"
+        )
+    p = 10 ** d
+    n = f"CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)"
+    whole = f"CAST(floor({n} / CAST({p} AS DOUBLE)) AS BIGINT)"
+    frac = f"({n} - {whole} * {p})"
+    return (
+        f"(CASE WHEN ({x}) < 0 AND {n} > 0 THEN '-' ELSE '' END"
+        f" || CAST({whole} AS STRING) || '.'"
+        f" || lpad(CAST({frac} AS STRING), {d}, '0'))"
+    )
+
+
+def rhu(x: Column, d: int) -> Column:
+    """Column form of ``rhu_sql`` (same arithmetic, DataFrame API)."""
+    if d == 0:
+        return F.floor(x + F.lit(0.5)).cast("double")
+    p = float(10 ** d)
+    return F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def fixed_str(x: Column, d: int) -> Column:
+    """Column form of ``fixed_str_sql`` via ``F.expr`` on a one-off alias."""
+    # Build through expr on a self-contained expression tree: wrap the
+    # column into a SQL fragment is impossible generically, so rebuild
+    # with Column ops mirroring fixed_str_sql exactly.
+    if d == 0:
+        n = F.floor(F.abs(x) + F.lit(0.5)).cast("bigint")
+        sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
+        return F.concat(sign, n.cast("string"))
+    p = 10 ** d
+    n = F.floor(F.abs(x) * F.lit(float(p)) + F.lit(0.5)).cast("bigint")
+    whole = F.floor(n / F.lit(float(p))).cast("bigint")
+    frac = n - whole * F.lit(p)
+    sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
+    return F.concat(
+        sign, whole.cast("string"), F.lit("."), F.lpad(frac.cast("string"), d, "0")
+    )

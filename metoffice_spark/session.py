@@ -1,0 +1,56 @@
+"""SparkSession factory + runtime tuning.
+
+Scale design (100 TB north star): AQE on for runtime re-planning
+(skew joins, partition coalescing), broadcast threshold left at the
+default 10 MB so dim tables (region/nation/part at any realistic SF)
+broadcast, session timezone pinned to UTC so day-boundary logic
+(MWC:206-222) is deterministic across engines, Arrow enabled for the
+few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied defensively at the top of every query
+# builder: the driver may hand us a session we didn't configure.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down; proceed with session defaults
+    return spark
+
+
+def get_spark(app_name: str = "metoffice-spark") -> SparkSession:
+    """Build (or reuse) a local session sized for this container.
+
+    ``local[$SPARK_GRAFT_CPUS]`` (default 32) mirrors the driver's
+    bench environment; shuffle partitions match core count so every
+    shuffle round-trip uses all threads without tiny-partition
+    overhead at test scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/metoffice-spark-warehouse")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
