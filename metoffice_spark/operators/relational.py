@@ -1,0 +1,795 @@
+"""Relational EXT surface (SURVEY.md §2.2-2.8, §2.10 partial).
+
+General-purpose operators over the TPC-H-ish driver tables, written
+DataFrame-first so Catalyst picks the physical plan: broadcast joins
+for dims, shuffle joins for fact-fact, partial aggregation, pushdown.
+
+Cross-engine float parity: SUM/AVG over doubles is order-dependent,
+and Spark's partial-agg tree never adds in DuckDB's order. Every
+money aggregate therefore goes through the *integer cents* pattern —
+``floor(x*100 + 0.5)`` per row into BIGINT (bit-identical in both
+engines), exact integer sums, divide once at the end. Genuinely
+order-sensitive statistics (stddev/corr/percentile) are rounded via
+the shared ``rhu`` helper instead.
+
+Scale notes per query are in the docstrings — these run on 60k rows
+here but are written for the 100 TB layout (bucketed fact tables,
+broadcast dims, AQE skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.parity import rhu, rhu_sql
+from metoffice_spark.session import tune
+
+
+def _cents(col: F.Column, scale: int = 100):
+    """floor(x*scale + 0.5) as BIGINT — per-row exact in both engines."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+
+
+def _cents_sql(x: str, scale: int = 100) -> str:
+    return f"CAST(floor(({x}) * {scale} + 0.5) AS BIGINT)"
+
+
+# --- scans / projections / filters ----------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter that must reach the parquet scan
+    (PushedFilters + pruned ReadSchema; verified in tests/test_plans)."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") < 25) & (F.col("l_discount") > 0.02)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+ORACLE_SCAN_PARQUET = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity < 25 AND l_discount > 0.02
+"""
+
+
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunction/disjunction/range guards (the MWC:125/244/289 shapes)."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") != 0.0)
+        & (F.col("l_quantity") >= 10)
+        & ((F.col("l_returnflag") == "R") | (F.col("l_tax") < 0.05))
+        & F.col("l_linestatus").isin("O", "F")
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+
+
+ORACLE_FILTER_PREDICATE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+FROM lineitem
+WHERE l_discount <> 0.0 AND l_quantity >= 10
+  AND (l_returnflag = 'R' OR l_tax < 0.05)
+  AND l_linestatus IN ('O', 'F')
+"""
+
+
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection pipeline — per-row IEEE arithmetic, exact."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price.alias("disc_price"),
+        (disc_price * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+
+
+ORACLE_PROJECT_COMPUTE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS disc_price,
+       (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge,
+       l_extendedprice / l_quantity AS unit_price
+FROM lineitem
+"""
+
+
+def q_project_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/array/map construction + field extraction (the
+    devices[i].measurement shape, MWC:142-157, on relational data)."""
+    c = load(tune(spark), sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+        ).alias("info"),
+        F.array(F.col("c_acctbal"), F.col("c_acctbal") * 2.0).alias("bals"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("attrs"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("info.name").alias("name"),
+        F.col("info.bal").alias("bal"),
+        F.element_at("bals", 2).alias("bal_x2"),
+        F.element_at("attrs", "segment").alias("segment"),
+    )
+
+
+ORACLE_PROJECT_NESTED = """
+SELECT c_custkey, c_name AS name, c_acctbal AS bal,
+       c_acctbal * 2.0 AS bal_x2, c_mktsegment AS segment
+FROM customer
+"""
+
+
+# --- aggregations ----------------------------------------------------------
+
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash aggregate. Partial (map-side)
+    aggregation is automatic; money sums use the integer-cents pattern."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(_cents(disc_price, 10000)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(_cents(charge, 10000)) / F.lit(10000.0)).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_AGG_HASH = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum({_cents_sql("l_extendedprice")}) / 100.0 AS sum_base_price,
+       sum({_cents_sql("l_extendedprice * (1.0 - l_discount)", 10000)}) / 10000.0 AS sum_disc_price,
+       sum({_cents_sql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", 10000)}) / 10000.0 AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       sum({_cents_sql("l_extendedprice")}) / 100.0 / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand + two-phase agg under the hood)."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       sum(DISTINCT l_quantity) AS sum_distinct_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region → nation with explicit grouping flags
+    (dialect-portable CASE instead of grouping_id; data has no real
+    NULL keys so the flags are unambiguous)."""
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_cents(F.col("c_acctbal"))) / F.lit(100.0)).alias("total_bal"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        ((F.col("r_name").isNull().cast("int") * 2) + F.col("n_name").isNull().cast("int")).alias(
+            "grouping_level"
+        ),
+        "n_customers",
+        "total_bal",
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       (CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) * 2
+         + (CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS grouping_level,
+       count(*) AS n_customers,
+       sum({_cents_sql("c_acctbal")}) / 100.0 AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined string (deterministic form of the
+    list aggregate; binary sort order matches DuckDB's default collation)."""
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_AGG_COLLECT = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded via rhu since the merge order of
+    the underlying moments differs across engines."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rhu(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        rhu(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        rhu(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        rhu(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+ORACLE_AGG_STATS = f"""
+SELECT l_returnflag,
+       {rhu_sql("stddev_samp(l_quantity)", 6)} AS sd_qty,
+       {rhu_sql("var_samp(l_quantity)", 6)} AS var_qty,
+       {rhu_sql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+       {rhu_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- joins -----------------------------------------------------------------
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small dim × big fact: explicit broadcast → BroadcastHashJoin,
+    zero shuffle of the fact side. At 100 TB the dim still broadcasts;
+    the fact scan stays pipelined."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST = f"""
+SELECT p_brand,
+       sum(l_quantity) AS sum_qty,
+       sum({_cents_sql("l_extendedprice")}) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × fact equi-join: both sides shuffle on the key (SMJ/SHJ per
+    AQE). At scale: bucket both tables on orderkey to eliminate the
+    shuffle entirely."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000))
+             / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_SHUFFLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       sum({_cents_sql("l_extendedprice * (1.0 - l_discount)", 10000)}) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer preserving customers with no orders."""
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+ORACLE_JOIN_OUTER = f"""
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       COALESCE(sum({_cents_sql("o_totalprice")}) / 100.0, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (left_semi) and non-existence (left_anti) in one result."""
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_open_order").alias("status")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_open_order").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT c_custkey, 'has_open_order' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'no_open_order' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (non-equi) join: order value into price bands derived from
+    region keys. Small band side broadcast → BroadcastNestedLoopJoin;
+    at scale, replace with a computed band key (equi) when possible."""
+    spark = tune(spark)
+    o = load(spark, sf_dir, "orders")
+    bands = (
+        load(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band_id"),
+            (F.col("r_regionkey").cast("double") * 100000.0).alias("lo"),
+            ((F.col("r_regionkey") + 1).cast("double") * 100000.0).alias("hi"),
+        )
+    )
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("band_value"),
+        )
+    )
+
+
+ORACLE_JOIN_THETA_RANGE = f"""
+SELECT band_id, count(*) AS n_orders,
+       sum({_cents_sql("o_totalprice")}) / 100.0 AS band_value
+FROM orders
+JOIN (SELECT r_regionkey AS band_id,
+             CAST(r_regionkey AS DOUBLE) * 100000.0 AS lo,
+             CAST(r_regionkey + 1 AS DOUBLE) * 100000.0 AS hi
+      FROM region) bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent prior 'view'
+    by the same user — the scalable single-pass window form of the
+    reference's previous-observation lookup (MWC:216, 256). No join
+    materialization: one shuffle by user, one ordered scan."""
+    ev = load(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    enriched = ev.withColumn(
+        "last_view_ts", F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_view_ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts")).alias("secs_since_view"),
+    )
+
+
+ORACLE_JOIN_ASOF = """
+WITH enriched AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_view_ts)) AS BIGINT)
+         AS secs_since_view
+FROM enriched WHERE event_type = 'purchase'
+"""
+
+
+# --- windows ---------------------------------------------------------------
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile with a unique tiebreak."""
+    o = load(tune(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_WIN_RANK = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding frames (cents-exact running money sums)."""
+    o = load(tune(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    sliding = w.rowsBetween(-2, 0)
+    cents = _cents(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(running) / F.lit(100.0)).alias("running_total"),
+        (F.sum(cents).over(sliding) / F.lit(100.0) / F.count(F.lit(1)).over(sliding)).alias(
+            "sliding_avg3"
+        ),
+    )
+
+
+ORACLE_WIN_FRAME = f"""
+SELECT o_orderkey, o_custkey,
+       sum({_cents_sql("o_totalprice")}) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
+       sum({_cents_sql("o_totalprice")}) OVER w3 / 100.0
+         / count(*) OVER w3 AS sliding_avg3
+FROM orders
+WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / lag / first_value / last_value / nth_value."""
+    o = load(tune(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
+
+
+ORACLE_WIN_ANALYTIC = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- sort / top-k / set ops ------------------------------------------------
+
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (value compare is order-insensitive; the sort
+    itself is exercised by the plan test)."""
+    o = load(tune(spark), sf_dir, "orders")
+    return o.orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+ORACLE_SORT = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit → TakeOrderedAndProject (no full sort; each
+    partition keeps k, driver merges). Unique tiebreak for determinism."""
+    o = load(tune(spark), sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+ORACLE_SET_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+ORACLE_SET_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+ORACLE_SET_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+# --- scalar function suites ------------------------------------------------
+
+def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General math surface (extends the reference's ln/log10/cos/exp/π,
+    MWC:190/301/319/328). Transcendentals rounded via rhu."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        rhu(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        rhu(F.exp("l_discount"), 8).alias("exp_disc"),
+        rhu(F.log("l_extendedprice"), 8).alias("ln_price"),
+        rhu(F.log10("l_extendedprice"), 8).alias("log10_price"),
+        rhu(F.cos("l_discount"), 8).alias("cos_disc"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+ORACLE_FN_MATH_SUITE = f"""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_v,
+       sqrt(l_quantity) AS sqrt_qty,
+       {rhu_sql("pow(l_quantity, 2.0)", 6)} AS qty_sq,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       {rhu_sql("exp(l_discount)", 8)} AS exp_disc,
+       {rhu_sql("ln(l_extendedprice)", 8)} AS ln_price,
+       {rhu_sql("log10(l_extendedprice)", 8)} AS log10_price,
+       {rhu_sql("cos(l_discount)", 8)} AS cos_disc,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+"""
+
+
+def q_fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General string surface beyond locate/substring/concat (MWC:179-183)."""
+    spark = tune(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.col("p_type").like("%bolt%").alias("is_bolt"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_words"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+ORACLE_FN_STRING_SUITE = """
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       lower(p_brand) AS lower_brand,
+       CAST(length(p_name) AS INT) AS name_len,
+       substring(p_name, 1, 4) AS prefix4,
+       replace(p_name, ' ', '_') AS snake_name,
+       trim('  ' || p_name || '  ') AS trimmed,
+       p_type LIKE '%bolt%' AS is_bolt,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+       lpad(CAST(p_partkey AS STRING), 8, '0') AS padded_key
+FROM part
+"""
+
+
+def q_fn_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / JSON scalar ops: events.props JSON extraction + embedding
+    array ops (size, element_at, slice)."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    emb = load(spark, sf_dir, "embeddings")
+    j = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+    head3 = F.slice("embedding", 1, 3)
+    arr = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e_first"),
+        F.element_at("embedding", -1).alias("e_last"),
+        # slice demonstrated, emitted as scalars (array-typed output
+        # columns hash differently across engines)
+        F.element_at(head3, 2).alias("e_h2"),
+        F.element_at(head3, 3).alias("e_h3"),
+    )
+    return j.join(arr, j.event_id == arr.vec_id, "inner").select(
+        "event_id", "prop_k", "vec_id", "dim", "e_first", "e_last", "e_h2", "e_h3"
+    )
+
+
+ORACLE_FN_ARRAY_MAP_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       embedding[1] AS e_first,
+       embedding[-1] AS e_last,
+       embedding[1:3][2] AS e_h2,
+       embedding[1:3][3] AS e_h3
+FROM events
+JOIN embeddings ON event_id = vec_id
+"""
+
+
+def q_fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + truncation (generalizes MWC:206-222)."""
+    o = load(tune(spark), sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.to_date("o_orderdate").alias("order_day"),
+        F.datediff(F.to_date(F.lit("2025-01-01")), F.to_date("o_orderdate")).alias(
+            "days_to_2025"
+        ),
+    )
+
+
+ORACLE_FN_DATE_EXTRACT = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) AS order_day,
+       CAST(DATE '2025-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_2025
+FROM orders
+"""
+
+
+QUERIES = {
+    "q_scan_parquet": (q_scan_parquet, ORACLE_SCAN_PARQUET),
+    "q_filter_predicate": (q_filter_predicate, ORACLE_FILTER_PREDICATE),
+    "q_project_compute": (q_project_compute, ORACLE_PROJECT_COMPUTE),
+    "q_project_nested": (q_project_nested, ORACLE_PROJECT_NESTED),
+    "q_agg_hash": (q_agg_hash, ORACLE_AGG_HASH),
+    "q_agg_distinct": (q_agg_distinct, ORACLE_AGG_DISTINCT),
+    "q_agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
+    "q_agg_collect": (q_agg_collect, ORACLE_AGG_COLLECT),
+    "q_agg_stats": (q_agg_stats, ORACLE_AGG_STATS),
+    "q_join_broadcast": (q_join_broadcast, ORACLE_JOIN_BROADCAST),
+    "q_join_shuffle": (q_join_shuffle, ORACLE_JOIN_SHUFFLE),
+    "q_join_outer": (q_join_outer, ORACLE_JOIN_OUTER),
+    "q_join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
+    "q_join_theta_range": (q_join_theta_range, ORACLE_JOIN_THETA_RANGE),
+    "q_join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
+    "q_win_rank": (q_win_rank, ORACLE_WIN_RANK),
+    "q_win_frame": (q_win_frame, ORACLE_WIN_FRAME),
+    "q_win_analytic": (q_win_analytic, ORACLE_WIN_ANALYTIC),
+    "q_sort": (q_sort, ORACLE_SORT),
+    "q_topk": (q_topk, ORACLE_TOPK),
+    "q_set_union": (q_set_union, ORACLE_SET_UNION),
+    "q_set_intersect": (q_set_intersect, ORACLE_SET_INTERSECT),
+    "q_set_except": (q_set_except, ORACLE_SET_EXCEPT),
+    "q_fn_math_suite": (q_fn_math_suite, ORACLE_FN_MATH_SUITE),
+    "q_fn_string_suite": (q_fn_string_suite, ORACLE_FN_STRING_SUITE),
+    "q_fn_array_map_json": (q_fn_array_map_json, ORACLE_FN_ARRAY_MAP_JSON),
+    "q_fn_date_extract": (q_fn_date_extract, ORACLE_FN_DATE_EXTRACT),
+}
