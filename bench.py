@@ -29,7 +29,9 @@ HEADLINE = [
     "q_join_broadcast",   # dim broadcast join
     "q_win_rank",         # ranking window
     "q_dedup_exact",      # documents dedup
+    "q_dedup_fuzzy",      # MinHash+LSH near-dup pairs
     "q_sim_search",       # embedding cosine top-k
+    "q_text_analysis",    # tokenize + term frequencies
 ]
 
 
@@ -42,7 +44,13 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("metoffice-bench")
     reg = all_queries()
-    qids = [q for q in HEADLINE if q in reg]
+    missing = [q for q in HEADLINE if q not in reg]
+    if missing:
+        # Fail loudly: a green-looking BENCH over a subset would hide
+        # coverage gaps (ADVICE r01). The driver sees the error.
+        print(json.dumps({"error": "headline qids missing", "missing": missing}))
+        sys.exit(1)
+    qids = list(HEADLINE)
 
     # warm-up: JVM + parquet footer caches, one light action
     reg[qids[0]](spark, sf_dir).limit(1).collect()

@@ -1,0 +1,299 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.11,
+q_text_analysis + the training-data-pipeline text suite).
+
+Pure EXT (no reference analog — the reference's only string handling
+is the scrape slice, MWC:179-183, covered by q_src_text_scrape /
+q_fn_str_locate). Everything here is built-in Catalyst expressions —
+split/explode/regexp/aggregate lambdas — no Python in the hot path.
+
+Cross-engine determinism: all counts are integers; every ratio is a
+single IEEE divide of two exact integers, so Spark and DuckDB agree
+bitwise. Marker-occurrence counts use the replace-length trick
+(``(len(s) - len(replace(s, m, ''))) / len(m)``), which is defined
+identically (non-overlapping, left-to-right) in both engines.
+
+Scale notes: per-document metrics are map-only (no shuffle at all);
+the term-frequency query shuffles (lang, term) pairs once with
+map-side partial aggregation; the top-k window partitions by lang —
+bounded cardinality, no skew hotspot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK
+from metoffice_spark.session import tune
+
+
+# --- q_text_analysis: term frequencies + top-k per language -----------------
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> per-(lang, term) counts -> top-10 terms per lang.
+
+    The scale path: explode produces (lang, term) rows, partial
+    aggregation combines map-side, the final shuffle carries one row
+    per distinct (lang, term). The top-k window partitions by lang."""
+    docs = load(tune(spark), sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.expr(TOKS_SPARK)).alias("term")
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "term", "cnt", "rnk")
+    )
+
+
+ORACLE_TEXT_ANALYSIS = f"""
+SELECT lang, term, cnt, CAST(rn AS INT) AS rnk FROM (
+  SELECT lang, term, count(*) AS cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rn
+  FROM (SELECT lang, unnest({TOKS_DUCK}) AS term FROM documents)
+  GROUP BY lang, term)
+WHERE rn <= 10
+"""
+
+
+# --- q_text_langid: stopword-marker language ID ------------------------------
+
+# Tiny marker lists per language; occurrences counted in ' '||lower||' '
+# so word boundaries at the ends of the document count too.
+_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+    "es": (" el ", " los ", " una "),
+}
+
+
+def _marker_count(padded: str, m: str) -> str:
+    """Dialect-common occurrence count of marker ``m`` in ``padded``."""
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{m}', '')))"
+        f" / {len(m)} AS BIGINT)"
+    )
+
+
+_PADDED = "(' ' || lower(text) || ' ')"
+_SCORES = {
+    lang: "(" + " + ".join(_marker_count(_PADDED, m) for m in ms) + ")"
+    for lang, ms in _MARKERS.items()
+}
+_PREDICT = f"""
+CASE WHEN {_SCORES['en']} >= {_SCORES['de']} AND {_SCORES['en']} >= {_SCORES['fr']}
+          AND {_SCORES['en']} >= {_SCORES['es']} THEN 'en'
+     WHEN {_SCORES['de']} >= {_SCORES['fr']} AND {_SCORES['de']} >= {_SCORES['es']} THEN 'de'
+     WHEN {_SCORES['fr']} >= {_SCORES['es']} THEN 'fr'
+     ELSE 'es' END
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-marker language ID: deterministic stopword scoring with a
+    fixed argmax precedence (en > de > fr > es on ties). Map-only —
+    the 100 TB plan is a pure projection, zero shuffles."""
+    docs = load(tune(spark), sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[F.expr(_SCORES[lg]).alias(f"score_{lg}") for lg in _MARKERS],
+        F.expr(_PREDICT).alias("predicted_lang"),
+        (F.expr(_PREDICT) == F.col("lang")).alias("agrees"),
+    )
+
+
+ORACLE_TEXT_LANGID = f"""
+SELECT doc_id, lang,
+       {_SCORES['en']} AS score_en,
+       {_SCORES['de']} AS score_de,
+       {_SCORES['fr']} AS score_fr,
+       {_SCORES['es']} AS score_es,
+       {_PREDICT} AS predicted_lang,
+       ({_PREDICT}) = lang AS agrees
+FROM documents
+"""
+
+
+# --- q_text_quality: heuristic quality scoring -------------------------------
+
+# All inputs exact integers; every ratio is one divide; the composite
+# score is a fixed arithmetic sequence on those ratios.
+_Q_NTOK_SPARK = f"size({TOKS_SPARK})"
+_Q_NTOK_DUCK = f"len({TOKS_DUCK})"
+_Q_TOKCHARS_SPARK = (
+    f"aggregate({TOKS_SPARK}, cast(0 as bigint), (a, t) -> a + length(t))"
+)
+_Q_TOKCHARS_DUCK = (
+    f"list_aggregate(list_transform({TOKS_DUCK}, t -> length(t)), 'sum')"
+)
+_Q_NPUNCT = "length(text) - length(regexp_replace(text, '[.,;:!?]', '{g}'))"
+_Q_NSTOP_SPARK = f"size(filter({TOKS_SPARK}, t -> t in ('the', 'a', 'and', 'of', 'to')))"
+_Q_NSTOP_DUCK = (
+    f"len(list_filter({TOKS_DUCK}, t -> t in ('the', 'a', 'and', 'of', 'to')))"
+)
+
+
+def _quality_exprs(ntok: str, tokchars: str, npunct: str, nstop: str) -> dict[str, str]:
+    return {
+        "n_tokens": f"CAST({ntok} AS BIGINT)",
+        "n_chars_txt": "CAST(length(text) AS BIGINT)",
+        "avg_token_len": f"CAST({tokchars} AS DOUBLE) / CAST({ntok} AS DOUBLE)",
+        "punct_ratio": f"CAST({npunct} AS DOUBLE) / CAST(length(text) AS DOUBLE)",
+        "stopword_ratio": f"CAST({nstop} AS DOUBLE) / CAST({ntok} AS DOUBLE)",
+    }
+
+
+_QUAL_SPARK = _quality_exprs(
+    _Q_NTOK_SPARK,
+    _Q_TOKCHARS_SPARK,
+    _Q_NPUNCT.format(g=""),
+    _Q_NSTOP_SPARK,
+)
+_QUAL_DUCK = _quality_exprs(
+    _Q_NTOK_DUCK,
+    _Q_TOKCHARS_DUCK,
+    "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))",
+    _Q_NSTOP_DUCK,
+)
+
+# Composite score: long-enough docs with modest punctuation and a sane
+# stopword share rank higher. Fixed op order -> bitwise-identical.
+def _qscore(e: dict[str, str]) -> str:
+    return (
+        f"(CASE WHEN {e['n_tokens']} >= 20 THEN 0.4 ELSE 0.0 END"
+        f" + (1.0 - {e['punct_ratio']}) * 0.3"
+        f" + {e['stopword_ratio']} * 0.3)"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality heuristics + composite score.
+    Map-only projection — embarrassingly parallel at any scale."""
+    docs = load(tune(spark), sf_dir, "documents").filter(F.expr(_Q_NTOK_SPARK) > 0)
+    cols = [F.expr(x).alias(name) for name, x in _QUAL_SPARK.items()]
+    return docs.select(
+        "doc_id",
+        "lang",
+        *cols,
+        F.expr(_qscore(_QUAL_SPARK)).alias("quality_score"),
+        (F.expr(_qscore(_QUAL_SPARK)) >= 0.5).alias("keep"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, lang,
+       {_QUAL_DUCK['n_tokens']} AS n_tokens,
+       {_QUAL_DUCK['n_chars_txt']} AS n_chars_txt,
+       {_QUAL_DUCK['avg_token_len']} AS avg_token_len,
+       {_QUAL_DUCK['punct_ratio']} AS punct_ratio,
+       {_QUAL_DUCK['stopword_ratio']} AS stopword_ratio,
+       {_qscore(_QUAL_DUCK)} AS quality_score,
+       {_qscore(_QUAL_DUCK)} >= 0.5 AS keep
+FROM documents
+WHERE {_Q_NTOK_DUCK} > 0
+"""
+
+
+# --- q_text_tokens: whitespace + BPE-ish token counting ---------------------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# punctuation — the greedy regex shape GPT-style tokenizers use before
+# merges. Counted via regexp_extract_all length (RE2/Java-common syntax).
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_WS_SPARK = "size(filter(split(text, ' +'), t -> t <> ''))"
+_WS_DUCK = "len(list_filter(string_split_regex(text, ' +'), t -> t <> ''))"
+_BPE_SPARK = f"size(regexp_extract_all(lower(text), '{_BPE_PAT}', 0))"
+_BPE_DUCK = f"len(regexp_extract_all(lower(text), '{_BPE_PAT}'))"
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) rolled up per lang.
+
+    Integer sums only — the per-lang rollup is a tiny-cardinality
+    shuffle with map-side combine; the token counting itself is
+    map-only JVM regex work."""
+    docs = load(tune(spark), sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.expr(_WS_SPARK).cast("bigint").alias("ws_tokens"),
+        F.expr(_BPE_SPARK).cast("bigint").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens_total"),
+        F.sum("bpe_tokens").alias("bpe_tokens_total"),
+        F.sum("chars").alias("chars_total"),
+    )
+
+
+ORACLE_TEXT_TOKENS = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CAST({_WS_DUCK} AS BIGINT)) AS ws_tokens_total,
+       sum(CAST({_BPE_DUCK} AS BIGINT)) AS bpe_tokens_total,
+       sum(CAST(length(text) AS BIGINT)) AS chars_total
+FROM documents
+GROUP BY lang
+"""
+
+
+# --- q_text_fingerprint: shingle-hash document fingerprints ------------------
+
+from metoffice_spark.operators.llm import _SHINGLES_DUCK, _SHINGLES_SPARK  # noqa: E402
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: word-3-shingles hashed with md5;
+    the min and max hash are the document's fingerprint anchors (the
+    k=1 special case of a min-k sketch), plus the distinct-shingle
+    count. Map-only; at scale the fingerprint feeds the dedup index."""
+    docs = load(tune(spark), sf_dir, "documents")
+    shingled = (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
+    )
+    hashed = shingled.select(
+        "doc_id",
+        F.expr("transform(array_distinct(sh), s -> md5(s))").alias("hs"),
+        F.expr("size(array_distinct(sh))").cast("bigint").alias("n_shingles"),
+    )
+    return hashed.select(
+        "doc_id",
+        "n_shingles",
+        F.array_min("hs").alias("fp_min"),
+        F.array_max("hs").alias("fp_max"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH shingled AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS sh
+  FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(sh), s -> md5(s)) AS hs,
+         CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+  FROM shingled
+)
+SELECT doc_id, n_shingles,
+       list_aggregate(hs, 'min') AS fp_min,
+       list_aggregate(hs, 'max') AS fp_max
+FROM hashed
+"""
+
+
+QUERIES = {
+    "q_text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),
+    "q_text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
+    "q_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "q_text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
+    "q_text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+}

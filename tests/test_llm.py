@@ -1,0 +1,117 @@
+"""Semantic tests for the LLM-pipeline operators: the oracle-parity
+suite proves Spark==DuckDB; these prove the operators actually do
+their job (find the planted near-dups, return real top-k, etc.)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dedup_exact_is_identity_when_no_dups(spark, sf_smoke):
+    """Driver docs are all distinct -> every group has dup_count 1 and
+    the kept ids are exactly the original ids."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.llm import q_dedup_exact
+
+    out = q_dedup_exact(spark, sf_smoke)
+    n_docs = load(spark, sf_smoke, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.dup_count == 1 for r in rows)
+
+
+def test_dedup_exact_collapses_planted_dups(spark, sf_smoke):
+    """Plant exact dups (same text modulo case/whitespace) and check the
+    groupBy collapses them to the min doc_id."""
+    from metoffice_spark.operators import llm
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "  HELLO WORLD  "),
+            (4, "entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    keyed = df.select(F.sha2(F.expr(llm.NORM_SPARK), 256).alias("k"), "doc_id")
+    out = (
+        keyed.groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id == {1: 3, 4: 1}
+
+
+def test_dedup_fuzzy_finds_planted_pairs(spark, sf_smoke):
+    """Every in-query planted variant (doc_id + 100000) must be paired
+    with its original — LSH banding catches Jaccard ~0.9 pairs."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.llm import q_dedup_fuzzy
+
+    docs = load(spark, sf_smoke, "documents")
+    planted_ids = [r.doc_id for r in docs.filter("doc_id % 25 = 0").collect()]
+    pairs = {(r.doc_a, r.doc_b) for r in q_dedup_fuzzy(spark, sf_smoke).collect()}
+    for pid in planted_ids:
+        assert (pid, pid + 100000) in pairs, f"planted pair for doc {pid} missed"
+    # and every reported pair really clears the similarity bar
+    out = q_dedup_fuzzy(spark, sf_smoke).collect()
+    assert all(r.jaccard >= 0.6 for r in out)
+
+
+def test_sim_search_topk_shape(spark, sf_smoke):
+    from metoffice_spark.operators.llm import q_sim_search
+
+    rows = q_sim_search(spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4, 5, 6, 7}
+    for q_id, hits in by_q.items():
+        assert len(hits) == 5
+        sims = [h.cos_sim for h in sorted(hits, key=lambda h: h.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(h.vec_id >= 8 for h in hits)
+
+
+def test_sim_search_self_similarity_is_one(spark):
+    """cos(v, v) == 1.0 exactly in the fixed-point formulation."""
+    from metoffice_spark.operators.llm import NORM2_SPARK, _cos_spark, _ivec_spark
+
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.125])], "id long, embedding array<float>")
+    base = df.select(F.expr(_ivec_spark("embedding")).alias("v")).withColumn(
+        "n2", F.expr(NORM2_SPARK.format(v="v"))
+    )
+    row = base.select(F.expr(_cos_spark("v", "v", "n2", "n2")).alias("c")).collect()[0]
+    # sqrt(x)*sqrt(x) may be 1 ulp off x, so cos(v,v) is 1.0 +/- 1 ulp
+    assert abs(row.c - 1.0) < 1e-15
+
+
+def test_text_quality_ranges(spark, sf_smoke):
+    from metoffice_spark.operators.text import q_text_quality
+
+    rows = q_text_quality(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+
+
+def test_text_langid_scores_consistent(spark, sf_smoke):
+    from metoffice_spark.operators.text import q_text_langid
+
+    rows = q_text_langid(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        scores = {
+            "en": r.score_en,
+            "de": r.score_de,
+            "fr": r.score_fr,
+            "es": r.score_es,
+        }
+        assert scores[r.predicted_lang] == max(scores.values())
