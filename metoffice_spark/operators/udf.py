@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference has no user-extensibility (one hard-coded Apps Script
+function); these are the EXT extension points a real engine exposes,
+and the substrate the LLM text operators would use when a metric
+can't be a Catalyst expression.
+
+All three follow the no-row-at-a-time rule: scalar + grouped-agg are
+Arrow-batched ``pandas_udf``s (vectorized exchange, JVM<->Python only
+at batch granularity), and the UDTF runs with Arrow serialization
+enabled. The Python logic is written to be bit-compatible with the
+DuckDB oracle SQL: integer sums inside pandas (int64, exact), single
+IEEE divide at the end, regex semantics on the ASCII corpus identical
+between Python `re`, Java regex, and RE2.
+
+Scale: pandas UDFs run per Arrow batch per partition — fully parallel,
+no driver involvement; grouped-agg shuffles once on the group key like
+any aggregate. Still, the docstring rule of thumb stands: built-in
+expressions beat Arrow UDFs ~2-10x, so UDFs are for semantics Catalyst
+can't express, not convenience.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from metoffice_spark.io import load
+from metoffice_spark.session import tune
+
+
+# --- q_udf_scalar: vectorized scalar pandas UDFs -----------------------------
+
+@pandas_udf("string")
+def _norm_text(s: pd.Series) -> pd.Series:
+    """Whitespace-collapse + casefold, vectorized over an Arrow batch."""
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+@pandas_udf("long")
+def _vowel_count(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.count(r"[aeiou]").astype("int64")
+
+
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar UDFs over documents: text normalization +
+    vowel counting. Each batch crosses the JVM<->Python boundary once
+    (Arrow), never per row."""
+    docs = load(tune(spark), sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _norm_text(F.col("text")).alias("norm_text"),
+        _vowel_count(F.col("text")).alias("n_vowels"),
+    )
+
+
+ORACLE_UDF_SCALAR = """
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+       CAST(length(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT) AS n_vowels
+FROM documents
+"""
+
+
+# --- q_udaf_grouped: grouped-aggregate pandas UDFs ---------------------------
+
+@pandas_udf("long")
+def _weighted_sum(x: pd.Series) -> int:
+    # int64 sum — exact and order-free, so Spark's partition order
+    # can't desync from DuckDB's.
+    return int(x.sum())
+
+
+@pandas_udf("double")
+def _weighted_mean(x: pd.Series, w: pd.Series) -> float:
+    # exact integer numerator/denominator, one IEEE divide at the end —
+    # bit-identical to the oracle's CAST(sum .. )/CAST(sum ..) form.
+    num = int((x * w).sum())
+    den = int(w.sum())
+    return float(num) / float(den)
+
+
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDFs per language: a weighted character sum
+    and an exact-integer weighted mean. Shuffles once on lang (tiny
+    cardinality), each group aggregated inside one Arrow batch."""
+    docs = load(tune(spark), sf_dir, "documents")
+    w = (F.col("doc_id") + F.lit(1)).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            _weighted_sum((F.col("n_chars") * w)).alias("wchar_sum"),
+            _weighted_mean(F.col("n_chars").cast("long"), w).alias("wchar_mean"),
+        )
+        .select("lang", "wchar_sum", "wchar_mean")
+    )
+
+
+ORACLE_UDAF_GROUPED = """
+SELECT lang,
+       sum(n_chars * (doc_id + 1)) AS wchar_sum,
+       CAST(sum(n_chars * (doc_id + 1)) AS DOUBLE) / CAST(sum(doc_id + 1) AS DOUBLE)
+         AS wchar_mean
+FROM documents
+GROUP BY lang
+"""
+
+
+# --- q_udtf: Python table function (lateral token exploder) ------------------
+
+_TOK_RE = re.compile(r"[^a-z0-9]+")
+
+
+@udtf(returnType="pos int, token string, token_len int")
+class _TokenExplode:
+    """One row per token with its 1-based position — the §2.10 table
+    function. Mirrors the TOKS_* tokenizer used by the text suite."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for i, tok in enumerate(t for t in _TOK_RE.split(text.lower()) if t):
+            yield i + 1, tok, len(tok)
+
+
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral Python UDTF: documents x token_explode(text). Arrow
+    serialization on; at scale this is a map-side expand (no shuffle)."""
+    spark = tune(spark)
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    except Exception:
+        pass
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("token_explode", _TokenExplode)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM documents d, LATERAL token_explode(d.text) t
+        """
+    )
+
+
+ORACLE_UDTF = """
+SELECT doc_id, CAST(pos AS INT) AS pos, token, CAST(length(token) AS INT) AS token_len
+FROM (
+  SELECT doc_id,
+         unnest(range(1, len(toks) + 1)) AS pos,
+         unnest(toks) AS token
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents)
+)
+"""
+
+
+QUERIES = {
+    "q_udf_scalar": (q_udf_scalar, ORACLE_UDF_SCALAR),
+    "q_udaf_grouped": (q_udaf_grouped, ORACLE_UDAF_GROUPED),
+    "q_udtf": (q_udtf, ORACLE_UDTF),
+}
