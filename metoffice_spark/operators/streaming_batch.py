@@ -1,0 +1,508 @@
+"""Structured Streaming suite (SURVEY.md §2.9) — the reference IS a
+streaming job re-expressed on Spark's engine:
+
+- the 15-minute timer tick (MWC:34-39) -> micro-batch trigger
+  (file-source replay with ``Trigger.AvailableNow``);
+- the rainhistory spreadsheet (MWC:211-272) -> per-key state in
+  ``applyInPandasWithState`` carrying exactly the B2/C2/D2 cells
+  ``{day_start_r, prev_saved_r, cur_day}`` (MWC:215-216, 236-239);
+- the staleness guard (MWC:244) -> event-time watermark;
+- the day-boundary reset (MWC:231-240) -> daily tumbling window;
+- the WOW POST + email alert (MWC:369-409) -> ``foreachBatch`` sink
+  with a dead-letter side channel.
+
+Every query here REALLY runs Structured Streaming (readStream ->
+IncrementalExecution -> state store -> sink), then returns the sink's
+contents as a batch DataFrame so the driver's DuckDB oracle can check
+final results value-for-value. Determinism comes from controlled
+replay: the observation stream is snapshotted to parquet files whose
+modification times fix the micro-batch order (`maxFilesPerTrigger=1`
+where multi-batch behavior is the point).
+
+Empirically pinned Spark semantics the oracles encode (verified on
+this Spark build, see tests/test_streaming.py):
+- append-mode aggregation emits a window when
+  ``window_end <= watermark`` (inclusive), where the watermark is
+  ``floor_ms(max event time so far) - delay``;
+- a late row is dropped iff its window was already evicted, i.e.
+  ``window_end <= watermark(previous batch)``;
+- ``session_window`` starts a NEW session when the gap is >= the
+  session timeout (intervals are half-open), and a session's end is
+  ``last event + gap``;
+- availableNow appends a trailing no-data micro-batch that flushes
+  windows closed by the final watermark.
+
+Scale notes: state is per (station) or per (station, window) — at
+1000 executors the state store shards by group key exactly like the
+shuffle; file replay becomes Kafka partitions; `foreachBatch` writes
+stay executor-side. Nothing here funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from metoffice_spark.obs import OBS_PER_HOUR, observations, oracle_cte
+from metoffice_spark.parity import fixed_str
+from metoffice_spark.session import tune
+
+_CTE = oracle_cte()
+
+_OBS_SCHEMA = (
+    "station_id string, ts timestamp, obs_id long, tempc double, hum double,"
+    " windspeed_ms double, windgust_ms double, winddir_sector int,"
+    " rain_counter_mm double, rain_sensor_ts timestamp, pressure_site_hpa double"
+)
+
+_OBS_COLS = [
+    "station_id", "ts", "obs_id", "tempc", "hum", "windspeed_ms", "windgust_ms",
+    "winddir_sector", "rain_counter_mm", "rain_sensor_ts", "pressure_site_hpa",
+]
+
+
+def _run_root() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "metoffice_stream", uuid.uuid4().hex[:12]
+    )
+
+
+def _write_file(df: DataFrame, path: str, mtime: int) -> None:
+    """Materialize ``df`` as exactly one parquet file at ``path`` with a
+    pinned mtime — mtime order fixes the micro-batch replay order."""
+    stage = path + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), path)
+    shutil.rmtree(stage)
+    os.utime(path, (mtime, mtime))
+
+
+def _replay(
+    spark: SparkSession, sf_dir: str, split_preds: list | None = None
+) -> tuple[str, str]:
+    """Snapshot the observation stream into ``input/`` files (one per
+    split predicate, replayed in order) and return (input_dir, root)."""
+    root = _run_root()
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    obs = observations(spark, sf_dir).select(*_OBS_COLS)
+    if not split_preds:
+        _write_file(obs, os.path.join(input_dir, "0000.parquet"), 1_000_000)
+    else:
+        for i, pred in enumerate(split_preds):
+            _write_file(
+                obs.filter(pred),
+                os.path.join(input_dir, f"{i:04d}.parquet"),
+                1_000_000 + i * 1000,
+            )
+    return input_dir, root
+
+
+def _read_stream(spark: SparkSession, input_dir: str, one_file_batches: bool):
+    reader = spark.readStream.schema(_OBS_SCHEMA)
+    if one_file_batches:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(input_dir)
+
+
+def _run_to_parquet(stream_df: DataFrame, root: str, mode: str = "append") -> str:
+    """Run the streaming query to completion (availableNow), sinking via
+    foreachBatch into parquet; returns the output path."""
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    return out
+
+
+# Final-watermark emission cutoff, as a DuckDB scalar subquery:
+# floor-to-ms(max event time) - delay.
+def _wm_cutoff_sql(delay: str) -> str:
+    return (
+        "(SELECT date_trunc('milliseconds', max(ts)) - INTERVAL "
+        f"{delay} FROM observations)"
+    )
+
+
+# --- q_stream_ingest: micro-batch source + stateless transform --------------
+
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timer-tick source (MWC:34-39): file-source replay through a
+    stateless typed projection (the JSON-ingest shape of MWC:142-157),
+    appended to a parquet sink. Stateless -> append mode, no watermark."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    sdf = _read_stream(spark, input_dir, one_file_batches=False)
+    shaped = sdf.select(
+        "station_id",
+        "obs_id",
+        "ts",
+        "tempc",
+        "hum",
+        (F.col("windspeed_ms") != 0).alias("has_wind"),
+        (F.to_date("rain_sensor_ts") == F.to_date("ts")).alias("fresh"),
+    )
+    out = _run_to_parquet(shaped, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_INGEST = f"""{_CTE}
+SELECT station_id, obs_id, ts, tempc, hum,
+       windspeed_ms <> 0 AS has_wind,
+       CAST(rain_sensor_ts AS DATE) = CAST(ts AS DATE) AS fresh
+FROM observations
+"""
+
+
+# --- q_stream_tumbling: daily tumbling window (the day-boundary reset) ------
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling windows per station (the MWC:231-240 day logic as
+    a streaming aggregation). Append mode: a day emits when the
+    watermark (max event time - 1h) passes its end — the final,
+    still-open day stays in state, exactly what the oracle encodes."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    sdf = _read_stream(spark, input_dir, one_file_batches=False)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("station_id"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            (F.max("rain_counter_mm") - F.min("rain_counter_mm")).alias("rain_day_mm"),
+        )
+        .select(
+            "station_id", F.col("w.start").alias("day_start"), "n_obs", "rain_day_mm"
+        )
+    )
+    out = _run_to_parquet(agg, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_TUMBLING = f"""{_CTE}
+SELECT station_id,
+       time_bucket(INTERVAL '1 day', ts, TIMESTAMP '1970-01-01 00:00:00') AS day_start,
+       count(*) AS n_obs,
+       max(rain_counter_mm) - min(rain_counter_mm) AS rain_day_mm
+FROM observations
+GROUP BY 1, 2
+HAVING day_start + INTERVAL 1 DAY <= {_wm_cutoff_sql("1 HOUR")}
+"""
+
+
+# --- q_stream_sliding: 6h windows sliding by 3h ------------------------------
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h length, 3h slide): every observation lands in
+    exactly two windows. The oracle replicates the expansion with an
+    explicit 2-offset unnest — the same row-multiplying expand Spark's
+    physical plan uses."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    sdf = _read_stream(spark, input_dir, one_file_batches=False)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), F.col("station_id"))
+        .agg(F.count("*").alias("n_obs"), F.max("windspeed_ms").alias("max_wind"))
+        .select("station_id", F.col("w.start").alias("wstart"), "n_obs", "max_wind")
+    )
+    out = _run_to_parquet(agg, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_SLIDING = f"""{_CTE},
+expanded AS (
+  SELECT station_id, ts, windspeed_ms,
+         time_bucket(INTERVAL '3 hours', ts, TIMESTAMP '1970-01-01 00:00:00')
+           - off * INTERVAL 3 HOUR AS wstart
+  FROM observations, (SELECT unnest([0, 1]) AS off)
+)
+SELECT station_id, wstart, count(*) AS n_obs, max(windspeed_ms) AS max_wind
+FROM expanded
+GROUP BY 1, 2
+HAVING wstart + INTERVAL 6 HOUR <= {_wm_cutoff_sql("1 HOUR")}
+"""
+
+
+# --- q_stream_session: session windows (30-minute gap) -----------------------
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per station with a 30-minute gap. Append mode:
+    a session emits once the watermark passes its end (last obs + gap);
+    each station's final open session stays in state — mirrored by the
+    oracle's emission cutoff."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    sdf = _read_stream(spark, input_dir, one_file_batches=False)
+    agg = (
+        sdf.withWatermark("ts", "1 second")
+        .groupBy(F.col("station_id"), F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_obs"))
+        .select(
+            "station_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_obs",
+        )
+    )
+    out = _run_to_parquet(agg, root)
+    return spark.read.parquet(out)
+
+
+# A new session starts when the gap is >= 30 min (session intervals are
+# half-open [ts, ts+gap), so an exactly-30-min gap does NOT merge).
+ORACLE_STREAM_SESSION = f"""{_CTE},
+marks AS (
+  SELECT station_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id)
+                         + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM observations
+),
+sess AS (
+  SELECT station_id, ts,
+         sum(new_s) OVER (PARTITION BY station_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marks
+)
+SELECT station_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_obs
+FROM sess
+GROUP BY station_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <= {_wm_cutoff_sql("1 SECOND")}
+"""
+
+
+# --- q_stream_watermark: late-data handling (staleness guard, MWC:244) ------
+
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts with a 1-hour watermark and *planted late data*:
+    rows with ``obs_id % 89 == 0`` older than (max ts - 2d12h) are
+    replayed two batches after their window closed, so the watermark
+    drops them (MWC:244's stale-sensor guard, generalized).
+
+    Replay plan: file0 = on-time history, file1 = next day (advances
+    the watermark far past the planted windows), file2 = planted late
+    rows + the final day. maxFilesPerTrigger=1 pins batch order."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir).select(*_OBS_COLS)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    t1 = F.lit(mx) - F.expr("INTERVAL 2 DAY")
+    t2 = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    late = (F.col("obs_id") % 89 == 0) & (
+        F.col("ts") <= t1 - F.expr("INTERVAL 12 HOUR")
+    )
+    input_dir, root = _replay(
+        spark,
+        sf_dir,
+        split_preds=[
+            (F.col("ts") <= t1) & ~late,
+            (F.col("ts") > t1) & (F.col("ts") <= t2),
+            late | (F.col("ts") > t2),
+        ],
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("station_id"))
+        .agg(F.count("*").alias("n_obs"))
+        .select("station_id", F.col("w.start").alias("wstart"), "n_obs")
+    )
+    out = _run_to_parquet(agg, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_WATERMARK = f"""{_CTE},
+kept AS (
+  SELECT * FROM observations
+  WHERE NOT (obs_id % 89 = 0
+             AND ts <= (SELECT max(ts) FROM observations)
+                       - INTERVAL 2 DAY - INTERVAL 12 HOUR)
+)
+SELECT station_id,
+       time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01 00:00:00') AS wstart,
+       count(*) AS n_obs
+FROM kept
+GROUP BY 1, 2
+HAVING wstart + INTERVAL 1 HOUR <= {_wm_cutoff_sql("1 HOUR")}
+"""
+
+
+# --- q_stream_stateful: the rain machine as per-key streaming state ----------
+
+def _rain_machine(key, pdf_iter, state: GroupState):
+    """Per-station rain state machine — the spreadsheet cells as
+    GroupState: (cur_day ordinal, day_start_r [B2], saved_r [C2]).
+
+    Exactly MWC:229-280: day-boundary reset writes C2=0 (rain across
+    midnight attributed to neither day), staleness guard on the
+    sensor's own date, first-rain-of-day rate uses the daily
+    accumulation, state written back only when the counter advanced."""
+    if state.exists:
+        cur_day, day_start, saved = state.get
+    else:
+        cur_day, day_start, saved = -1, 0.0, 0.0
+    chunks = list(pdf_iter)
+    pdf = pd.concat(chunks).sort_values(["ts", "obs_id"])
+    out_rows = []
+    for row in pdf.itertuples():
+        day = row.ts.toordinal()
+        r = row.rain_counter_mm
+        if day != cur_day:  # MWC:231-240 day-boundary reset (C2 = 0)
+            cur_day, day_start, saved = day, r, 0.0
+        fresh = row.rain_sensor_ts.date() == row.ts.date()  # MWC:244
+        raining = fresh and r != day_start
+        daily = r - day_start if raining else 0.0
+        if raining:
+            base = saved if saved != 0.0 else day_start  # MWC:256-263
+            rate = float(OBS_PER_HOUR) * (r - base)
+        else:
+            rate = 0.0
+        if raining and r != saved:  # MWC:270-272 guarded writeback
+            saved = r
+        out_rows.append((key[0], row.obs_id, row.ts, r, daily, rate))
+    state.update((cur_day, day_start, saved))
+    yield pd.DataFrame(
+        out_rows,
+        columns=["station_id", "obs_id", "ts", "r", "dailyrainmm", "rainmm"],
+    )
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` rain machine, replayed across TWO
+    micro-batches (split at max ts - 1 day) so the B2/C2/D2 state
+    genuinely persists through the checkpoint between batches. The
+    output must equal the batch window-function form (rain.py) —
+    SURVEY §5.2.4's replay-determinism requirement — so the oracle is
+    the same SQL that checks q_rain_daily_delta/q_rain_rate."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    input_dir, root = _replay(
+        spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    shaped = sdf.groupBy("station_id").applyInPandasWithState(
+        _rain_machine,
+        "station_id string, obs_id long, ts timestamp, r double,"
+        " dailyrainmm double, rainmm double",
+        "cur_day long, day_start double, saved double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_parquet(shaped, root)
+    return spark.read.parquet(out)
+
+
+# Same semantics as the batch rain machine -> reuse its oracle text.
+from metoffice_spark.operators.rain import ORACLE_RAIN_METRICS  # noqa: E402
+
+ORACLE_STREAM_STATEFUL = ORACLE_RAIN_METRICS
+
+
+# --- q_stream_sink: foreachBatch WOW sink + dead-letter channel --------------
+
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WOW POST sink (MWC:369-409) as ``foreachBatch``: per batch,
+    build the form payload, route sensor-fault rows (windspeed == 0,
+    the 'error' events) to a dead-letter parquet (the MWC:399-409
+    log+email analog) and the rest to the publish parquet. Returns the
+    published rows; the dead-letter table is asserted in tests."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    ok_dir = os.path.join(root, "wow_out")
+    dl_dir = os.path.join(root, "dead_letter")
+    ckpt = os.path.join(root, "ckpt")
+
+    sdf = _read_stream(spark, input_dir, one_file_batches=False)
+    payload = sdf.select(
+        "obs_id",
+        F.concat(F.lit("wow-"), F.col("station_id")).alias("siteid"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dateutc"),
+        fixed_str(F.col("tempc") * 1.8 + 32.0, 1).alias("tempf"),
+        fixed_str(F.col("hum"), 0).alias("humidity"),
+        F.col("windspeed_ms").alias("ws"),
+    )
+
+    def route(df: DataFrame, _bid: int) -> None:
+        df.persist()
+        try:
+            ok = df.filter(F.col("ws") != 0).withColumn(
+                "body",
+                F.concat_ws(
+                    "&",
+                    F.concat(F.lit("siteid="), F.col("siteid")),
+                    F.concat(F.lit("tempf="), F.col("tempf")),
+                    F.concat(F.lit("humidity="), F.col("humidity")),
+                ),
+            ).drop("ws")
+            ok.write.mode("append").parquet(ok_dir)
+            dl = df.filter(F.col("ws") == 0).select(
+                "obs_id", F.lit("sensor fault: windspeed=0").alias("reason")
+            )
+            dl.write.mode("append").parquet(dl_dir)
+        finally:
+            df.unpersist()
+
+    q = (
+        payload.writeStream.foreachBatch(route)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    # stash the dead-letter path so tests can inspect the side channel
+    q_stream_sink.last_dead_letter_dir = dl_dir  # type: ignore[attr-defined]
+    return spark.read.parquet(ok_dir)
+
+
+from metoffice_spark.parity import fixed_str_sql  # noqa: E402
+
+ORACLE_STREAM_SINK = f"""{_CTE}
+SELECT obs_id,
+       'wow-' || station_id AS siteid,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS dateutc,
+       {fixed_str_sql("tempc * 1.8 + 32.0", 1)} AS tempf,
+       {fixed_str_sql("hum", 0)} AS humidity,
+       'siteid=wow-' || station_id
+         || '&tempf=' || {fixed_str_sql("tempc * 1.8 + 32.0", 1)}
+         || '&humidity=' || {fixed_str_sql("hum", 0)} AS body
+FROM observations
+WHERE windspeed_ms <> 0
+"""
+
+
+QUERIES = {
+    "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
+    "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
+    "q_stream_sliding": (q_stream_sliding, ORACLE_STREAM_SLIDING),
+    "q_stream_session": (q_stream_session, ORACLE_STREAM_SESSION),
+    "q_stream_watermark": (q_stream_watermark, ORACLE_STREAM_WATERMARK),
+    "q_stream_stateful": (q_stream_stateful, ORACLE_STREAM_STATEFUL),
+    "q_stream_sink": (q_stream_sink, ORACLE_STREAM_SINK),
+}

@@ -34,15 +34,18 @@ from metoffice_spark.session import tune
 
 
 # --- q_udf_scalar: vectorized scalar pandas UDFs -----------------------------
+#
+# NOTE: pandas_udf/udtf decorators parse their DDL schema and therefore
+# need an active SparkSession — so UDF objects are built inside the
+# query functions (import of this module must stay session-free for
+# the registry).
 
-@pandas_udf("string")
-def _norm_text(s: pd.Series) -> pd.Series:
+def _norm_text_impl(s: pd.Series) -> pd.Series:
     """Whitespace-collapse + casefold, vectorized over an Arrow batch."""
     return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
 
 
-@pandas_udf("long")
-def _vowel_count(s: pd.Series) -> pd.Series:
+def _vowel_count_impl(s: pd.Series) -> pd.Series:
     return s.str.lower().str.count(r"[aeiou]").astype("int64")
 
 
@@ -50,11 +53,13 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched scalar UDFs over documents: text normalization +
     vowel counting. Each batch crosses the JVM<->Python boundary once
     (Arrow), never per row."""
+    norm_text = pandas_udf(_norm_text_impl, "string")
+    vowel_count = pandas_udf(_vowel_count_impl, "long")
     docs = load(tune(spark), sf_dir, "documents")
     return docs.select(
         "doc_id",
-        _norm_text(F.col("text")).alias("norm_text"),
-        _vowel_count(F.col("text")).alias("n_vowels"),
+        norm_text(F.col("text")).alias("norm_text"),
+        vowel_count(F.col("text")).alias("n_vowels"),
     )
 
 
@@ -68,15 +73,13 @@ FROM documents
 
 # --- q_udaf_grouped: grouped-aggregate pandas UDFs ---------------------------
 
-@pandas_udf("long")
-def _weighted_sum(x: pd.Series) -> int:
+def _weighted_sum_impl(x: pd.Series) -> int:
     # int64 sum — exact and order-free, so Spark's partition order
     # can't desync from DuckDB's.
     return int(x.sum())
 
 
-@pandas_udf("double")
-def _weighted_mean(x: pd.Series, w: pd.Series) -> float:
+def _weighted_mean_impl(x: pd.Series, w: pd.Series) -> float:
     # exact integer numerator/denominator, one IEEE divide at the end —
     # bit-identical to the oracle's CAST(sum .. )/CAST(sum ..) form.
     num = int((x * w).sum())
@@ -88,13 +91,15 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDFs per language: a weighted character sum
     and an exact-integer weighted mean. Shuffles once on lang (tiny
     cardinality), each group aggregated inside one Arrow batch."""
+    weighted_sum = pandas_udf(_weighted_sum_impl, "long")
+    weighted_mean = pandas_udf(_weighted_mean_impl, "double")
     docs = load(tune(spark), sf_dir, "documents")
     w = (F.col("doc_id") + F.lit(1)).cast("long")
     return (
         docs.groupBy("lang")
         .agg(
-            _weighted_sum((F.col("n_chars") * w)).alias("wchar_sum"),
-            _weighted_mean(F.col("n_chars").cast("long"), w).alias("wchar_mean"),
+            weighted_sum((F.col("n_chars") * w)).alias("wchar_sum"),
+            weighted_mean(F.col("n_chars").cast("long"), w).alias("wchar_mean"),
         )
         .select("lang", "wchar_sum", "wchar_mean")
     )
@@ -115,7 +120,6 @@ GROUP BY lang
 _TOK_RE = re.compile(r"[^a-z0-9]+")
 
 
-@udtf(returnType="pos int, token string, token_len int")
 class _TokenExplode:
     """One row per token with its 1-based position — the §2.10 table
     function. Mirrors the TOKS_* tokenizer used by the text suite."""
@@ -135,8 +139,9 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     except Exception:
         pass
+    token_explode = udtf(_TokenExplode, returnType="pos int, token string, token_len int")
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    spark.udtf.register("token_explode", _TokenExplode)
+    spark.udtf.register("token_explode", token_explode)
     return spark.sql(
         """
         SELECT d.doc_id, t.pos, t.token, t.token_len
