@@ -15,16 +15,34 @@ Column semantics mirror FIXTURES.md §A2:
                         branch (MWC:299-307)
 - ``winddir_sector``    0-15 (MWC:282-285)
 - ``rain_counter_mm``   monotone per-station accumulator (MWC:153-157)
-                        via a running window sum — deterministic
-                        left-to-right float addition in both engines
 - ``rain_sensor_ts``    stale (previous-day) for 'signup' events →
                         exercises the staleness guard (MWC:244)
 - ``pressure_site_hpa`` spans 3-digit and 4-digit values — the two
                         slice widths of the scrape fallback
                         (MWC:179-183)
 
+Scale design of the rain counter (the round-1 scale-killer, fixed):
+a naive running SUM over the whole history partitions by station only
+(4 keys) — at 100 TB that serializes the entire surface into 4 tasks
+each sorting 1/4 of all rows. Instead the counter is composed from
+
+  1. integer per-event increments (``CAST(floor(value) AS BIGINT)``) —
+     BIGINT sums are exact and order-free, so partial aggregation
+     cannot desync the two engines;
+  2. a per-(station, day) aggregate of day totals (map-side combine,
+     one tiny shuffle: stations x days rows);
+  3. a running sum of prior-day totals over that tiny table (window
+     over ~stations x days rows — negligible);
+  4. a within-day running sum windowed by (station_id, day) — the sort
+     is local to one day of one station, the natural date-partitioned
+     parquet layout at 100 TB.
+
+The day-offset join broadcasts (day_off is tiny). The final value
+``(prior_days + within_day) / 100.0`` is bit-identical to the old
+whole-history form because the integer totals are < 2^53.
+
 Only dialect-common constructs are used: CAST, CASE WHEN, floor,
-arithmetic on doubles, window SUM with ROWS frame, INTERVAL 1 DAY.
+window SUM with ROWS frame, JOIN ON, INTERVAL 1 DAY, nested CTEs.
 """
 
 from __future__ import annotations
@@ -34,27 +52,49 @@ from pyspark.sql import DataFrame, SparkSession
 from metoffice_spark.io import load
 
 OBS_SQL = """
+WITH ev AS (
+  SELECT ts, event_id, event_type, value,
+         CAST(user_id % 4 AS STRING)                 AS station_id,
+         CAST(ts AS DATE)                            AS day,
+         CASE WHEN event_type = 'click'
+              THEN CAST(floor(value) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END             AS rain_incr
+  FROM events
+),
+day_tot AS (
+  SELECT station_id, day, SUM(rain_incr) AS day_sum
+  FROM ev
+  GROUP BY station_id, day
+),
+day_off AS (
+  SELECT station_id, day,
+         SUM(day_sum) OVER (PARTITION BY station_id ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - day_sum                                 AS prior_days_sum
+  FROM day_tot
+)
 SELECT
-  CAST(user_id % 4 AS STRING)                       AS station_id,
-  ts                                                AS ts,
-  event_id                                          AS obs_id,
-  value / CAST(10 AS DOUBLE) - 15.0                 AS tempc,
-  20.0 + (value - floor(value / 5) * 5) * 16.0      AS hum,
-  CASE WHEN event_type = 'error' THEN CAST(0 AS DOUBLE)
-       ELSE value - floor(value / 20) * 20 END      AS windspeed_ms,
-  (CASE WHEN event_type = 'error' THEN CAST(0 AS DOUBLE)
-        ELSE value - floor(value / 20) * 20 END)
-      * 1.3 + 1.0                                   AS windgust_ms,
-  CAST(event_id % 16 AS INT)                        AS winddir_sector,
-  SUM(CASE WHEN event_type = 'click' THEN CAST(floor(value) AS DOUBLE)
-           ELSE CAST(0 AS DOUBLE) END)
-      OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      / CAST(100 AS DOUBLE)                         AS rain_counter_mm,
-  CASE WHEN event_type = 'signup' THEN ts - INTERVAL 1 DAY
-       ELSE ts END                                  AS rain_sensor_ts,
-  975.0 + (value - floor(value / 50) * 50)          AS pressure_site_hpa
-FROM events
+  e.station_id                                       AS station_id,
+  e.ts                                               AS ts,
+  e.event_id                                         AS obs_id,
+  e.value / CAST(10 AS DOUBLE) - 15.0                AS tempc,
+  20.0 + (e.value - floor(e.value / 5) * 5) * 16.0   AS hum,
+  CASE WHEN e.event_type = 'error' THEN CAST(0 AS DOUBLE)
+       ELSE e.value - floor(e.value / 20) * 20 END   AS windspeed_ms,
+  (CASE WHEN e.event_type = 'error' THEN CAST(0 AS DOUBLE)
+        ELSE e.value - floor(e.value / 20) * 20 END)
+      * 1.3 + 1.0                                    AS windgust_ms,
+  CAST(e.event_id % 16 AS INT)                       AS winddir_sector,
+  CAST(d.prior_days_sum
+       + SUM(e.rain_incr) OVER (PARTITION BY e.station_id, e.day
+                                ORDER BY e.ts, e.event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) / 100.0                            AS rain_counter_mm,
+  CASE WHEN e.event_type = 'signup' THEN e.ts - INTERVAL 1 DAY
+       ELSE e.ts END                                 AS rain_sensor_ts,
+  975.0 + (e.value - floor(e.value / 50) * 50)       AS pressure_site_hpa
+FROM ev e
+JOIN day_off d ON e.station_id = d.station_id AND e.day = d.day
 """
 
 # Site constants, mirroring the reference's config block (MWC:29-104).

@@ -119,9 +119,16 @@ ORACLE_RAIN_METRICS = f"{_CTE}, {_RAIN_BASE_SQL.strip().rstrip()} {_RAIN_METRICS
 
 
 def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Previous-observation lookup (Totalrainlatest analog, MWC:216/256)."""
+    """Previous-observation lookup (Totalrainlatest analog, MWC:216/256).
+
+    Bounded to (station_id, day) — the same partition the rain machine
+    uses (and the reference's own state resets daily, MWC:231-240), so
+    at 100 TB the window sort is local to one day of one station
+    instead of a 4-key whole-history sort. The day's first observation
+    has no previous row (prev_r NULL, delta 0) — exactly the day-reset
+    semantics."""
     df = observations(tune(spark), sf_dir)
-    w = Window.partitionBy("station_id").orderBy("ts", "obs_id")
+    w = Window.partitionBy("station_id", F.to_date("ts")).orderBy("ts", "obs_id")
     prev_r = F.lag("rain_counter_mm").over(w)
     return df.select(
         "station_id",
@@ -136,9 +143,11 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WIN_LAG = f"""{_CTE}
 SELECT station_id, obs_id, rain_counter_mm AS r,
-       LAG(rain_counter_mm) OVER (PARTITION BY station_id ORDER BY ts, obs_id) AS prev_r,
+       LAG(rain_counter_mm) OVER (PARTITION BY station_id, CAST(ts AS DATE)
+                                  ORDER BY ts, obs_id) AS prev_r,
        rain_counter_mm - COALESCE(
-         LAG(rain_counter_mm) OVER (PARTITION BY station_id ORDER BY ts, obs_id),
+         LAG(rain_counter_mm) OVER (PARTITION BY station_id, CAST(ts AS DATE)
+                                    ORDER BY ts, obs_id),
          rain_counter_mm) AS delta_r
 FROM observations
 """

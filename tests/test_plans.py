@@ -1,0 +1,83 @@
+"""Physical-plan regression tests for the 100 TB design points: these
+lock in the *shape* of the plan (partitioning, broadcast, pushdown),
+not its output — the scale properties VERDICT r01 flagged."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_obs_rain_window_partitions_by_station_and_day(spark, sf_smoke):
+    """The rain-counter running window must partition by (station, day),
+    never by station alone over the whole history (the round-1
+    scale-killer: 4 tasks each sorting 1/4 of all rows)."""
+    from metoffice_spark.obs import observations
+
+    plan = _plan(observations(spark, sf_smoke))
+    # the per-event window: both keys in its windowspecdefinition
+    win_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln and "rain_incr" in ln
+    ]
+    assert win_lines, "per-event rain window missing from plan"
+    for ln in win_lines:
+        assert "station_id" in ln and "day" in ln, f"window not day-bounded: {ln}"
+    # the day-offset side must broadcast (it is tiny: stations x days)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_win_lag_partitions_by_day(spark, sf_smoke):
+    from metoffice_spark.operators.rain import q_win_lag
+
+    plan = _plan(q_win_lag(spark, sf_smoke))
+    lag_lines = [ln for ln in plan.splitlines() if "lag(" in ln]
+    assert lag_lines
+    for ln in lag_lines:
+        # partition spec is the first bracket group after the window
+        # function list: [station_id#N, <day expr>#M] — require 2 keys
+        part = ln.split("], [")[1].split("]")[0]
+        assert "station_id" in part and part.count("#") >= 2, f"1-key window: {part}"
+
+
+def test_scan_pushdown_and_pruning(spark, sf_smoke):
+    """Filters must reach the parquet scan and the ReadSchema must be
+    pruned to referenced columns (VERDICT's pushdown requirement)."""
+    from metoffice_spark.operators.relational import q_scan_parquet
+
+    plan = _plan(q_scan_parquet(spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan or "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # pruned read schema: none of the untouched money columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_join_broadcast_is_broadcast(spark, sf_smoke):
+    from metoffice_spark.operators.relational import q_join_broadcast
+
+    assert "BroadcastHashJoin" in _plan(q_join_broadcast(spark, sf_smoke))
+
+
+def test_sim_search_broadcasts_query_side(spark, sf_smoke):
+    """Brute-force top-k must broadcast the (small) query set, never
+    shuffle the corpus embeddings."""
+    from metoffice_spark.operators.llm import q_sim_search
+
+    plan = _plan(q_sim_search(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only exchanges allowed are the broadcast + the final top-k window
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"corpus side is being shuffled: {n_shuffles} shuffles"
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, sf_smoke):
+    """The dedup shuffle key must be the sha2 digest projection — the
+    document body must not survive past the scan."""
+    from metoffice_spark.operators.llm import q_dedup_exact
+
+    plan = _plan(q_dedup_exact(spark, sf_smoke))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("text" not in ln for ln in ex)
