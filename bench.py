@@ -30,7 +30,8 @@ HEADLINE = [
     "q_win_rank",         # ranking window
     "q_dedup_exact",      # documents dedup
     "q_dedup_fuzzy",      # MinHash+LSH near-dup pairs
-    "q_sim_search",       # embedding cosine top-k
+    "q_sim_search",       # embedding cosine top-k (brute force)
+    "q_sim_search_ivf",   # clustered IVF search (the scale path)
     "q_text_analysis",    # tokenize + term frequencies
 ]
 

@@ -425,9 +425,461 @@ GROUP BY d.lang
 """
 
 
+# --- q_dedup_simhash: 64-bit SimHash with lossless band blocking -------------
+#
+# Bit j of a document's SimHash is the sign of sum over tokens (with
+# multiplicity) of +/-1 driven by the j-th hex nibble's high bit of
+# md5('A|'||token) (bits 0-31) / md5('B|'||token) (bits 32-63) — a
+# deterministic 64-bit hash family both engines compute identically.
+# Candidate pairs come from 8 bands x 8 bits; with hamming <= 6 at
+# least one band must match exactly (pigeonhole), so the banding is
+# LOSSLESS for the threshold — the scale path never does all-pairs.
+
+_SIMHASH_THR = 6
+
+
+def _simhash_sums_sql() -> str:
+    def bit(j: int) -> str:
+        src = "md5('A|' || token)" if j < 32 else "md5('B|' || token)"
+        pos = (j % 32) + 1
+        return (
+            f"SUM(CASE WHEN substring({src}, {pos}, 1) IN"
+            " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+            f" AS s{j}"
+        )
+
+    return ",\n         ".join(bit(j) for j in range(64))
+
+
+_SIM_LO = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+_SIM_HI = " + ".join(
+    f"(CASE WHEN s{j} >= 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64)
+)
+
+
+def _simhash_bands_sql() -> str:
+    parts = []
+    for b in range(8):
+        word = "lo" if b < 4 else "hi"
+        shift = float(1 << (8 * (b % 4)))
+        parts.append(f"CAST(floor({word} / {shift}) AS BIGINT) % 256 AS band{b}")
+    return ",\n         ".join(parts)
+
+
+def _simhash_body_sql(hamming: str) -> str:
+    """Shared (dialect-common) pipeline from a ``sim_tok`` relation of
+    (doc_id, token) to near-dup pairs; only the hamming expr differs."""
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, lo, hi, {b} AS band_id, band{b} AS bucket FROM bands"
+        for b in range(8)
+    )
+    return f"""
+sums AS (
+  SELECT doc_id,
+         {_simhash_sums_sql()}
+  FROM sim_tok GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST({_SIM_LO} AS BIGINT) AS lo, CAST({_SIM_HI} AS BIGINT) AS hi
+  FROM sums
+),
+bands AS (
+  SELECT doc_id, lo, hi,
+         {_simhash_bands_sql()}
+  FROM sigs
+),
+buckets AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.lo AS lo_a, a.hi AS hi_a,
+                  b.doc_id AS doc_b, b.lo AS lo_b, b.hi AS hi_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming
+FROM cand
+WHERE {hamming} <= {_SIMHASH_THR}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, 8-band lossless blocking).
+
+    Shuffles: one groupBy(doc_id) for the bit sums, one on band
+    buckets for candidates — never an all-pairs product. On this
+    corpus SimHash is intentionally coarse (every doc shares the same
+    vocabulary), so the pair set is larger than MinHash's — that IS
+    the operator's semantics (topical near-duplication)."""
+    corpus = _corpus(spark, sf_dir)
+    corpus.createOrReplaceTempView("simhash_corpus")
+    spark.sql(
+        f"SELECT doc_id, explode({TOKS_SPARK}) AS token FROM simhash_corpus"
+    ).createOrReplaceTempView("sim_tok")
+    hamming = "bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"
+    return spark.sql("WITH " + _simhash_body_sql(hamming).lstrip())
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_CORPUS_DUCK.strip().replace('corpus AS', 'simhash_corpus AS', 1)},
+sim_tok AS (
+  SELECT doc_id, unnest({TOKS_DUCK}) AS token
+  FROM simhash_corpus
+),
+{_simhash_body_sql("bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))").lstrip()}
+"""
+
+
+# --- q_dedup_ngram_jaccard: exact bigram Jaccard via inverted index ----------
+
+_NGRAM_DF_CUTOFF = 50   # drop stop-shingles present in > 50 docs
+_NGRAM_JAC_THR = 0.3
+
+_BIGRAMS_SPARK = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, cast(i as int)), ' ',"
+    " element_at(toks, cast(i + 1 as int))))"
+)
+_BIGRAMS_DUCK = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over candidate pairs from an inverted
+    index, with a document-frequency cutoff on stop-shingles.
+
+    This is the 100 TB shape for exact n-gram dedup: the only shuffle
+    keys are bigrams (with hot keys removed by the DF cutoff — the
+    skew lever) and (doc_a, doc_b) pair ids. Jaccard is computed over
+    the rare-bigram sets on both sides, identically."""
+    corpus = _corpus(spark, sf_dir)
+    bigr = (
+        corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_BIGRAMS_SPARK))).alias("bg"))
+    )
+    df_counts = bigr.groupBy("bg").agg(F.count("*").alias("n_docs"))
+    rare = bigr.join(
+        df_counts.filter(F.col("n_docs") <= _NGRAM_DF_CUTOFF), "bg"
+    ).select("doc_id", "bg")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    inter = (
+        ra.join(rb, (F.col("ra.bg") == F.col("rb.bg")) & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_JAC_THR)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH {_CORPUS_DUCK.strip()},
+bigr AS (
+  SELECT DISTINCT doc_id, unnest({_BIGRAMS_DUCK}) AS bg
+  FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
+  WHERE len(toks) >= 2
+),
+dfc AS (SELECT bg, count(*) AS n_docs FROM bigr GROUP BY bg),
+rare AS (
+  SELECT b.doc_id, b.bg FROM bigr b
+  JOIN dfc ON dfc.bg = b.bg AND dfc.n_docs <= {_NGRAM_DF_CUTOFF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT ra.doc_id AS doc_a, rb.doc_id AS doc_b, count(*) AS c
+  FROM rare ra JOIN rare rb ON ra.bg = rb.bg AND ra.doc_id < rb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE) >= {_NGRAM_JAC_THR}
+"""
+
+
+# --- q_dedup_embed_cosine: embedding near-dup pairs, label-blocked -----------
+
+# Deterministic perturbation for the planted variants (dialect-common
+# inside the transform lambda; scientific literals are DOUBLE in both).
+_PERTURB = "cast(cast(x as double) * 1.05e0 + 1.0e-2 as float)"
+_COS_THR = 0.98
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the coarse
+    IVF partition): only same-label pairs are compared — at 100 TB the
+    blocking key is the cluster assignment, so each task does
+    |cluster|^2 work instead of N^2. Planted variants (vec_id % 25,
+    scaled + shifted) sit at cos >= 0.997; natural same-label pairs
+    top out at ~0.47 on this corpus."""
+    emb = load(tune(spark), sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(f"transform(embedding, x -> {_PERTURB})").alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    base = corpus.select(
+        "vec_id", "label", F.expr(_ivec_spark("embedding")).alias("v")
+    ).withColumn("n2", F.expr(NORM2_SPARK.format(v="v")))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
+        F.col("v").alias("va"), F.col("n2").alias("n2a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label"),
+        F.col("v").alias("vb"), F.col("n2").alias("n2b"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    out = pairs.select(
+        "label",
+        "vec_a",
+        "vec_b",
+        F.expr(_cos_spark("va", "vb", "n2a", "n2b")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= _COS_THR)
+    return out
+
+
+ORACLE_DEDUP_EMBED = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> {_PERTURB}), label
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+base AS (
+  SELECT vec_id, label, {_ivec_duck('embedding')} AS v FROM corpus
+),
+b2 AS (
+  SELECT vec_id, label, v, {NORM2_DUCK.format(v='v')} AS n2 FROM base
+)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_duck('a.v', 'b.v', 'a.n2', 'b.n2')} AS cos_sim
+FROM b2 a JOIN b2 b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_duck('a.v', 'b.v', 'a.n2', 'b.n2')} >= {_COS_THR}
+"""
+
+
+# --- q_sim_search_ivf: IVF-style clustered search ----------------------------
+
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search: ``label`` is the coarse cluster (inverted
+    file list); each query probes only its best cluster, chosen by
+    cosine against exact-integer cluster centroids.
+
+    Centroids are per-dimension BIGINT sums (cos is scale-invariant,
+    so the /n division is skipped — the sum IS the centroid direction,
+    and integer sums are exact + order-free in both engines). At
+    100 TB: the corpus is stored clustered (partitioned by label), a
+    query reads ~1/k of the data — this is the scale path over
+    q_sim_search's full scan."""
+    emb = load(tune(spark), sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.expr(_ivec_spark("embedding")).alias("v")
+    ).withColumn("n2", F.expr(NORM2_SPARK.format(v="v")))
+    q = base.filter(F.col("vec_id") < 8)
+    c = base.filter(F.col("vec_id") >= 8)
+
+    # centroid direction: per-(label, dim) integer sums over the corpus
+    cd = (
+        c.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"))
+    )
+    cnorm = cd.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("cn2"))
+
+    # query x centroid scores in exploded space (join on dim)
+    qd = q.select(F.col("vec_id").alias("q_id"), F.posexplode("v").alias("d", "qx"))
+    scores = (
+        qd.join(cd, "d")
+        .groupBy("q_id", "label")
+        .agg(F.sum(F.col("qx") * F.col("s")).alias("dot"))
+        .join(cnorm, "label")
+        .select(
+            "q_id",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("cn2").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w_best = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("label"))
+    probe = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("probe_label"))
+    )
+
+    # exact search inside the probed cluster only
+    qv = q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("n2").alias("qn2"))
+    cand = (
+        c.join(
+            F.broadcast(probe), c.label == probe.probe_label
+        )
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "probe_label",
+            "vec_id",
+            F.expr(_cos_spark("qv", "v", "qn2", "n2")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "probe_label", "vec_id", "cos_sim", "rnk")
+    )
+
+
+ORACLE_SIM_SEARCH_IVF = f"""
+WITH base AS (
+  SELECT vec_id, label, {_ivec_duck('embedding')} AS v FROM embeddings
+),
+b2 AS (
+  SELECT vec_id, label, v, {NORM2_DUCK.format(v='v')} AS n2 FROM base
+),
+qs AS (SELECT * FROM b2 WHERE vec_id < 8),
+cs AS (SELECT * FROM b2 WHERE vec_id >= 8),
+cd AS (
+  SELECT label, d, sum(x) AS s FROM (
+    SELECT label, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x FROM cs)
+  GROUP BY label, d
+),
+cnorm AS (SELECT label, sum(s * s) AS cn2 FROM cd GROUP BY label),
+qd AS (
+  SELECT vec_id AS q_id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS qx FROM qs
+),
+scores AS (
+  SELECT qd.q_id, cd.label,
+         CAST(sum(qd.qx * cd.s) AS DOUBLE) / sqrt(CAST(any_value(cn.cn2) AS DOUBLE))
+           AS score
+  FROM qd JOIN cd ON qd.d = cd.d JOIN cnorm cn ON cn.label = cd.label
+  GROUP BY qd.q_id, cd.label
+),
+probe AS (
+  SELECT q_id, label AS probe_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, label) AS rn
+    FROM scores) WHERE rn = 1
+),
+cand AS (
+  SELECT p.q_id, p.probe_label, c.vec_id,
+         {_cos_duck('q.v', 'c.v', 'q.n2', 'c.n2')} AS cos_sim
+  FROM probe p
+  JOIN qs q ON q.vec_id = p.q_id
+  JOIN cs c ON c.label = p.probe_label
+)
+SELECT q_id, probe_label, vec_id, cos_sim, CAST(rn AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM cand)
+WHERE rn <= 5
+"""
+
+
+# --- q_multimodal_decode: mapInPandas decode/feature-extract pipeline --------
+
+def _decode_batches(batches):
+    """Arrow-batched 'decode' of opaque binary payloads.
+
+    A real deployment decodes image/audio bytes here (PIL/librosa);
+    those libs are not in this container, so the pixel-level decode is
+    STUBBED (see _real_decode) and the extracted features are
+    deterministic functions of the typed metadata — the Spark-side
+    plumbing (binary columns through Arrow, struct metadata access,
+    batch iteration, output schema) is the real thing."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")  # real: from the bytes
+        meta = pdf["meta"]
+        width = meta.map(lambda m: m["width"]).astype("int32")
+        height = meta.map(lambda m: m["height"]).astype("int32")
+        fmt = meta.map(lambda m: m["fmt"])
+        brightness = ((pdf["doc_id"] * 37) % 256).astype("int32")  # fake decode
+        n_frames = ((pdf["doc_id"] % 24) + 1).where(fmt == "video", 1).astype("int32")
+        out = pdf[["doc_id"]].copy()
+        out["fmt"] = fmt
+        out["width"] = width
+        out["height"] = height
+        out["n_bytes"] = n_bytes
+        out["brightness"] = brightness
+        out["n_frames"] = n_frames
+        yield out
+
+
+def _real_decode(payload: bytes):  # pragma: no cover - documentation stub
+    """Pixel/sample decode of the binary payload. Requires image/audio
+    codecs not present in this environment."""
+    raise NotImplementedError(
+        "binary media decode is stubbed: this container has no image/audio "
+        "codecs; _decode_batches extracts deterministic metadata features "
+        "instead, keeping the Arrow/mapInPandas plumbing real"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload + typed metadata
+    struct -> ``mapInPandas`` feature extraction (decode stub).
+
+    Scale shape: map-only (zero shuffles) — each Arrow batch of binary
+    blobs is decoded executor-side; at 100 TB this is the
+    decode/resize/frame-sample stage of a media training pipeline."""
+    docs = load(tune(spark), sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+            .alias("fmt"),
+            ((F.col("n_chars") % 64) + 16).cast("int").alias("width"),
+            (((F.col("doc_id") * 7) % 64) + 16).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return assets.mapInPandas(
+        _decode_batches,
+        "doc_id long, fmt string, width int, height int, n_bytes long,"
+        " brightness int, n_frames int",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS fmt,
+       CAST((n_chars % 64) + 16 AS INT) AS width,
+       CAST(((doc_id * 7) % 64) + 16 AS INT) AS height,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST((doc_id * 37) % 256 AS INT) AS brightness,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 24) + 1 ELSE 1 END AS INT)
+         AS n_frames
+FROM documents
+"""
+
+
 QUERIES = {
     "q_dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_fuzzy": (q_dedup_fuzzy, ORACLE_DEDUP_FUZZY),
+    "q_dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "q_dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+    "q_dedup_embed_cosine": (q_dedup_embed_cosine, ORACLE_DEDUP_EMBED),
     "q_sim_search": (q_sim_search, ORACLE_SIM_SEARCH),
+    "q_sim_search_ivf": (q_sim_search_ivf, ORACLE_SIM_SEARCH_IVF),
     "q_multimodal_cols": (q_multimodal_cols, ORACLE_MULTIMODAL_COLS),
+    "q_multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
 }
