@@ -3,8 +3,8 @@
 - q_src_json_rest   — the Mobile Alerts JSON payload shape (MWC:115-138)
   round-tripped through ``to_json``/``from_json`` with the explicit
   nested schema (FIXTURES.md §A1): proves typed extraction from nested
-  JSON documents. The live HTTP fetch lives in
-  ``metoffice_spark.sources.rest_json`` (driver-side, stubbed in tests).
+  JSON documents (the live HTTP fetch is driver-side work the engine
+  deliberately keeps out of the query plan).
 - q_src_text_scrape — the barometer HTML workaround (MWC:160-183):
   anchor search + fixed-width slice with the narrower-slice retry when
   the first parse fails.
@@ -46,7 +46,7 @@ from metoffice_spark.operators.weather import (
     _MAST_CORR_SQL,
     _SLP_SQL,
 )
-from metoffice_spark.parity import fixed_str, fixed_str_sql
+from metoffice_spark.parity import fixed_str, fixed_str_sql, form_enc, form_enc_sql
 from metoffice_spark.session import tune
 
 _CTE = oracle_cte()
@@ -236,11 +236,10 @@ def wow_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_str(W.hpa_to_inhg(slp), 3).alias("baromin"),
         F.lit("metoffice-spark").alias("softwaretype"),
     )
-    enc = lambda c: F.replace(F.replace(c, F.lit(" "), F.lit("+")), F.lit(":"), F.lit("%3A"))
     body = F.concat_ws(
         "&",
-        F.concat(F.lit("siteid="), F.col("siteid")),
-        F.concat(F.lit("dateutc="), enc(F.col("dateutc"))),
+        F.concat(F.lit("siteid="), form_enc(F.col("siteid"))),
+        F.concat(F.lit("dateutc="), form_enc(F.col("dateutc"))),
         F.concat(F.lit("tempf="), F.col("tempf")),
         F.concat(F.lit("humidity="), F.col("humidity")),
         F.concat(F.lit("windspeedmph="), F.col("windspeedmph")),
@@ -289,8 +288,8 @@ SELECT obs_id,
 FROM rain_state
 )
 SELECT *,
-       'siteid=' || siteid
-       || '&dateutc=' || replace(replace(dateutc, ' ', '+'), ':', '%3A')
+       'siteid=' || {form_enc_sql("siteid")}
+       || '&dateutc=' || {form_enc_sql("dateutc")}
        || '&tempf=' || tempf
        || '&humidity=' || humidity
        || '&windspeedmph=' || windspeedmph
@@ -334,9 +333,54 @@ WHERE (CASE WHEN hum > 99.5 THEN 'humidity_out_of_range'
             WHEN pressure_site_hpa < 980.0 THEN 'pressure_low' END) IS NOT NULL
 """
 
+def q_fn_str_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone anchor-locate/slice/retry function surface (MWC:179-183):
+    ``search('hPa')`` -> wide slice -> numeric-parse fallback to the
+    narrow slice. The same expressions back q_src_text_scrape; this qid
+    registers them as the survey's own q_fn_str_locate row."""
+    df = observations(tune(spark), sf_dir)
+    page = F.concat(
+        F.lit("<div>Pressure p="),
+        fixed_str(F.col("pressure_site_hpa"), 1),
+        F.lit(" hPa</div>"),
+    )
+    df = df.withColumn("page", page).withColumn("n", F.locate("hPa", F.col("page")))
+    wide_ok = F.expr("try_cast(substring(page, n - 7, 6) AS DOUBLE)").isNotNull()
+    return df.select(
+        "obs_id",
+        "n",
+        wide_ok.alias("wide_parse_ok"),
+        F.when(
+            wide_ok, F.expr("substring(page, n - 7, 6)")
+        ).otherwise(F.expr("substring(page, n - 6, 5)")).alias("chosen_slice"),
+        F.coalesce(
+            F.expr("try_cast(substring(page, n - 7, 6) AS DOUBLE)"),
+            F.expr("try_cast(substring(page, n - 6, 5) AS DOUBLE)"),
+        ).alias("pressure_scraped"),
+    )
+
+
+ORACLE_FN_STR_LOCATE = f"""{_CTE},
+pages AS (
+  SELECT obs_id, {_PAGE_SQL} AS page,
+         CAST(strpos({_PAGE_SQL}, 'hPa') AS INT) AS n
+  FROM observations
+)
+SELECT obs_id, n,
+       TRY_CAST(substring(page, n - 7, 6) AS DOUBLE) IS NOT NULL AS wide_parse_ok,
+       CASE WHEN TRY_CAST(substring(page, n - 7, 6) AS DOUBLE) IS NOT NULL
+            THEN substring(page, n - 7, 6)
+            ELSE substring(page, n - 6, 5) END AS chosen_slice,
+       COALESCE(TRY_CAST(substring(page, n - 7, 6) AS DOUBLE),
+                TRY_CAST(substring(page, n - 6, 5) AS DOUBLE)) AS pressure_scraped
+FROM pages
+"""
+
+
 QUERIES = {
     "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
     "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
+    "q_fn_str_locate": (q_fn_str_locate, ORACLE_FN_STR_LOCATE),
     "q_sink_http_form": (q_sink_http_form, ORACLE_SINK_HTTP_FORM),
     "q_sink_error_alert": (q_sink_error_alert, ORACLE_SINK_ERROR_ALERT),
 }

@@ -233,8 +233,14 @@ def q_src_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst will auto-broadcast in joins."""
     import os
     import tempfile
+    import uuid
 
-    path = os.path.join(tempfile.gettempdir(), "metoffice_spark_state", os.path.basename(sf_dir))
+    # unique per-run dir: concurrent sessions (pytest + bench + driver)
+    # must not clobber each other's state snapshot (ADVICE r01)
+    path = os.path.join(
+        tempfile.gettempdir(), "metoffice_spark_state", uuid.uuid4().hex[:12],
+        os.path.basename(sf_dir),
+    )
     state_table(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -77,3 +77,35 @@ def fixed_str(x: Column, d: int) -> Column:
     return F.concat(
         sign, whole.cast("string"), F.lit("."), F.lpad(frac.cast("string"), d, "0")
     )
+
+
+# --- x-www-form-urlencoded encoding (dialect-common replace chain) ----------
+#
+# The reference url-encodes its form body implicitly via UrlFetchApp
+# (MWC:389-396). A bare space/colon replace corrupts values containing
+# '&', '=', '%' or '+' (ADVICE r01), so this encodes the full reserved
+# set for the WOW payload charset. Order matters: '%' first (so
+# introduced escapes are not re-escaped), literal '+' before space→'+'.
+
+_FORM_ENC_CHAIN = [
+    ("%", "%25"),
+    ("&", "%26"),
+    ("=", "%3D"),
+    ("+", "%2B"),
+    (":", "%3A"),
+    (" ", "+"),
+]
+
+
+def form_enc(c: Column) -> Column:
+    """Percent-encode a form value (Column form)."""
+    for src, dst in _FORM_ENC_CHAIN:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def form_enc_sql(x: str) -> str:
+    """Same encoding as SQL text (valid in Spark SQL and DuckDB)."""
+    for src, dst in _FORM_ENC_CHAIN:
+        x = f"replace({x}, '{src}', '{dst}')"
+    return x
