@@ -150,12 +150,32 @@ _SHINGLES_DUCK = (
 )
 
 
+# One hash pass per shingle: hs = md5('A|'||s) || md5('B|'||s) (64 hex
+# chars), then minhash j is the min over shingles of the j-th 4-hex
+# (16-bit) slice — the classic shared-hash shortcut: 2 md5 calls per
+# shingle instead of 12, and a 6x smaller expression tree to compile.
+# Slices of a strong hash are independent enough for LSH banding; the
+# extra 16-bit collision mass is ~|shingles|/65536 (<0.3% here).
+_HS_SPARK = "transform(sh, s -> concat(md5(concat('A|', s)), md5(concat('B|', s))))"
+_HS_DUCK = "list_transform(sh, s -> md5('A|' || s) || md5('B|' || s))"
+
+
 def _mh_spark(j: int) -> str:
-    return f"array_min(transform(sh, s -> md5(concat('{j}|', s))))"
+    return f"array_min(transform(hs, h -> substring(h, {4 * j + 1}, 4)))"
 
 
 def _mh_duck(j: int) -> str:
-    return f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
+    return f"list_aggregate(list_transform(hs, h -> substring(h, {4 * j + 1}, 4)), 'min')"
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a small-but-CPU-heavy input across all cores.
+
+    The driver tables arrive as one parquet file -> 1-2 scan
+    partitions, which would serialize the md5/shingle work onto 2 of
+    32 cores. Hash on the row key keeps results partition-independent
+    (everything downstream is key-local or re-shuffled anyway)."""
+    return df.repartition(F.col(key))
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +184,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
     )
-    return docs.unionByName(planted)
+    return _spread(docs.unionByName(planted), "doc_id")
 
 
 _CORPUS_DUCK = f"""
@@ -180,17 +200,31 @@ corpus AS (
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
-    Plan shape at scale: shuffle once on band buckets (candidate
-    generation), once on shingles restricted to candidate docs
-    (verification) — never an all-pairs product."""
+    Plan shape at scale: one shuffle on band buckets generates the
+    candidate pairs; verification then JOINS THE (FEW) CANDIDATES back
+    to the materialized shingle-set table and computes Jaccard per row
+    with ``array_intersect`` — never an all-pairs product, and no
+    exploded shingle self-join (the candidate set is tiny relative to
+    the corpus, so fetching both docs' sketches is the cheap side)."""
     corpus = _corpus(spark, sf_dir)
     shingled = (
         corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
-        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"))
     )
+    # Persist boundaries serve two purposes: (1) the shingle table is
+    # referenced by BOTH the banding branch and the verification branch
+    # (each a self-join), so without them Catalyst re-derives the
+    # tokenize+shingle+hash subtree up to 4x; (2) they stop
+    # CollapseProject from inlining the tokenizer into every shingle
+    # reference (a combinatorial expression blowup that dominates
+    # codegen compile time). At 100 TB these tables are *materialized*
+    # dedup indexes (write once, reuse across runs); in-session persist
+    # is the local analog.
+    shingled = shingled.persist()
+    hashed = shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs")).persist()
     mh_cols = [F.expr(_mh_spark(j)).alias(f"mh{j}") for j in range(_N_MINHASH)]
-    sigs = shingled.select("doc_id", "sh", *mh_cols)
+    sigs = hashed.select("doc_id", *mh_cols)
     band_exprs = [
         F.md5(
             F.concat_ws(
@@ -218,39 +252,18 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Verification: inverted-index join on distinct shingles, restricted
-    # to candidate docs (semi-join), then exact Jaccard per candidate pair.
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select("doc_b"))
-        .distinct()
-    )
-    sh_ex = (
-        shingled.join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
-    )
-    sizes = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    xa, xb = sh_ex.alias("xa"), sh_ex.alias("xb")
-    inter = (
-        xa.join(
-            xb,
-            (F.col("xa.s") == F.col("xb.s"))
-            & (F.col("xa.doc_id") < F.col("xb.doc_id")),
-        )
-        .select(F.col("xa.doc_id").alias("doc_a"), F.col("xb.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-        .join(pairs, ["doc_a", "doc_b"])
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # Verification: fetch both candidates' shingle sets (pairs are few,
+    # so they broadcast) and compute exact Jaccard row-local.
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("c").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+            c.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - c).cast("double"),
         )
         .filter(F.col("jaccard") >= 0.6)
     )
@@ -271,15 +284,22 @@ def _fuzzy_oracle() -> str:
         f"SELECT doc_id, {b} AS band_id, band{b} AS bucket FROM bands"
         for b in range(_N_MINHASH // _BAND_ROWS)
     )
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    )
     return f"""
 WITH {_CORPUS_DUCK.strip()},
 shingled AS (
-  SELECT doc_id, {_SHINGLES_DUCK} AS sh
-  FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
-  WHERE len(toks) >= 3
+  SELECT doc_id, sh, {_HS_DUCK} AS hs
+  FROM (
+    SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+    FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
+    WHERE len(toks) >= 3
+  )
 ),
 sigs AS (
-  SELECT doc_id, sh,
+  SELECT doc_id,
          {mh_sql}
   FROM shingled
 ),
@@ -295,28 +315,12 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b
     ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-cand AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)
-),
-sh_ex AS (
-  SELECT s.doc_id, unnest(list_distinct(s.sh)) AS s
-  FROM shingled s JOIN cand c ON s.doc_id = c.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh_ex GROUP BY doc_id),
-inter AS (
-  SELECT xa.doc_id AS doc_a, xb.doc_id AS doc_b, count(*) AS c
-  FROM sh_ex xa JOIN sh_ex xb ON xa.s = xb.s AND xa.doc_id < xb.doc_id
-  JOIN pairs p ON p.doc_a = xa.doc_id AND p.doc_b = xb.doc_id
-  GROUP BY xa.doc_id, xb.doc_id
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE CAST(i.c AS DOUBLE) / CAST(na.n + nb.n - i.c AS DOUBLE) >= 0.6
+SELECT p.doc_a, p.doc_b, {jac} AS jaccard
+FROM pairs p
+JOIN shingled a ON a.doc_id = p.doc_a
+JOIN shingled b ON b.doc_id = p.doc_b
+WHERE {jac} >= 0.6
 """
 
 
@@ -466,27 +470,30 @@ def _simhash_bands_sql() -> str:
     return ",\n         ".join(parts)
 
 
-def _simhash_body_sql(hamming: str) -> str:
-    """Shared (dialect-common) pipeline from a ``sim_tok`` relation of
-    (doc_id, token) to near-dup pairs; only the hamming expr differs."""
+# SQL from a ``sim_tok`` relation of (doc_id, token) to the 64-bit
+# signature table (dialect-common).
+_SIMHASH_SIGS_SQL = """
+SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi
+FROM (
+  SELECT doc_id,
+         {sums}
+  FROM sim_tok GROUP BY doc_id
+)
+"""
+
+
+def _simhash_pairs_sql(hamming: str) -> str:
+    """Banding + candidate pairs from a ``sim_sigs`` relation of
+    (doc_id, lo, hi); only the hamming expr differs per dialect."""
     band_union = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, lo, hi, {b} AS band_id, band{b} AS bucket FROM bands"
         for b in range(8)
     )
     return f"""
-sums AS (
-  SELECT doc_id,
-         {_simhash_sums_sql()}
-  FROM sim_tok GROUP BY doc_id
-),
-sigs AS (
-  SELECT doc_id, CAST({_SIM_LO} AS BIGINT) AS lo, CAST({_SIM_HI} AS BIGINT) AS hi
-  FROM sums
-),
-bands AS (
+WITH bands AS (
   SELECT doc_id, lo, hi,
          {_simhash_bands_sql()}
-  FROM sigs
+  FROM sim_sigs
 ),
 buckets AS (
   {band_union}
@@ -507,27 +514,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, 8-band lossless blocking).
 
     Shuffles: one groupBy(doc_id) for the bit sums, one on band
-    buckets for candidates — never an all-pairs product. On this
-    corpus SimHash is intentionally coarse (every doc shares the same
-    vocabulary), so the pair set is larger than MinHash's — that IS
-    the operator's semantics (topical near-duplication)."""
+    buckets for candidates — never an all-pairs product. The signature
+    table (16 bytes/doc) is persisted: both sides of the bucket
+    self-join read it, and at 100 TB it is a materialized index. On
+    this corpus SimHash is intentionally coarse (every doc shares the
+    same vocabulary), so the pair set is larger than MinHash's — that
+    IS the operator's semantics (topical near-duplication)."""
     corpus = _corpus(spark, sf_dir)
     corpus.createOrReplaceTempView("simhash_corpus")
     spark.sql(
         f"SELECT doc_id, explode({TOKS_SPARK}) AS token FROM simhash_corpus"
     ).createOrReplaceTempView("sim_tok")
+    sigs = spark.sql(
+        _SIMHASH_SIGS_SQL.format(lo=_SIM_LO, hi=_SIM_HI, sums=_simhash_sums_sql())
+    ).persist()
+    sigs.createOrReplaceTempView("sim_sigs")
     hamming = "bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"
-    return spark.sql("WITH " + _simhash_body_sql(hamming).lstrip())
+    return spark.sql(_simhash_pairs_sql(hamming))
 
 
-ORACLE_DEDUP_SIMHASH = f"""
+ORACLE_DEDUP_SIMHASH = (
+    f"""
 WITH {_CORPUS_DUCK.strip().replace('corpus AS', 'simhash_corpus AS', 1)},
 sim_tok AS (
   SELECT doc_id, unnest({TOKS_DUCK}) AS token
   FROM simhash_corpus
 ),
-{_simhash_body_sql("bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))").lstrip()}
+sim_sigs AS (
+{_SIMHASH_SIGS_SQL.format(lo=_SIM_LO, hi=_SIM_HI, sums=_simhash_sums_sql())}
+),
 """
+    + _simhash_pairs_sql(
+        "bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))"
+    ).lstrip().removeprefix("WITH ")
+)
 
 
 # --- q_dedup_ngram_jaccard: exact bigram Jaccard via inverted index ----------
@@ -558,9 +578,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(F.expr(_BIGRAMS_SPARK))).alias("bg"))
     )
     df_counts = bigr.groupBy("bg").agg(F.count("*").alias("n_docs"))
-    rare = bigr.join(
-        df_counts.filter(F.col("n_docs") <= _NGRAM_DF_CUTOFF), "bg"
-    ).select("doc_id", "bg")
+    # the rare-bigram inverted index feeds three consumers (sizes + both
+    # sides of the intersection self-join) — persist it once; at 100 TB
+    # it is the materialized posting-list table
+    rare = (
+        bigr.join(df_counts.filter(F.col("n_docs") <= _NGRAM_DF_CUTOFF), "bg")
+        .select("doc_id", "bg")
+        .persist()
+    )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra, rb = rare.alias("ra"), rare.alias("rb")
     inter = (
