@@ -27,6 +27,7 @@ HEADLINE = [
     "q_agg_hash",         # TPC-H Q1-style scan+aggregate
     "q_join_shuffle",     # big-big join
     "q_join_broadcast",   # dim broadcast join
+    "q_olap_local_supplier",  # 6-table composite star join
     "q_win_rank",         # ranking window
     "q_dedup_exact",      # documents dedup
     "q_dedup_fuzzy",      # MinHash+LSH near-dup pairs

@@ -18,7 +18,16 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     from metoffice_spark.operators import weather
 
     modules = [weather]
-    for name in ("rain", "ingest", "relational", "llm", "text", "udf", "streaming_batch"):
+    for name in (
+        "rain",
+        "ingest",
+        "relational",
+        "analytics",
+        "llm",
+        "text",
+        "udf",
+        "streaming_batch",
+    ):
         try:
             mod = __import__(f"metoffice_spark.operators.{name}", fromlist=["QUERIES"])
             modules.append(mod)

@@ -81,3 +81,28 @@ def test_dedup_exact_shuffles_digest_not_text(spark, sf_smoke):
     plan = _plan(q_dedup_exact(spark, sf_smoke))
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("text" not in ln for ln in ex)
+
+
+def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):
+    """The six-table star join must resolve to broadcast joins for the
+    dimension sides — no sort-merge of a dim at this scale."""
+    from metoffice_spark.operators.analytics import q_olap_local_supplier
+
+    plan = _plan(q_olap_local_supplier(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # fact-side shuffles only for the aggregation (or orderkey at scale)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_olap_order_priority_uses_semi_join(spark, sf_smoke):
+    from metoffice_spark.operators.analytics import q_olap_order_priority
+
+    plan = _plan(q_olap_order_priority(spark, sf_smoke))
+    assert "LeftSemi" in plan
+
+
+def test_olap_parts_suppliers_uses_anti_join(spark, sf_smoke):
+    from metoffice_spark.operators.analytics import q_olap_parts_suppliers
+
+    plan = _plan(q_olap_parts_suppliers(spark, sf_smoke))
+    assert "LeftAnti" in plan
