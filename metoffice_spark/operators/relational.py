@@ -416,6 +416,54 @@ GROUP BY band_id
 """
 
 
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join via BINNING — the scale path for non-equi range
+    predicates. Naively, "parts within ±1.0 of each other's price" is
+    an O(n^2) BroadcastNestedLoopJoin; binning prices into unit-width
+    buckets and probing the 3 neighbor bins turns it into an EQUI join
+    (hash-partitionable, skew-manageable) whose post-filter applies the
+    exact predicate. |Δprice| <= w implies |Δbin| <= 1, so exactly one
+    (probe-bin, build-bin) match per qualifying pair — no dedup needed.
+    The ORACLE deliberately uses the naive O(n^2) formulation: same
+    answer, different physical strategy."""
+    spark = tune(spark)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    binned = p.withColumn("bin", F.floor(F.col("p_retailprice") / 1.0).cast("bigint"))
+    probe = binned.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_retailprice").alias("price_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("nb"),
+    )
+    build = binned.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_retailprice").alias("price_b"),
+        F.col("bin").alias("bin_b"),
+    )
+    return (
+        probe.join(build, probe.nb == build.bin_b)
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.col("price_b") - F.col("price_a")) <= 1.0)
+        )
+        .select(
+            "part_a",
+            "part_b",
+            (F.col("price_b") - F.col("price_a")).alias("price_diff"),
+        )
+    )
+
+
+ORACLE_JOIN_RANGE_BINNED = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       b.p_retailprice - a.p_retailprice AS price_diff
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(b.p_retailprice - a.p_retailprice) <= 1.0
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the most recent prior 'view'
     by the same user — the scalable single-pass window form of the
@@ -779,6 +827,7 @@ QUERIES = {
     "q_join_outer": (q_join_outer, ORACLE_JOIN_OUTER),
     "q_join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
     "q_join_theta_range": (q_join_theta_range, ORACLE_JOIN_THETA_RANGE),
+    "q_join_range_binned": (q_join_range_binned, ORACLE_JOIN_RANGE_BINNED),
     "q_join_asof": (q_join_asof, ORACLE_JOIN_ASOF),
     "q_win_rank": (q_win_rank, ORACLE_WIN_RANK),
     "q_win_frame": (q_win_frame, ORACLE_WIN_FRAME),

@@ -127,9 +127,13 @@ def _run_to_parquet(stream_df: DataFrame, root: str, mode: str = "append") -> st
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # never return a partially-materialized sink
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     return out
 
 
@@ -473,9 +477,12 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     # stash the dead-letter path so tests can inspect the side channel
     q_stream_sink.last_dead_letter_dir = dl_dir  # type: ignore[attr-defined]
     return spark.read.parquet(ok_dir)
