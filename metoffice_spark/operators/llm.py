@@ -376,6 +376,151 @@ WHERE rn <= 5
 """
 
 
+# --- q_sim_search_lsh: sign-random-projection LSH bucketed search ------------
+#
+# 16 deterministic hyperplanes with +/-1 entries derived from md5 (via
+# hashlib at module load — plain constants, embedded as identical
+# literals in both dialects). A vector's bucket is the 16-bit sign
+# pattern of its plane dots (exact BIGINT sums); queries multi-probe
+# their bucket plus all 16 hamming-1 neighbors and rank candidates by
+# true cosine. Approximate by design: recall comes from probing, and
+# the oracle runs the identical algorithm.
+
+# 8 planes -> 256 buckets: sized so a bucket holds ~corpus/256 vectors
+# and hamming-1 multiprobe (9 buckets) yields a few dozen candidates at
+# the driver corpus size. At a larger corpus, raise the plane count to
+# keep buckets at the target occupancy (buckets scale as 2^planes).
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_signs() -> list[list[int]]:
+    import hashlib
+
+    planes = []
+    for j in range(_N_PLANES):
+        hx = (
+            hashlib.md5(f"P{j}A".encode()).hexdigest()
+            + hashlib.md5(f"P{j}B".encode()).hexdigest()
+        )
+        planes.append([1 if c in "89abcdef" else -1 for c in hx[:_DIM]])
+    return planes
+
+
+_PLANES = _plane_signs()
+
+
+def _plane_lit_spark(j: int) -> str:
+    return "array(" + ", ".join(str(x) for x in _PLANES[j]) + ")"
+
+
+def _plane_lit_duck(j: int) -> str:
+    return "[" + ", ".join(str(x) for x in _PLANES[j]) + "]"
+
+
+def _bucket_spark() -> str:
+    dots = [
+        "aggregate(zip_with(v, "
+        + _plane_lit_spark(j)
+        + ", (x, p) -> x * cast(p as bigint)), cast(0 as bigint), (a, t) -> a + t)"
+        for j in range(_N_PLANES)
+    ]
+    return (
+        "cast("
+        + " + ".join(
+            f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots)
+        )
+        + " as bigint)"
+    )
+
+
+def _bucket_duck() -> str:
+    dots = [
+        "list_aggregate(list_transform(range(1, len(v) + 1),"
+        f" i -> v[i] * ({_plane_lit_duck(j)})[i]), 'sum')"
+        for j in range(_N_PLANES)
+    ]
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots)
+        )
+        + " AS BIGINT)"
+    )
+
+
+# bucket with bit j flipped, dialect-common (no xor needed)
+def _flip(j: int) -> str:
+    p = 1 << j
+    return (
+        f"CASE WHEN CAST(floor(bucket / {p}.0) AS BIGINT) % 2 = 1"
+        f" THEN bucket - {p} ELSE bucket + {p} END"
+    )
+
+
+_PROBES_SPARK = "array(bucket, " + ", ".join(_flip(j) for j in range(_N_PLANES)) + ")"
+_PROBES_DUCK = "[bucket, " + ", ".join(_flip(j) for j in range(_N_PLANES)) + "]"
+
+
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity search (sign random projections).
+
+    Scale shape: the corpus is hashed once into 16-bit buckets (a
+    16-way-partitionable key); each query probes 17 buckets (own +
+    hamming-1) via an equi-join on bucket id — the scan per query is
+    the candidate buckets, never the corpus. Candidates are ranked by
+    exact fixed-point cosine; output is approximate top-5 (whatever
+    the probed buckets contain), identically in both engines."""
+    emb = load(tune(spark), sf_dir, "embeddings")
+    base = (
+        _spread(emb, "vec_id")
+        .select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+        .withColumn("n2", F.expr(NORM2_SPARK.format(v="v")))
+        .withColumn("bucket", F.expr(_bucket_spark()))
+        .persist()
+    )
+    q = base.filter(F.col("vec_id") < 8)
+    c = base.filter(F.col("vec_id") >= 8)
+    probes = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.explode(F.expr(_PROBES_SPARK)).alias("probe"),
+    )
+    cand = probes.join(c, probes.probe == c.bucket).select(
+        "q_id",
+        "vec_id",
+        F.expr(_cos_spark("qv", "v", "qn2", "n2")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+ORACLE_SIM_SEARCH_LSH = f"""
+WITH base AS (
+  SELECT vec_id, v, {NORM2_DUCK.format(v='v')} AS n2, {_bucket_duck()} AS bucket
+  FROM (SELECT vec_id, {_ivec_duck('embedding')} AS v FROM embeddings)
+),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, n2 AS qn2, unnest({_PROBES_DUCK}) AS probe
+  FROM base WHERE vec_id < 8
+),
+cand AS (
+  SELECT p.q_id, c.vec_id,
+         {_cos_duck('p.qv', 'c.v', 'p.qn2', 'c.n2')} AS cos_sim
+  FROM probes p JOIN base c ON p.probe = c.bucket AND c.vec_id >= 8
+)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM cand)
+WHERE rn <= 5
+"""
+
+
 # --- q_multimodal_cols: opaque binary payload + typed metadata ---------------
 
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,6 +1050,7 @@ QUERIES = {
     "q_dedup_embed_cosine": (q_dedup_embed_cosine, ORACLE_DEDUP_EMBED),
     "q_sim_search": (q_sim_search, ORACLE_SIM_SEARCH),
     "q_sim_search_ivf": (q_sim_search_ivf, ORACLE_SIM_SEARCH_IVF),
+    "q_sim_search_lsh": (q_sim_search_lsh, ORACLE_SIM_SEARCH_LSH),
     "q_multimodal_cols": (q_multimodal_cols, ORACLE_MULTIMODAL_COLS),
     "q_multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
 }

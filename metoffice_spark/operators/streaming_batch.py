@@ -504,8 +504,40 @@ WHERE windspeed_ms <> 0
 """
 
 
+# --- q_stream_dedup: stateful streaming deduplication ------------------------
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the replay appends a second file that
+    re-delivers every obs_id % 101 == 0 row (an at-least-once source
+    retry); ``dropDuplicates`` on the key holds seen-ids in state
+    across micro-batches and suppresses the redeliveries. Output ==
+    the original observation set — the streaming face of
+    q_dedup_exact. At scale the state store shards by key; with a
+    watermark (dropDuplicatesWithinWatermark) the state is bounded."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir).select(*_OBS_COLS)
+    dup_pred = F.col("obs_id") % 101 == 0
+    root = _run_root()
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    _write_file(obs, os.path.join(input_dir, "0000.parquet"), 1_000_000)
+    _write_file(obs.filter(dup_pred), os.path.join(input_dir, "0001.parquet"), 1_001_000)
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    deduped = sdf.dropDuplicates(["obs_id"]).select(
+        "station_id", "obs_id", "ts", "rain_counter_mm"
+    )
+    out = _run_to_parquet(deduped, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_DEDUP = f"""{_CTE}
+SELECT station_id, obs_id, ts, rain_counter_mm FROM observations
+"""
+
+
 QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
+    "q_stream_dedup": (q_stream_dedup, ORACLE_STREAM_DEDUP),
     "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "q_stream_sliding": (q_stream_sliding, ORACLE_STREAM_SLIDING),
     "q_stream_session": (q_stream_session, ORACLE_STREAM_SESSION),

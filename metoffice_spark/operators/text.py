@@ -290,8 +290,62 @@ FROM hashed
 """
 
 
+# --- q_text_redact: PII scrubbing --------------------------------------------
+#
+# The driver corpus carries no PII, so the query plants a synthetic
+# email + phone per document (identically in both engines), then
+# redacts them — the standard scrub stage of a training-data pipeline.
+# Patterns stay in the Java-regex/RE2 common subset.
+
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_PAT = "\\+1-555-[0-9]{4}"          # regex: \+1-555-\d{4}
+_PHONE_PAT_DUCK = _PHONE_PAT
+
+_WITH_PII_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS STRING) || '@example.com"
+    " phone +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count + replace emails/phones with typed tags.
+    Map-only regex work — embarrassingly parallel at any scale."""
+    docs = load(tune(spark), sf_dir, "documents")
+    with_pii = docs.withColumn("t", F.expr(_WITH_PII_SQL))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.sha2(redacted, 256).alias("redacted_digest"),
+    )
+
+
+ORACLE_TEXT_REDACT = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(t, '{_PHONE_PAT_DUCK}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                                  '{_PHONE_PAT_DUCK}', '<PHONE>', 'g')) AS BIGINT)
+         AS redacted_len,
+       sha256(regexp_replace(regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                             '{_PHONE_PAT_DUCK}', '<PHONE>', 'g')) AS redacted_digest
+FROM (SELECT doc_id, {_WITH_PII_SQL} AS t FROM documents)
+"""
+
+
 QUERIES = {
     "q_text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),
+    "q_text_redact": (q_text_redact, ORACLE_TEXT_REDACT),
     "q_text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "q_text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "q_text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),

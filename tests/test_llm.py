@@ -177,3 +177,29 @@ def test_multimodal_decode_matches_metadata(spark, sf_smoke):
         assert r.n_bytes == len(docs[did].text.encode("utf-8"))
         assert r.fmt in ("image", "audio", "video")
         assert (r.n_frames == 1) == (r.fmt != "video") or r.n_frames == 1
+
+
+def test_sim_search_lsh_candidates_are_real(spark, sf_smoke):
+    """LSH results must be a subset of valid corpus hits with correct
+    ranking; approximate recall means <= 5 hits per query is legal."""
+    from metoffice_spark.operators.llm import q_sim_search_lsh
+
+    rows = q_sim_search_lsh(spark, sf_smoke).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for hits in by_q.values():
+        assert len(hits) <= 5
+        sims = [h.cos_sim for h in sorted(hits, key=lambda h: h.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(h.vec_id >= 8 for h in hits)
+
+
+def test_text_redact_scrubs_all_pii(spark, sf_smoke):
+    from metoffice_spark.operators.text import q_text_redact
+
+    rows = q_text_redact(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1   # the planted contact line
+        assert r.n_phones == 1

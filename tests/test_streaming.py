@@ -109,3 +109,15 @@ def test_tumbling_excludes_open_final_day(spark, sf_smoke):
     )
     assert out.filter(F.col("day_start") == F.lit(mx_day)).count() == 0
     assert out.count() > 0
+
+
+def test_stream_dedup_suppresses_redelivery(spark, sf_smoke):
+    """Redelivered rows (obs_id % 101 == 0, second file) must be
+    dropped: output row count == distinct obs count, no dup obs_ids."""
+    from metoffice_spark.obs import observations
+    from metoffice_spark.operators.streaming_batch import q_stream_dedup
+
+    out = q_stream_dedup(spark, sf_smoke)
+    n_obs = observations(spark, sf_smoke).count()
+    assert out.count() == n_obs
+    assert out.select("obs_id").distinct().count() == n_obs
