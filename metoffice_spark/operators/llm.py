@@ -1054,3 +1054,50 @@ QUERIES = {
     "q_multimodal_cols": (q_multimodal_cols, ORACLE_MULTIMODAL_COLS),
     "q_multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
 }
+
+
+# --- q_split_train_val: deterministic hash-based dataset split ----------------
+#
+# Train/val/test assignment must be a pure function of the example id
+# (reproducible across runs, engines, and re-partitions — never
+# rand()). The split key is the first hex nibble of md5(doc_id):
+# 12/16 train, 2/16 val, 2/16 test.
+
+_SPLIT_EXPR = """
+CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+     WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) IN ('c','d') THEN 'val'
+     ELSE 'test' END
+"""
+
+
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split of the document
+    corpus, stratified report per (split, lang). Map-only assignment —
+    at 100 TB the split column is computed at scan time and partitions
+    the written dataset; no shuffle beyond the tiny report rollup."""
+    docs = load(tune(spark), sf_dir, "documents")
+    tagged = docs.withColumn("split", F.expr(_SPLIT_EXPR))
+    return (
+        tagged.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("chars_total"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .select("split", "lang", "n_docs", "chars_total", "min_doc_id", "max_doc_id")
+    )
+
+
+ORACLE_SPLIT_TRAIN_VAL = f"""
+SELECT {_SPLIT_EXPR} AS split, lang,
+       count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS chars_total,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["q_split_train_val"] = (q_split_train_val, ORACLE_SPLIT_TRAIN_VAL)

@@ -842,3 +842,108 @@ QUERIES = {
     "q_fn_array_map_json": (q_fn_array_map_json, ORACLE_FN_ARRAY_MAP_JSON),
     "q_fn_date_extract": (q_fn_date_extract, ORACLE_FN_DATE_EXTRACT),
 }
+
+
+# --- q_pivot_unpivot: pivot -> unpivot round trip -----------------------------
+
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (lang -> columns) then unpivot (stack) back to long form
+    with zero-fill — proves both reshape operators. Pivot with an
+    explicit value list stays a single-pass aggregation (no extra
+    distinct-scan); unpivot is a zero-shuffle generator expression."""
+    docs = load(tune(spark), sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", list(_LANGS))
+        .agg(F.count(F.lit(1)))
+    )
+    stack_expr = "stack({n}, {args}) as (lang, cnt)".format(
+        n=len(_LANGS),
+        args=", ".join(f"'{lg}', {lg}" for lg in _LANGS),
+    )
+    return wide.select(
+        "source", F.expr(stack_expr)
+    ).select("source", "lang", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_docs"))
+
+
+ORACLE_PIVOT_UNPIVOT = """
+SELECT s.source, l.lang, COALESCE(c.cnt, 0) AS n_docs
+FROM (SELECT DISTINCT source FROM documents) s
+CROSS JOIN (SELECT unnest(['en', 'de', 'fr', 'es', 'zh']) AS lang) l
+LEFT JOIN (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2) c
+  ON c.source = s.source AND c.lang = l.lang
+"""
+
+
+# --- q_merge_upsert: MERGE INTO semantics as a full-outer join ----------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE (upsert): apply a change set onto a base table —
+    matched rows update (balance += delta), unmatched changes insert,
+    untouched rows pass through. Expressed as a full-outer join +
+    row-local CASE, the engine-agnostic MERGE INTO plan (both sides
+    shuffle once on the key; at 100 TB the base would be bucketed so
+    only the small change set moves). Change set: 1996 order revenue
+    per customer, plus planted new customers (custkey % 100 == 0 →
+    custkey + 1000000) to exercise the insert branch."""
+    spark = tune(spark)
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+    )
+    deltas = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("delta_cents")
+    )
+    changes = deltas.select(
+        F.when(
+            F.col("o_custkey") % 100 == 0, F.col("o_custkey") + 1000000
+        ).otherwise(F.col("o_custkey")).alias("k"),
+        "delta_cents",
+    ).groupBy("k").agg(F.sum("delta_cents").alias("delta_cents"))
+    merged = base.join(changes, base.c_custkey == changes.k, "full_outer")
+    return merged.select(
+        F.coalesce(base.c_custkey, changes.k).alias("c_custkey"),
+        (
+            (F.coalesce(F.col("bal_cents"), F.lit(0)) + F.coalesce(F.col("delta_cents"), F.lit(0)))
+            / F.lit(100.0)
+        ).alias("balance"),
+        F.when(base.c_custkey.isNull(), F.lit("insert"))
+        .when(changes.k.isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH base AS (
+  SELECT c_custkey, {_cents_sql("c_acctbal")} AS bal_cents FROM customer
+),
+changes AS (
+  SELECT k, sum(delta_cents) AS delta_cents FROM (
+    SELECT CASE WHEN o_custkey % 100 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS k,
+           sum({_cents_sql("o_totalprice")}) AS delta_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_custkey)
+  GROUP BY k
+)
+SELECT COALESCE(b.c_custkey, c.k) AS c_custkey,
+       (COALESCE(b.bal_cents, 0) + COALESCE(c.delta_cents, 0)) / 100.0 AS balance,
+       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+            WHEN c.k IS NULL THEN 'unchanged'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+"""
+
+QUERIES["q_pivot_unpivot"] = (q_pivot_unpivot, ORACLE_PIVOT_UNPIVOT)
+QUERIES["q_merge_upsert"] = (q_merge_upsert, ORACLE_MERGE_UPSERT)
