@@ -947,3 +947,61 @@ FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
 
 QUERIES["q_pivot_unpivot"] = (q_pivot_unpivot, ORACLE_PIVOT_UNPIVOT)
 QUERIES["q_merge_upsert"] = (q_merge_upsert, ORACLE_MERGE_UPSERT)
+
+
+# --- q_join_salted: skew-mitigated join ---------------------------------------
+
+_N_SALTS = 8
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join with explicit SALTING — the manual 100 TB lever
+    when AQE skew handling isn't enough. The observation stream has 4
+    station keys (pathological skew: any hash shuffle lands everything
+    on 4 reducers). Salting splits each fact key into N_SALTS
+    deterministic sub-keys (obs_id % 8 — reproducible, not rand()) and
+    replicates the dim side once per salt, so the join fans out over
+    4x8 reducers; the post-aggregation removes the salt again. The
+    ORACLE is the plain unsalted join — same answer, different
+    physical distribution."""
+    spark = tune(spark)
+    from metoffice_spark.obs import observations
+
+    obs = observations(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").cast("string").alias("station_id"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    salted_fact = obs.withColumn("salt", (F.col("obs_id") % _N_SALTS).cast("int"))
+    salted_dim = dim.crossJoin(
+        spark.range(_N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    )
+    # force a shuffle join: at this test scale the replicated dim would
+    # broadcast (hiding the salt); the hint shows the real skew shape —
+    # the exchange hash-partitions on (station_id, salt), 4 x 8 keys
+    joined = salted_fact.join(salted_dim.hint("shuffle_hash"), ["station_id", "salt"])
+    return (
+        joined.groupBy("station_id", "region_name")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(_cents(F.col("windspeed_ms"), 1000000)).alias("ws_sum_fp"),
+        )
+        .select("station_id", "region_name", "n_obs", "ws_sum_fp")
+    )
+
+
+from metoffice_spark.obs import oracle_cte as _obs_cte  # noqa: E402
+
+ORACLE_JOIN_SALTED = f"""{_obs_cte()}
+SELECT o.station_id, r.r_name AS region_name,
+       count(*) AS n_obs,
+       sum({_cents_sql("windspeed_ms", 1000000)}) AS ws_sum_fp
+FROM observations o
+JOIN region r ON CAST(r.r_regionkey AS STRING) = o.station_id
+GROUP BY o.station_id, r.r_name
+"""
+
+QUERIES["q_join_salted"] = (q_join_salted, ORACLE_JOIN_SALTED)
