@@ -1101,3 +1101,94 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_split_train_val"] = (q_split_train_val, ORACLE_SPLIT_TRAIN_VAL)
+
+
+# --- q_dedup_components: near-dup clusters via connected components ----------
+#
+# Pairs alone don't dedup a corpus: A~B and B~C must collapse to ONE
+# canonical doc. That is connected components over the similarity
+# graph — an ITERATIVE algorithm: min-label propagation until
+# fixpoint (the standard large-scale approach; each iteration is one
+# join+aggregate, converging in O(graph diameter) rounds). The oracle
+# is a DuckDB recursive CTE computing the same reachability minimum.
+
+def _ngram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity edges: the exact-bigram-Jaccard pairs (cheapest of
+    the near-dup detectors; any pair source composes here)."""
+    return q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph by min-label
+    propagation; every corpus doc gets a component id (the minimum
+    doc_id reachable from it) and a canonical flag.
+
+    The driver loop only checks convergence (a count of changed
+    labels); all data work is joins + aggregates. At 100 TB this is
+    the alternating big-star/small-star pattern — each round is one
+    shuffle on doc_id, diameter rounds total (here <= ~4)."""
+    edges = _ngram_edges(spark, sf_dir).persist()
+    nodes = _corpus(spark, sf_dir).select("doc_id")
+    # bidirectional edge list
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    adj = fwd.unionByName(rev).persist()
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    for _ in range(32):  # diameter bound; converges in ~3 rounds here
+        neigh = (
+            adj.join(labels, adj.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()  # driver-side convergence check only
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        "doc_id",
+        F.col("lbl").alias("component"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+    adj.unpersist()
+    edges.unpersist()
+    return out
+
+
+def _components_oracle() -> str:
+    # reuse the full ngram-jaccard pair SQL as the edge relation
+    pair_sql = ORACLE_DEDUP_NGRAM.strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pair_sql})
+),
+{_CORPUS_DUCK.strip()},
+adj AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT a.dst, r.lbl FROM reach r JOIN adj a ON a.src = r.doc_id
+)
+SELECT doc_id, min(lbl) AS component, doc_id = min(lbl) AS is_canonical
+FROM reach GROUP BY doc_id
+"""
+
+
+ORACLE_DEDUP_COMPONENTS = _components_oracle()
+
+QUERIES["q_dedup_components"] = (q_dedup_components, ORACLE_DEDUP_COMPONENTS)

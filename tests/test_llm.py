@@ -203,3 +203,25 @@ def test_text_redact_scrubs_all_pii(spark, sf_smoke):
     for r in rows:
         assert r.n_emails >= 1   # the planted contact line
         assert r.n_phones == 1
+
+
+def test_dedup_components_cluster_planted_pairs(spark, sf_smoke):
+    """Each planted variant must share a component with its original,
+    and each component must have exactly one canonical doc."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.llm import q_dedup_components
+
+    rows = q_dedup_components(spark, sf_smoke).collect()
+    comp = {r.doc_id: r.component for r in rows}
+    planted_ids = {
+        r.doc_id for r in load(spark, sf_smoke, "documents").filter("doc_id % 25 = 0").collect()
+    }
+    for pid in planted_ids:
+        assert comp[pid] == comp[pid + 100000]
+    # canonical uniqueness: the canonical of each component is its min id
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for c, members in by_comp.items():
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == c == min(m.doc_id for m in members)
