@@ -1005,3 +1005,87 @@ GROUP BY o.station_id, r.r_name
 """
 
 QUERIES["q_join_salted"] = (q_join_salted, ORACLE_JOIN_SALTED)
+
+
+# --- q_sketch_distinct: KMV (bottom-k) distinct-count sketch ------------------
+#
+# A real streaming-mergeable cardinality sketch with DETERMINISTIC
+# cross-engine construction: hash each key to a uniform fraction in
+# (0,1) via md5 nibbles, keep the k smallest per group (bottom-k /
+# K-Minimum-Values), estimate distinct = (k-1) / kth_min. Unlike HLL
+# (engine-specific register layouts), every intermediate here is a
+# deterministic expression, so the oracle matches bitwise.
+
+_KMV_K = 64
+
+# uniform (0,1) fraction from the first 8 md5 nibbles; instr() is
+# dialect-common and gives the nibble value without hex->int casts.
+# Divisors use scientific notation: Spark parses `4096.0` as DECIMAL
+# (decimal arithmetic != IEEE), but `4096e0` is DOUBLE in both engines.
+_FRAC = " + ".join(
+    "(instr('0123456789abcdef', substring(h, {i}, 1)) - 1) / {p}e0".format(
+        i=i + 1, p=16 ** (i + 1)
+    )
+    for i in range(8)
+)
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per return flag: true distinct count
+    vs the (k-1)/kth_min estimate.
+
+    Scale shape: the per-group bottom-k is a partial-aggregatable
+    sketch (each partition keeps its k smallest, merge keeps the k
+    smallest of the union) — here expressed as a window rank over the
+    distinct hashed keys; a production run would carry the k-array in
+    an aggregate buffer. Estimate quality is the standard KMV bound
+    (~1/sqrt(k-1) relative error)."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    hashed = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .withColumn("h", F.md5(F.col("l_partkey").cast("string")))
+        .withColumn("frac", F.expr(_FRAC))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("frac", "l_partkey")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("l_returnflag", F.col("frac").alias("kth_min"))
+    )
+    truth = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    )
+    return truth.join(kth, "l_returnflag").select(
+        "l_returnflag",
+        "true_distinct",
+        (F.lit(float(_KMV_K - 1)) / F.col("kth_min")).alias("kmv_estimate"),
+    )
+
+
+ORACLE_SKETCH_DISTINCT = f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_partkey, md5(CAST(l_partkey AS STRING)) AS h
+  FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+),
+frac AS (
+  SELECT l_returnflag, l_partkey, {_FRAC} AS frac FROM hashed
+),
+kth AS (
+  SELECT l_returnflag, frac AS kth_min FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY frac, l_partkey) AS rn
+    FROM frac) WHERE rn = {_KMV_K}
+),
+truth AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS true_distinct FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT t.l_returnflag, t.true_distinct,
+       {float(_KMV_K - 1)} / k.kth_min AS kmv_estimate
+FROM truth t JOIN kth k ON t.l_returnflag = k.l_returnflag
+"""
+
+QUERIES["q_sketch_distinct"] = (q_sketch_distinct, ORACLE_SKETCH_DISTINCT)
