@@ -338,7 +338,12 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("r_max").alias("r_max"),
             )
         )
-    b1h = up(b15, "hour")
+    # persist = the materialized continuous aggregate: each level is
+    # written once and read by BOTH its own output branch and the next
+    # coarser level (without it, the raw scan + substrate re-runs per
+    # union branch — 3x the work, verified in the plan)
+    b15 = b15.persist()
+    b1h = up(b15, "hour").persist()
     b1d = up(b1h, "day")
     lvl = lambda df, name: df.select(
         F.lit(name).alias("level"), "station_id", "bucket", "n_obs", "ws_sum_fp", "r_min", "r_max"
