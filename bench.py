@@ -28,6 +28,8 @@ HEADLINE = [
     "q_join_shuffle",     # big-big join
     "q_join_broadcast",   # dim broadcast join
     "q_olap_local_supplier",  # 6-table composite star join
+    "q_merge_upsert",     # MERGE-style full-outer upsert
+    "q_rollup_hypertable",  # multi-resolution rollup tree
     "q_win_rank",         # ranking window
     "q_dedup_exact",      # documents dedup
     "q_dedup_fuzzy",      # MinHash+LSH near-dup pairs

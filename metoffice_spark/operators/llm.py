@@ -1192,3 +1192,67 @@ FROM reach GROUP BY doc_id
 ORACLE_DEDUP_COMPONENTS = _components_oracle()
 
 QUERIES["q_dedup_components"] = (q_dedup_components, ORACLE_DEDUP_COMPONENTS)
+
+
+# --- q_embed_quantize: int8 embedding quantization ----------------------------
+#
+# Symmetric per-vector int8 quantization (scale = max|x| / 127): the
+# storage/serving compression step of an embedding pipeline. Every
+# step is a fixed IEEE op sequence (no float aggregation across rows),
+# so both engines agree bitwise.
+
+_ABSMAX_SPARK = "aggregate({v}, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"
+_ABSMAX_DUCK = "list_aggregate(list_transform({v}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+
+# quantize component: q = floor(x/scale + 0.5) clamped to [-127, 127]
+_QERR_SPARK = (
+    "aggregate({v}, cast(0.0 as double), (a, x) -> greatest(a,"
+    " abs(cast(x as double) - greatest(least(floor(cast(x as double) / scale + 0.5e0),"
+    " 127e0), -127e0) * scale)))"
+)
+_QERR_DUCK = (
+    "list_aggregate(list_transform({v}, x -> abs(CAST(x AS DOUBLE)"
+    " - greatest(least(floor(CAST(x AS DOUBLE) / scale + 0.5e0), 127e0), -127e0)"
+    " * scale)), 'max')"
+)
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization report: scale and the
+    worst-case reconstruction error per embedding. Map-only (zero
+    shuffles) — at 100 TB this stage rewrites the embedding store and
+    the error column is the acceptance gate."""
+    emb = load(tune(spark), sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+    ).withColumn(
+        "scale",
+        F.expr(_ABSMAX_SPARK.format(v="v")) / F.lit(127.0),
+    )
+    return base.filter(F.col("scale") > 0).select(
+        "vec_id",
+        "label",
+        "scale",
+        F.expr(_QERR_SPARK.format(v="v")).alias("max_abs_err"),
+        (F.expr(_QERR_SPARK.format(v="v")) <= F.col("scale") * F.lit(0.5) + F.lit(1e-12)).alias(
+            "within_half_ulp"
+        ),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS v,
+         {_ABSMAX_DUCK.format(v='embedding')} / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, label, scale,
+       {_QERR_DUCK.format(v='v')} AS max_abs_err,
+       {_QERR_DUCK.format(v='v')} <= scale * 0.5 + 1e-12 AS within_half_ulp
+FROM base
+WHERE scale > 0
+"""
+
+QUERIES["q_embed_quantize"] = (q_embed_quantize, ORACLE_EMBED_QUANTIZE)

@@ -351,3 +351,64 @@ QUERIES = {
     "q_text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
     "q_text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
 }
+
+
+# --- q_text_vocab: BPE-style vocabulary induction (first merge round) --------
+#
+# The first iteration of byte-pair-encoding training: count adjacent
+# symbol pairs inside words across the corpus and rank the merge
+# candidates. Each further BPE round is the same count over re-merged
+# symbols — this demonstrates the scalable core (explode -> count ->
+# top-k), which is the part that touches all 100 TB.
+
+_CHARS_SPARK = (
+    "filter(split(tok, ''), c -> c <> '')"
+)
+_PAIRS_SPARK = (
+    "transform(sequence(1, size(cs) - 1),"
+    " i -> concat(element_at(cs, cast(i as int)), element_at(cs, cast(i + 1 as int))))"
+)
+_PAIRS_DUCK = "list_transform(range(1, len(cs)), i -> cs[i] || cs[i + 1])"
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent character pairs inside tokens (the first BPE
+    merge candidates) with corpus-wide counts. Two shuffles total:
+    the (pair) count aggregation (map-side combined) and the final
+    top-k — at 100 TB the pair vocabulary is tiny, so the reduce side
+    is trivially small."""
+    docs = load(tune(spark), sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(_PAIRS_SPARK.replace("cs", f"({_CHARS_SPARK})"))
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select("pair", "cnt", "rnk")
+    )
+
+
+_PAIRS_DUCK_ON_TOK = _PAIRS_DUCK.replace("cs", "(string_split(tok, ''))")
+
+ORACLE_TEXT_VOCAB = f"""
+SELECT pair, cnt, CAST(rn AS INT) AS rnk FROM (
+  SELECT pair, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, pair) AS rn
+  FROM (
+    SELECT unnest({_PAIRS_DUCK_ON_TOK}) AS pair
+    FROM (
+      SELECT unnest({TOKS_DUCK}) AS tok FROM documents
+    ) WHERE length(tok) >= 2
+  )
+  GROUP BY pair)
+WHERE rn <= 30
+"""
+
+QUERIES["q_text_vocab"] = (q_text_vocab, ORACLE_TEXT_VOCAB)
