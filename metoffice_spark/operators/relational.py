@@ -1089,3 +1089,51 @@ FROM truth t JOIN kth k ON t.l_returnflag = k.l_returnflag
 """
 
 QUERIES["q_sketch_distinct"] = (q_sketch_distinct, ORACLE_SKETCH_DISTINCT)
+
+
+# --- q_set_bag: multiset (ALL) semantics --------------------------------------
+
+def q_set_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag semantics with duplicate
+    multiplicity preserved (min(m1,m2) / m1-m2 per value), the variant
+    q_set_intersect/q_set_except's DISTINCT forms don't cover. Spark
+    plans these as aggregate+join on value with count arithmetic —
+    shuffle on the value key, no row explosion."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    inter = a.intersectAll(b).groupBy("l_quantity").agg(
+        F.count("*").alias("n_inter")
+    )
+    diff = a.exceptAll(b).groupBy("l_quantity").agg(F.count("*").alias("n_diff"))
+    return (
+        inter.join(diff, "l_quantity", "full_outer")
+        .select(
+            "l_quantity",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            F.coalesce("n_diff", F.lit(0)).alias("n_diff"),
+        )
+    )
+
+
+ORACLE_SET_BAG = """
+WITH a AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'),
+b AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'),
+i AS (
+  SELECT l_quantity, count(*) AS n_inter
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+  GROUP BY l_quantity
+),
+d AS (
+  SELECT l_quantity, count(*) AS n_diff
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+  GROUP BY l_quantity
+)
+SELECT COALESCE(i.l_quantity, d.l_quantity) AS l_quantity,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       COALESCE(d.n_diff, 0) AS n_diff
+FROM i FULL OUTER JOIN d ON i.l_quantity = d.l_quantity
+"""
+
+QUERIES["q_set_bag"] = (q_set_bag, ORACLE_SET_BAG)
