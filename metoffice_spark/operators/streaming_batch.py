@@ -535,9 +535,71 @@ SELECT station_id, obs_id, ts, rain_counter_mm FROM observations
 """
 
 
+# --- q_stream_join: stream-stream interval join ------------------------------
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: the wind
+    sub-stream joined to the rain sub-stream of the same station
+    within [-30min, +30min) — Spark buffers both sides in join state,
+    with watermarks bounding the buffers (the stateful-join operator
+    class, distinct from windowed aggregation).
+
+    Both sides replay in one batch, so the final output equals the
+    batch interval join the oracle runs; the watermark + time-range
+    condition is what bounds the state at scale (without it, both
+    buffers grow forever)."""
+    spark = tune(spark)
+    input_dir, root = _replay(spark, sf_dir)
+    base = _read_stream(spark, input_dir, one_file_batches=False)
+    wind = (
+        base.filter(F.col("obs_id") % 2 == 0)
+        .select(
+            F.col("station_id").alias("w_station"),
+            F.col("ts").alias("w_ts"),
+            F.col("obs_id").alias("w_obs"),
+            "windspeed_ms",
+        )
+        .withWatermark("w_ts", "1 hour")
+    )
+    rain = (
+        base.filter(F.col("obs_id") % 2 == 1)
+        .select(
+            F.col("station_id").alias("r_station"),
+            F.col("ts").alias("r_ts"),
+            F.col("obs_id").alias("r_obs"),
+            "rain_counter_mm",
+        )
+        .withWatermark("r_ts", "1 hour")
+    )
+    joined = wind.join(
+        rain,
+        F.expr(
+            """
+            w_station = r_station AND
+            r_ts >= w_ts - INTERVAL 30 MINUTES AND
+            r_ts < w_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("w_station", "w_obs", "r_obs", "windspeed_ms", "rain_counter_mm")
+    out = _run_to_parquet(joined, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_JOIN = f"""{_CTE}
+SELECT w.station_id AS w_station, w.obs_id AS w_obs, r.obs_id AS r_obs,
+       w.windspeed_ms, r.rain_counter_mm
+FROM (SELECT * FROM observations WHERE obs_id % 2 = 0) w
+JOIN (SELECT * FROM observations WHERE obs_id % 2 = 1) r
+  ON w.station_id = r.station_id
+ AND r.ts >= w.ts - INTERVAL 30 MINUTE
+ AND r.ts < w.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
     "q_stream_dedup": (q_stream_dedup, ORACLE_STREAM_DEDUP),
+    "q_stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "q_stream_sliding": (q_stream_sliding, ORACLE_STREAM_SLIDING),
     "q_stream_session": (q_stream_session, ORACLE_STREAM_SESSION),
