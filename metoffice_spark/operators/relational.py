@@ -1137,3 +1137,46 @@ FROM i FULL OUTER JOIN d ON i.l_quantity = d.l_quantity
 """
 
 QUERIES["q_set_bag"] = (q_set_bag, ORACLE_SET_BAG)
+
+
+# --- q_sql_ansi: the raw SQL interface ----------------------------------------
+#
+# One ANSI-compatible SQL text executed VERBATIM by both engines:
+# Spark runs it through spark.sql() over registered views, DuckDB runs
+# the identical string as the oracle. Demonstrates the engine's SQL
+# face (parser -> Catalyst) with zero dialect translation.
+
+_ANSI_SQL = """
+WITH order_totals AS (
+  SELECT o.o_custkey AS custkey,
+         count(*) AS n_orders,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  WHERE o.o_orderstatus <> 'F'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       n.n_name AS nation,
+       count(*) AS n_customers,
+       sum(t.n_orders) AS n_orders,
+       CAST(sum(t.cents) AS DOUBLE) / 100e0 AS open_value
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN order_totals t ON t.custkey = c.c_custkey
+GROUP BY c.c_mktsegment, n.n_name
+"""
+
+
+def q_sql_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL interface: the oracle text itself, run via spark.sql()
+    over registered views — parser, analyzer, and Catalyst pick the
+    same physical strategies the DataFrame builders get (broadcast
+    dims, partial aggregation)."""
+    spark = tune(spark)
+    from metoffice_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation", "orders"))
+    return spark.sql(_ANSI_SQL)
+
+
+QUERIES["q_sql_ansi"] = (q_sql_ansi, _ANSI_SQL)
