@@ -224,6 +224,10 @@ def wow_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = st.select(
         F.col("obs_id"),
         F.concat(F.lit("wow-"), F.col("station_id")).alias("siteid"),
+        # placeholder credential, as in the reference's published config
+        # (MWC:75 uses the literal '9999999'); a real deployment injects
+        # the secret at the sink, never in the plan
+        F.lit("9999999").alias("siteauthenticationkey"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dateutc"),
         fixed_str(W.c_to_f(F.col("tempc")), 1).alias("tempf"),
         fixed_str(F.col("hum"), 0).alias("humidity"),
@@ -239,6 +243,9 @@ def wow_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat_ws(
         "&",
         F.concat(F.lit("siteid="), form_enc(F.col("siteid"))),
+        F.concat(
+            F.lit("siteAuthenticationKey="), form_enc(F.col("siteauthenticationkey"))
+        ),
         F.concat(F.lit("dateutc="), form_enc(F.col("dateutc"))),
         F.concat(F.lit("tempf="), F.col("tempf")),
         F.concat(F.lit("humidity="), F.col("humidity")),
@@ -271,6 +278,7 @@ ORACLE_SINK_HTTP_FORM = f"""{_CTE}, {_RAIN_BASE_SQL.strip()},
 payload AS (
 SELECT obs_id,
        'wow-' || station_id AS siteid,
+       '9999999' AS siteauthenticationkey,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS dateutc,
        {fixed_str_sql("tempc * 1.8 + 32.0", 1)} AS tempf,
        {fixed_str_sql("hum", 0)} AS humidity,
@@ -289,6 +297,7 @@ FROM rain_state
 )
 SELECT *,
        'siteid=' || {form_enc_sql("siteid")}
+       || '&siteAuthenticationKey=' || {form_enc_sql("siteauthenticationkey")}
        || '&dateutc=' || {form_enc_sql("dateutc")}
        || '&tempf=' || tempf
        || '&humidity=' || humidity
