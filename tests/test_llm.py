@@ -225,3 +225,37 @@ def test_dedup_components_cluster_planted_pairs(spark, sf_smoke):
     for c, members in by_comp.items():
         canon = [m for m in members if m.is_canonical]
         assert len(canon) == 1 and canon[0].doc_id == c == min(m.doc_id for m in members)
+
+
+def test_merge_upsert_actions(spark, sf_smoke):
+    """Planted change keys (custkey % 100 == 0 -> +1000000) must appear
+    as inserts; customers without 1996+ orders stay unchanged."""
+    from metoffice_spark.operators.relational import q_merge_upsert
+
+    rows = q_merge_upsert(spark, sf_smoke).collect()
+    actions = {}
+    for r in rows:
+        actions.setdefault(r.action, []).append(r)
+    assert set(actions) <= {"insert", "update", "unchanged"}
+    # planted inserts (custkey+1000000) must surface; the synthetic
+    # orders table also has orphan custkeys, which insert legitimately
+    assert any(r.c_custkey > 1000000 for r in actions.get("insert", []))
+    assert actions.get("unchanged")
+
+
+def test_pivot_unpivot_zero_fill(spark, sf_smoke):
+    """The unpivoted long form must be dense: every (source, lang) combo
+    present, zeros where the corpus has no documents."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.relational import q_pivot_unpivot
+
+    rows = q_pivot_unpivot(spark, sf_smoke).collect()
+    docs = load(spark, sf_smoke, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources * 5
+    truth = {
+        (r.source, r.lang): r["count"]
+        for r in docs.groupBy("source", "lang").count().collect()
+    }
+    for r in rows:
+        assert r.n_docs == truth.get((r.source, r.lang), 0)
