@@ -378,13 +378,14 @@ WHERE rn <= 5
 
 # --- q_sim_search_lsh: sign-random-projection LSH bucketed search ------------
 #
-# 16 deterministic hyperplanes with +/-1 entries derived from md5 (via
-# hashlib at module load — plain constants, embedded as identical
-# literals in both dialects). A vector's bucket is the 16-bit sign
-# pattern of its plane dots (exact BIGINT sums); queries multi-probe
-# their bucket plus all 16 hamming-1 neighbors and rank candidates by
-# true cosine. Approximate by design: recall comes from probing, and
-# the oracle runs the identical algorithm.
+# _N_PLANES deterministic hyperplanes with +/-1 entries derived from
+# md5 (via hashlib at module load — plain constants, embedded as
+# identical literals in both dialects). A vector's bucket is the
+# _N_PLANES-bit sign pattern of its plane dots (exact BIGINT sums);
+# queries multi-probe their own bucket plus all _N_PLANES hamming-1
+# neighbors (8 planes -> 9 probed buckets of 256). Approximate by
+# design: recall comes from probing, and the oracle runs the identical
+# algorithm.
 
 # 8 planes -> 256 buckets: sized so a bucket holds ~corpus/256 vectors
 # and hamming-1 multiprobe (9 buckets) yields a few dozen candidates at
@@ -465,9 +466,10 @@ _PROBES_DUCK = "[bucket, " + ", ".join(_flip(j) for j in range(_N_PLANES)) + "]"
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed similarity search (sign random projections).
 
-    Scale shape: the corpus is hashed once into 16-bit buckets (a
-    16-way-partitionable key); each query probes 17 buckets (own +
-    hamming-1) via an equi-join on bucket id — the scan per query is
+    Scale shape: the corpus is hashed once into _N_PLANES-bit buckets
+    (8 planes -> 256 buckets, a partitionable key); each query probes
+    _N_PLANES + 1 = 9 buckets (own + hamming-1) via an equi-join on
+    bucket id — the scan per query is
     the candidate buckets, never the corpus. Candidates are ranked by
     exact fixed-point cosine; output is approximate top-5 (whatever
     the probed buckets contain), identically in both engines."""
@@ -564,9 +566,9 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_COLS = """
 SELECT d.lang,
        count(*) AS n_assets,
-       sum(octet_length(CAST(d.text AS BLOB))) AS total_bytes,
+       CAST(sum(octet_length(CAST(d.text AS BLOB))) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
-       sum(CAST(floor(CAST(e.embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(CAST(e.embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS emb0_fp_sum
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.n_chars > 200
@@ -1093,7 +1095,7 @@ def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPLIT_TRAIN_VAL = f"""
 SELECT {_SPLIT_EXPR} AS split, lang,
        count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS chars_total,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM documents

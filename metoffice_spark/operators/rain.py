@@ -356,20 +356,20 @@ b15 AS (
   SELECT station_id,
          time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS bucket,
          count(*) AS n_obs,
-         sum(CAST(floor(windspeed_ms * 1000000.0 + 0.5) AS BIGINT)) AS ws_sum_fp,
+         CAST(sum(CAST(floor(windspeed_ms * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ws_sum_fp,
          min(rain_counter_mm) AS r_min,
          max(rain_counter_mm) AS r_max
   FROM observations GROUP BY 1, 2
 ),
 b1h AS (
   SELECT station_id, date_trunc('hour', bucket) AS bucket,
-         sum(n_obs) AS n_obs, sum(ws_sum_fp) AS ws_sum_fp,
+         CAST(sum(n_obs) AS BIGINT) AS n_obs, CAST(sum(ws_sum_fp) AS BIGINT) AS ws_sum_fp,
          min(r_min) AS r_min, max(r_max) AS r_max
   FROM b15 GROUP BY 1, 2
 ),
 b1d AS (
   SELECT station_id, date_trunc('day', bucket) AS bucket,
-         sum(n_obs) AS n_obs, sum(ws_sum_fp) AS ws_sum_fp,
+         CAST(sum(n_obs) AS BIGINT) AS n_obs, CAST(sum(ws_sum_fp) AS BIGINT) AS ws_sum_fp,
          min(r_min) AS r_min, max(r_max) AS r_max
   FROM b1h GROUP BY 1, 2
 )

@@ -998,7 +998,7 @@ from metoffice_spark.obs import oracle_cte as _obs_cte  # noqa: E402
 ORACLE_JOIN_SALTED = f"""{_obs_cte()}
 SELECT o.station_id, r.r_name AS region_name,
        count(*) AS n_obs,
-       sum({_cents_sql("windspeed_ms", 1000000)}) AS ws_sum_fp
+       CAST(sum({_cents_sql("windspeed_ms", 1000000)}) AS BIGINT) AS ws_sum_fp
 FROM observations o
 JOIN region r ON CAST(r.r_regionkey AS STRING) = o.station_id
 GROUP BY o.station_id, r.r_name
@@ -1158,7 +1158,7 @@ WITH order_totals AS (
 SELECT c.c_mktsegment AS segment,
        n.n_name AS nation,
        count(*) AS n_customers,
-       sum(t.n_orders) AS n_orders,
+       CAST(sum(t.n_orders) AS BIGINT) AS n_orders,
        CAST(sum(t.cents) AS DOUBLE) / 100e0 AS open_value
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey

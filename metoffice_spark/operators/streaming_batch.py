@@ -275,7 +275,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half-open [ts, ts+gap), so an exactly-30-min gap does NOT merge).
 ORACLE_STREAM_SESSION = f"""{_CTE},
 marks AS (
-  SELECT station_id, ts,
+  SELECT station_id, ts, obs_id,
          CASE WHEN lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id) IS NULL
                 OR ts >= lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id)
                          + INTERVAL 30 MINUTE
@@ -284,7 +284,7 @@ marks AS (
 ),
 sess AS (
   SELECT station_id, ts,
-         sum(new_s) OVER (PARTITION BY station_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY station_id ORDER BY ts, obs_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marks
 )

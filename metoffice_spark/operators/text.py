@@ -234,9 +234,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_TOKENS = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(CAST({_WS_DUCK} AS BIGINT)) AS ws_tokens_total,
-       sum(CAST({_BPE_DUCK} AS BIGINT)) AS bpe_tokens_total,
-       sum(CAST(length(text) AS BIGINT)) AS chars_total
+       CAST(sum(CAST({_WS_DUCK} AS BIGINT)) AS BIGINT) AS ws_tokens_total,
+       CAST(sum(CAST({_BPE_DUCK} AS BIGINT)) AS BIGINT) AS bpe_tokens_total,
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_total
 FROM documents
 GROUP BY lang
 """

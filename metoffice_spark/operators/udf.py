@@ -107,7 +107,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_UDAF_GROUPED = """
 SELECT lang,
-       sum(n_chars * (doc_id + 1)) AS wchar_sum,
+       CAST(sum(n_chars * (doc_id + 1)) AS BIGINT) AS wchar_sum,
        CAST(sum(n_chars * (doc_id + 1)) AS DOUBLE) / CAST(sum(doc_id + 1) AS DOUBLE)
          AS wchar_mean
 FROM documents
