@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
-from metoffice_spark.session import tune
+from metoffice_spark.session import scoped_persist, tune
 
 # --- shared dialect snippets ------------------------------------------------
 
@@ -221,8 +221,8 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen compile time). At 100 TB these tables are *materialized*
     # dedup indexes (write once, reuse across runs); in-session persist
     # is the local analog.
-    shingled = shingled.persist()
-    hashed = shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs")).persist()
+    shingled = scoped_persist(shingled)
+    hashed = scoped_persist(shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs")))
     mh_cols = [F.expr(_mh_spark(j)).alias(f"mh{j}") for j in range(_N_MINHASH)]
     sigs = hashed.select("doc_id", *mh_cols)
     band_exprs = [
@@ -474,12 +474,11 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fixed-point cosine; output is approximate top-5 (whatever
     the probed buckets contain), identically in both engines."""
     emb = load(tune(spark), sf_dir, "embeddings")
-    base = (
+    base = scoped_persist(
         _spread(emb, "vec_id")
         .select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
         .withColumn("n2", F.expr(NORM2_SPARK.format(v="v")))
         .withColumn("bucket", F.expr(_bucket_spark()))
-        .persist()
     )
     q = base.filter(F.col("vec_id") < 8)
     c = base.filter(F.col("vec_id") >= 8)
@@ -672,9 +671,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"SELECT doc_id, explode({TOKS_SPARK}) AS token FROM simhash_corpus"
     ).createOrReplaceTempView("sim_tok")
-    sigs = spark.sql(
+    sigs = scoped_persist(spark.sql(
         _SIMHASH_SIGS_SQL.format(lo=_SIM_LO, hi=_SIM_HI, sums=_simhash_sums_sql())
-    ).persist()
+    ))
     sigs.createOrReplaceTempView("sim_sigs")
     hamming = "bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"
     return spark.sql(_simhash_pairs_sql(hamming))
@@ -728,10 +727,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rare-bigram inverted index feeds three consumers (sizes + both
     # sides of the intersection self-join) — persist it once; at 100 TB
     # it is the materialized posting-list table
-    rare = (
+    rare = scoped_persist(
         bigr.join(df_counts.filter(F.col("n_docs") <= _NGRAM_DF_CUTOFF), "bg")
         .select("doc_id", "bg")
-        .persist()
     )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     ra, rb = rare.alias("ra"), rare.alias("rb")
@@ -1129,24 +1127,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels); all data work is joins + aggregates. At 100 TB this is
     the alternating big-star/small-star pattern — each round is one
     shuffle on doc_id, diameter rounds total (here <= ~4)."""
-    edges = _ngram_edges(spark, sf_dir).persist()
+    edges = scoped_persist(_ngram_edges(spark, sf_dir))
     nodes = _corpus(spark, sf_dir).select("doc_id")
     # bidirectional edge list
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    adj = fwd.unionByName(rev).persist()
+    adj = scoped_persist(fwd.unionByName(rev))
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    labels = scoped_persist(nodes.select("doc_id", F.col("doc_id").alias("lbl")))
     for _ in range(32):  # diameter bound; converges in ~3 rounds here
         neigh = (
             adj.join(labels, adj.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "lbl")
         )
-        new_labels = (
+        new_labels = scoped_persist(
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
         )
         changed = (
             new_labels.alias("n")

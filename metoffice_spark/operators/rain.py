@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.obs import OBS_PER_HOUR, observations, oracle_cte
-from metoffice_spark.session import tune
+from metoffice_spark.session import scoped_persist, tune
 
 _CTE = oracle_cte()
 
@@ -342,8 +342,8 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # written once and read by BOTH its own output branch and the next
     # coarser level (without it, the raw scan + substrate re-runs per
     # union branch — 3x the work, verified in the plan)
-    b15 = b15.persist()
-    b1h = up(b15, "hour").persist()
+    b15 = scoped_persist(b15)
+    b1h = scoped_persist(up(b15, "hour"))
     b1d = up(b1h, "day")
     lvl = lambda df, name: df.select(
         F.lit(name).alias("level"), "station_id", "bucket", "n_obs", "ws_sum_fp", "r_min", "r_max"

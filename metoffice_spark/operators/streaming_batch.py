@@ -69,9 +69,21 @@ _OBS_COLS = [
 
 
 def _run_root() -> str:
-    return os.path.join(
-        tempfile.gettempdir(), "metoffice_stream", uuid.uuid4().hex[:12]
-    )
+    base = os.path.join(tempfile.gettempdir(), "metoffice_stream")
+    # Sweep replay trees left by PREVIOUS queries in this process (their
+    # input/ckpt were already deleted on success; their small out/ stays
+    # until a later query starts in case the driver re-collects). Roots
+    # from other live processes are untouched.
+    for stale in _COMPLETED_ROOTS[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    del _COMPLETED_ROOTS[: max(0, len(_COMPLETED_ROOTS) - 1)]
+    return os.path.join(base, uuid.uuid4().hex[:12])
+
+
+# Roots whose streaming run finished; oldest are deleted when the next
+# replay starts (the returned DataFrame of the MOST RECENT run may still
+# be lazily re-collected by the driver, so it is always kept).
+_COMPLETED_ROOTS: list[str] = []
 
 
 def _write_file(df: DataFrame, path: str, mtime: int) -> None:
@@ -134,6 +146,12 @@ def _run_to_parquet(stream_df: DataFrame, root: str, mode: str = "append") -> st
         # never return a partially-materialized sink
         q.stop()
         raise TimeoutError("streaming replay did not finish within 600s")
+    # the run is complete: the replay input and checkpoint are dead
+    # weight (only out/ is read by the returned DataFrame) — drop them
+    # now, and let the next replay sweep the whole root
+    shutil.rmtree(os.path.join(root, "input"), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _COMPLETED_ROOTS.append(root)
     return out
 
 
@@ -483,6 +501,9 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not finished:
         q.stop()
         raise TimeoutError("streaming replay did not finish within 600s")
+    shutil.rmtree(input_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _COMPLETED_ROOTS.append(root)
     # stash the dead-letter path so tests can inspect the side channel
     q_stream_sink.last_dead_letter_dir = dl_dir  # type: ignore[attr-defined]
     return spark.read.parquet(ok_dir)
