@@ -265,6 +265,48 @@ def q_sink_http_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wow_payload(spark, sf_dir)
 
 
+def http_post_wow(df: DataFrame, url: str, timeout_s: float = 10.0) -> DataFrame:
+    """The live WOW POST (MWC:369-396) as an engine operator: POST each
+    payload row's url-encoded ``body`` to ``url`` and return
+    (obs_id, http_code) — callers split on ``http_code == 200`` for the
+    publish / dead-letter routing (MWC:399-409).
+
+    Executor-side: ``mapInPandas`` runs the IO inside Arrow batches on
+    the partitions that hold the rows — no driver funnel, and at 1000
+    executors the POST fan-out parallelism is the partition count. The
+    HTTP client is stdlib urllib, one connectionless POST per row
+    (exactly the reference's one-record protocol). Network failures
+    map to code -1 rather than raising, so one bad endpoint cannot
+    fail the job (the reference aborts; the engine dead-letters)."""
+    import pandas as pd  # local: keep module import light
+
+    def _post_batches(it):
+        import urllib.error
+        import urllib.request
+
+        for pdf in it:
+            codes = []
+            for body in pdf["body"]:
+                req = urllib.request.Request(
+                    url,
+                    data=body.encode("utf-8"),
+                    method="POST",
+                    headers={"Content-Type": "application/x-www-form-urlencoded"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                        codes.append(int(resp.status))
+                except urllib.error.HTTPError as e:
+                    codes.append(int(e.code))
+                except Exception:
+                    codes.append(-1)
+            yield pd.DataFrame({"obs_id": pdf["obs_id"], "http_code": codes})
+
+    return df.select("obs_id", "body").mapInPandas(
+        _post_batches, "obs_id long, http_code int"
+    )
+
+
 _DAILY_SQL = "CASE WHEN fresh AND r <> day_start THEN r - day_start ELSE 0.0 END"
 _RATE_SQL = (
     "CASE WHEN fresh AND r <> day_start THEN "

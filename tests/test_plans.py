@@ -83,6 +83,22 @@ def test_dedup_exact_shuffles_digest_not_text(spark, sf_smoke):
     assert ex and all("text" not in ln for ln in ex)
 
 
+def test_rollup_tree_reuses_cached_levels(spark, sf_smoke):
+    """Each rollup level must be materialized once and re-read by BOTH
+    its own output branch and the next coarser level (the continuous-
+    aggregate tree, rain.py). If the persist barriers are dropped, the
+    union re-derives the raw scan + substrate per branch (3x work) and
+    no InMemoryTableScan appears."""
+    from metoffice_spark.operators.rain import q_rollup_hypertable
+
+    plan = _plan(q_rollup_hypertable(spark, sf_smoke))
+    # b15 read twice (own branch + b1h build is inside b1h's cache) and
+    # b1h read twice (own branch + b1d build): >= 3 cached scans in the
+    # final plan
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 3, f"rollup levels not cached: {n_cached} InMemoryTableScan"
+
+
 def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):
     """The six-table star join must resolve to broadcast joins for the
     dimension sides — no sort-merge of a dim at this scale."""

@@ -1,10 +1,13 @@
 """Streaming-suite semantics: replay determinism (SURVEY §5.2.4), the
-dead-letter side channel, and watermark late-drop — properties the
-oracle-parity suite can't see (it only checks final values)."""
+dead-letter side channel, watermark late-drop, and checkpoint recovery
+across job restarts — properties the oracle-parity suite can't see
+(it only checks final values)."""
 
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -26,6 +29,86 @@ def test_stateful_replay_equals_batch(spark, sf_smoke):
     assert streamed == batch
 
 
+def test_checkpoint_recovery_resumes_state(spark, sf_smoke):
+    """The reference's spreadsheet state survives across job runs
+    (MWC:211-272: read at :211, written back at :236-239/:271-272); the
+    rebuild's analog is the streaming checkpoint. Run the stateful rain
+    machine to completion on day-1 data (job 1), then RESTART a brand
+    new query from the same checkpoint with the final day's file added
+    (job 2):
+
+    - exactly-once: job 2 must process only the new file (no replays of
+      job 1's rows into the sink);
+    - state recovery: the new file starts MID-day (split = max ts - 24h),
+      so its first rows extend a day whose B2/C2 state was written by
+      job 1 — if the checkpoint state were lost, the machine would
+      treat them as a fresh day reset and diverge from batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from metoffice_spark.obs import observations
+    from metoffice_spark.operators import streaming_batch as sb
+    from metoffice_spark.operators.rain import rain_metrics
+
+    root = tempfile.mkdtemp(prefix="metoffice_ckpt_recovery_")
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    obs = observations(spark, sf_smoke).select(*sb._OBS_COLS)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+
+    def run_job() -> None:
+        sdf = sb._read_stream(spark, input_dir, one_file_batches=True)
+        shaped = sdf.groupBy("station_id").applyInPandasWithState(
+            sb._rain_machine,
+            "station_id string, obs_id long, ts timestamp, r double,"
+            " dailyrainmm double, rainmm double",
+            "cur_day long, day_start double, saved double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            shaped.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "streaming job did not finish"
+        assert q.exception() is None
+
+    try:
+        sb._write_file(
+            obs.filter(F.col("ts") <= split),
+            os.path.join(input_dir, "0000.parquet"),
+            1_000_000,
+        )
+        run_job()
+        n_job1 = spark.read.parquet(out).count()
+        assert 0 < n_job1 < obs.count()
+
+        sb._write_file(
+            obs.filter(F.col("ts") > split),
+            os.path.join(input_dir, "0001.parquet"),
+            1_001_000,
+        )
+        run_job()  # restart from the same checkpoint
+
+        final = spark.read.parquet(out)
+        # exactly-once across the restart: nothing reprocessed
+        assert final.count() == obs.count()
+        assert final.select("obs_id").distinct().count() == obs.count()
+        # recovered state: identical to the uninterrupted batch machine
+        cols = ["station_id", "obs_id", "r", "dailyrainmm", "rainmm"]
+        assert _rows(final, cols) == _rows(rain_metrics(spark, sf_smoke), cols)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_sink_dead_letter_channel(spark, sf_smoke):
     """Sensor-fault rows (windspeed==0, the 'error' events) must land in
     the dead-letter parquet, and published + dead == total."""
@@ -41,6 +124,49 @@ def test_sink_dead_letter_channel(spark, sf_smoke):
     assert n_dl > 0, "no dead-letter rows — the error channel never fired"
     assert n_ok + n_dl == total
     assert dl.filter(F.col("reason").contains("windspeed")).count() == n_dl
+
+
+def test_http_sink_routes_4xx_to_dead_letter(spark, sf_smoke):
+    """Real HTTP round-trip for the WOW sink (MWC:369-409): POST every
+    payload body to a local http.server that rejects calm-wind
+    observations (winddir=000) with 422; the engine must record the
+    planted 4xx per-row and the 200/4xx split must exactly match the
+    calm predicate. Exercises the live network path the oracle gate
+    cannot (executor-side mapInPandas POSTs, per-row status capture)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from metoffice_spark.operators.ingest import http_post_wow, wow_payload
+
+    class _WowHandler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            code = 422 if b"winddir=000" in body else 200
+            self.send_response(code)
+            self.end_headers()
+            self.wfile.write(b"ok" if code == 200 else b"rejected")
+
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _WowHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/wow"
+        payload = wow_payload(spark, sf_smoke)
+        results = http_post_wow(payload, url).collect()
+        calm_ids = {
+            r.obs_id for r in payload.filter(F.col("winddir") == "000").collect()
+        }
+        assert calm_ids, "fixture produced no calm observations"
+        assert len(results) == payload.count()
+        got_dead = {r.obs_id for r in results if r.http_code != 200}
+        assert all(r.http_code in (200, 422) for r in results)
+        assert got_dead == calm_ids
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_watermark_drops_planted_late_rows(spark, sf_smoke):
