@@ -1,0 +1,456 @@
+"""Training-data-pipeline operators beyond SURVEY §2.11's first wave:
+quality filtering, sequence packing, contamination detection,
+stratified sampling, and TF-IDF term weighting over the ``documents``
+table (BASELINE.json north star: "the operations a large-scale
+training-data pipeline would need").
+
+The reference has no analog (pure EXT); each operator follows the
+repo's cross-engine determinism discipline (llm.py header): integer
+counts for everything aggregated, md5-hex for "random" orderings,
+fixed-point BIGINT for log-scaled scores, and a final IEEE divide only
+on exact integer inputs.
+
+Scale design (100 TB):
+- quality signals are one explode + partial-aggregated (doc, token)
+  counts — map-side combine keeps the shuffle at distinct-pair volume;
+- packing windows partition by (lang): the running token sum is local
+  to a stratum (at 100 TB: per shard/date partition), never a single
+  global sort;
+- contamination detection is an inverted-index equi-join on n-gram
+  hashes (shuffle keyed on the 32-hex digest), never eval x train
+  all-pairs;
+- sampling and TF-IDF shuffle ids + 32-hex digests / terms, not
+  document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK, _spread
+from metoffice_spark.session import tune
+
+QUERIES: dict = {}
+
+
+# --- q_quality_gopher: repetition-based quality signals ----------------------
+#
+# The Gopher-rules family of pretraining filters: a document is kept
+# only if it is long enough and not dominated by a single repeated
+# token or by duplicated bigrams. All ratios are exact-int divides.
+
+_MIN_TOKENS = 10
+_TOP_FRAC_MAX = 0.20      # most-common token may cover <= 20% of tokens
+_DUP_BG_FRAC_MAX = 0.20   # duplicated bigrams may cover <= 20% of bigrams
+
+# bigrams of the token array (size >= 2 guarded by greatest/len checks)
+_BIGRAMS_SPARK = (
+    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+    " i -> concat(element_at(toks, cast(i as int)), ' ',"
+    " element_at(toks, cast(i + 1 as int))))"
+)
+_BIGRAMS_DUCK = (
+    "list_transform(range(1, greatest(len(toks), 1)),"
+    " i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per document, the
+    most-common-token fraction, duplicate-bigram fraction, and
+    type-token ratio, plus the keep/drop verdict.
+
+    Scale: one explode into (doc_id, token) with map-side partial
+    counts (the shuffle carries distinct pairs), bigram stats computed
+    entirely as array expressions on the scan side — no Python, no
+    all-pairs, body never shuffled."""
+    docs = load(tune(spark), sf_dir, "documents")
+    base = _spread(docs, "doc_id").select(
+        "doc_id", "lang", F.expr(TOKS_SPARK.format(col="text")).alias("toks")
+    )
+    # per-(doc, token) counts -> per-doc top/total/distinct
+    tok_stats = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_tok_count"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bg_stats = base.select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({_BIGRAMS_SPARK})").cast("bigint").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({_BIGRAMS_SPARK}))")
+        .cast("bigint")
+        .alias("n_bigrams_distinct"),
+    )
+    joined = bg_stats.join(tok_stats, "doc_id")
+    top_frac = F.col("top_tok_count").cast("double") / F.col("n_tokens").cast("double")
+    dup_bg = (F.col("n_bigrams") - F.col("n_bigrams_distinct")).cast("double") / F.greatest(
+        F.col("n_bigrams"), F.lit(1)
+    ).cast("double")
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    keep = (
+        (F.col("n_tokens") >= _MIN_TOKENS)
+        & (top_frac <= _TOP_FRAC_MAX)
+        & (dup_bg <= _DUP_BG_FRAC_MAX)
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        "top_tok_count",
+        (F.col("n_bigrams") - F.col("n_bigrams_distinct")).alias("dup_bigrams"),
+        top_frac.alias("top_tok_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+        ttr.alias("type_token_ratio"),
+        keep.alias("keep"),
+    )
+
+
+ORACLE_QUALITY_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, lang, {TOKS_DUCK.format(col="text")} AS toks FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+         max(c) AS top_tok_count,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct
+  FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+    GROUP BY doc_id, t
+  )
+  GROUP BY doc_id
+),
+bg_stats AS (
+  SELECT doc_id, lang,
+         CAST(len({_BIGRAMS_DUCK}) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct({_BIGRAMS_DUCK})) AS BIGINT) AS n_bigrams_distinct
+  FROM base
+)
+SELECT b.doc_id, b.lang, t.n_tokens, t.n_distinct, t.top_tok_count,
+       b.n_bigrams - b.n_bigrams_distinct AS dup_bigrams,
+       CAST(t.top_tok_count AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_tok_frac,
+       CAST(b.n_bigrams - b.n_bigrams_distinct AS DOUBLE)
+         / CAST(greatest(b.n_bigrams, 1) AS DOUBLE) AS dup_bigram_frac,
+       CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS type_token_ratio,
+       t.n_tokens >= {_MIN_TOKENS}
+         AND CAST(t.top_tok_count AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             <= {_TOP_FRAC_MAX}
+         AND CAST(b.n_bigrams - b.n_bigrams_distinct AS DOUBLE)
+             / CAST(greatest(b.n_bigrams, 1) AS DOUBLE) <= {_DUP_BG_FRAC_MAX}
+         AS keep
+FROM bg_stats b JOIN tok_stats t ON b.doc_id = t.doc_id
+"""
+
+QUERIES["q_quality_gopher"] = (q_quality_gopher, ORACLE_QUALITY_GOPHER)
+
+
+# --- q_pack_sequences: token-budget sequence packing -------------------------
+#
+# Pretraining batch assembly: assign documents (in deterministic
+# doc_id order, per language stratum) to fixed-size context bins by
+# the exclusive running token sum — bin = floor(prefix_sum / CTX).
+# This is the streaming-friendly formulation of greedy packing: one
+# window per stratum, no driver loop.
+
+_CTX_TOKENS = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~CTX_TOKENS-token training sequences per
+    language. Output: one row per (lang, bin) with doc count, token
+    total, and fill ratio.
+
+    Scale: the running sum windows by (lang) — at 100 TB the stratum
+    key becomes (shard, date) so every sort is partition-local; the
+    shuffle carries (doc_id, n_tokens) pairs only."""
+    docs = load(tune(spark), sf_dir, "documents")
+    toks = _spread(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({TOKS_SPARK.format(col='text')})").cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / F.lit(_CTX_TOKENS)
+        ).cast("bigint"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.col("tokens_total").cast("double") / F.lit(float(_CTX_TOKENS)),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len({TOKS_DUCK.format(col="text")}) AS BIGINT) AS n_toks
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, lang, n_toks,
+         CAST(floor(COALESCE(sum(n_toks) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_CTX_TOKENS}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE) / {_CTX_TOKENS}.0 AS fill_ratio
+FROM binned
+GROUP BY lang, bin
+"""
+
+QUERIES["q_pack_sequences"] = (q_pack_sequences, ORACLE_PACK_SEQUENCES)
+
+
+# --- q_contamination_ngram: train/eval n-gram overlap ------------------------
+#
+# Benchmark-contamination detection: the corpus is split into an eval
+# set (doc_id % 20 == 0) and a train set; contamination is planted
+# in-query (identically in both engines) by leaking every 3rd eval
+# document back into the train set under a new id. A train doc is
+# flagged against an eval doc when they share >= _MIN_SHARED distinct
+# word-5-grams (hashed; the join key is the 32-hex digest).
+
+_GRAM_N = 5
+_MIN_SHARED = 3
+
+_G5_SPARK = (
+    "transform(sequence(1, greatest(size(toks) - 4, 0)),"
+    " i -> md5(concat_ws(' ',"
+    " element_at(toks, cast(i as int)), element_at(toks, cast(i + 1 as int)),"
+    " element_at(toks, cast(i + 2 as int)), element_at(toks, cast(i + 3 as int)),"
+    " element_at(toks, cast(i + 4 as int)))))"
+)
+_G5_DUCK = (
+    "list_transform(range(1, greatest(len(toks) - 3, 1)),"
+    " i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+    " || ' ' || toks[i + 3] || ' ' || toks[i + 4]))"
+)
+
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect eval-set contamination of the training corpus by shared
+    word-5-gram hashes; emits (train_doc, eval_doc, n_shared,
+    eval_coverage) for pairs with >= _MIN_SHARED shared grams.
+
+    Scale: both sides explode to (gram_hash, doc_id) and equi-join on
+    the hash (inverted index) — candidate volume is shared-gram pairs,
+    never |train| x |eval|; bodies never leave the scan."""
+    docs = load(tune(spark), sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 20 == 0
+    evald = docs.filter(is_eval)
+    train = docs.filter(~is_eval).unionByName(
+        # the planted leak: every 3rd eval doc appears in train verbatim
+        evald.filter((F.col("doc_id") / 20) % 3 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return (
+            _spread(df, "doc_id")
+            .select(
+                F.col("doc_id").alias(out),
+                F.expr(TOKS_SPARK.format(col="text")).alias("toks"),
+            )
+            .select(out, F.explode(F.expr(f"array_distinct({_G5_SPARK})")).alias("g"))
+        )
+
+    tg = grams(train, "train_doc")
+    eg = grams(evald, "eval_doc")
+    eval_sizes = eg.groupBy("eval_doc").agg(F.count("*").alias("eval_grams"))
+    shared = (
+        tg.join(eg, "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+    return shared.join(eval_sizes, "eval_doc").select(
+        "train_doc",
+        "eval_doc",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("eval_grams").cast("double")).alias(
+            "eval_coverage"
+        ),
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH evald AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM evald WHERE (doc_id / 20) % 3 = 0
+),
+tg AS (
+  SELECT doc_id AS train_doc, unnest(list_distinct({_G5_DUCK})) AS g
+  FROM (SELECT doc_id, {TOKS_DUCK.format(col="text")} AS toks FROM train)
+),
+eg AS (
+  SELECT doc_id AS eval_doc, unnest(list_distinct({_G5_DUCK})) AS g
+  FROM (SELECT doc_id, {TOKS_DUCK.format(col="text")} AS toks FROM evald)
+),
+eval_sizes AS (
+  SELECT eval_doc, count(*) AS eval_grams FROM eg GROUP BY eval_doc
+),
+shared AS (
+  SELECT train_doc, eval_doc, count(*) AS n_shared
+  FROM tg JOIN eg USING (g)
+  GROUP BY train_doc, eval_doc
+  HAVING count(*) >= {_MIN_SHARED}
+)
+SELECT s.train_doc, s.eval_doc, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / CAST(z.eval_grams AS DOUBLE) AS eval_coverage
+FROM shared s JOIN eval_sizes z ON s.eval_doc = z.eval_doc
+"""
+
+QUERIES["q_contamination_ngram"] = (q_contamination_ngram, ORACLE_CONTAMINATION)
+
+
+# --- q_sample_stratified: deterministic per-stratum uniform sample -----------
+
+_SAMPLE_K = 20
+_SAMPLE_SEED = "S1"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-stratum sample: rank documents inside each lang by
+    md5(seed || doc_id) (a deterministic uniform permutation) and keep
+    the first k. The md5 rank IS the randomness — reproducible across
+    engines, runs, and cluster sizes.
+
+    Scale: shuffles (doc_id, lang, 32-hex digest); the per-stratum
+    window sorts one stratum per task."""
+    docs = load(tune(spark), sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SAMPLE_SEED + "|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _SAMPLE_K)
+        .select("lang", "sample_rank", "doc_id", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT lang, sample_rank, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+QUERIES["q_sample_stratified"] = (q_sample_stratified, ORACLE_SAMPLE_STRATIFIED)
+
+
+# --- q_tfidf: fixed-point TF-IDF term weighting -------------------------------
+#
+# score_fp = tf * floor(1e6 * ln(N / df)): ln on exact integer inputs
+# is one correctly-rounded IEEE op (identical in both engines, same
+# discipline as the dew-point oracle), floored to fixed-point BIGINT
+# BEFORE the tf multiply so every aggregate/compare stays integer.
+
+_TFIDF_TOP = 5
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (fixed-point scores).
+
+    Scale: (doc, term) partial counts -> term document frequencies
+    (distinct-doc counts, a term-keyed aggregate) -> broadcast-size N
+    -> per-doc top-k window. The only wide rows are (term, doc, tf)."""
+    docs = load(tune(spark), sf_dir, "documents")
+    tok = (
+        _spread(docs, "doc_id")
+        .select("doc_id", F.expr(TOKS_SPARK.format(col="text")).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    idf_fp = F.floor(
+        F.lit(1000000.0) * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+    ).cast("bigint")
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf_fp).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_fp").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_fp")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_DUCK.format(col="text")}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df_counts AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * CAST(floor(1000000.0 * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)))
+                     AS BIGINT) AS score_fp
+  FROM tf t JOIN df_counts d ON t.term = d.term CROSS JOIN n_docs n
+)
+SELECT doc_id, rnk, term, tf, df, score_fp
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_fp DESC, term) AS INT) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TFIDF_TOP}
+"""
+
+QUERIES["q_tfidf"] = (q_tfidf, ORACLE_TFIDF)

@@ -34,6 +34,7 @@ _MODULES = (
     "text",
     "udf",
     "streaming_batch",
+    "pipeline",
 )
 
 # qids registered first, in this order (driver checks the first 50).
@@ -95,6 +96,14 @@ _PRIORITY = (
     "q_sql_ansi",
     # driver-red in r02, HUGEINT oracle fixed this round
     "q_rollup_hypertable",
+    # round-3 training-pipeline additions (pipeline.py), never checked;
+    # the last of these may fall outside the driver's 50-row window —
+    # it rotates in next round.
+    "q_quality_gopher",
+    "q_pack_sequences",
+    "q_contamination_ngram",
+    "q_sample_stratified",
+    "q_tfidf",
 )
 
 
