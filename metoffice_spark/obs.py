@@ -53,7 +53,7 @@ from metoffice_spark.io import load
 
 OBS_SQL = """
 WITH ev AS (
-  SELECT ts, event_id, event_type, value,
+  SELECT ts, event_id AS obs_id, event_type, value,
          CAST(user_id % 4 AS STRING)                 AS station_id,
          CAST(ts AS DATE)                            AS day,
          CASE WHEN event_type = 'click'
@@ -76,7 +76,7 @@ day_off AS (
 SELECT
   e.station_id                                       AS station_id,
   e.ts                                               AS ts,
-  e.event_id                                         AS obs_id,
+  e.obs_id                                           AS obs_id,
   e.value / CAST(10 AS DOUBLE) - 15.0                AS tempc,
   20.0 + (e.value - floor(e.value / 5) * 5) * 16.0   AS hum,
   CASE WHEN e.event_type = 'error' THEN CAST(0 AS DOUBLE)
@@ -84,15 +84,16 @@ SELECT
   (CASE WHEN e.event_type = 'error' THEN CAST(0 AS DOUBLE)
         ELSE e.value - floor(e.value / 20) * 20 END)
       * 1.3 + 1.0                                    AS windgust_ms,
-  CAST(e.event_id % 16 AS INT)                       AS winddir_sector,
+  CAST(e.obs_id % 16 AS INT)                         AS winddir_sector,
   CAST(d.prior_days_sum
        + SUM(e.rain_incr) OVER (PARTITION BY e.station_id, e.day
-                                ORDER BY e.ts, e.event_id
+                                ORDER BY e.ts, e.obs_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS DOUBLE) / 100.0                            AS rain_counter_mm,
   CASE WHEN e.event_type = 'signup' THEN e.ts - INTERVAL 1 DAY
        ELSE e.ts END                                 AS rain_sensor_ts,
-  975.0 + (e.value - floor(e.value / 50) * 50)       AS pressure_site_hpa
+  975.0 + (e.value - floor(e.value / 50) * 50)       AS pressure_site_hpa,
+  e.day                                              AS day
 FROM ev e
 JOIN day_off d ON e.station_id = d.station_id AND e.day = d.day
 """

@@ -38,10 +38,9 @@ _RAIN_BASE_SQL = """
 rain_base AS (
   SELECT *,
          rain_counter_mm AS r,
-         CAST(ts AS DATE) AS day,
-         CAST(rain_sensor_ts AS DATE) = CAST(ts AS DATE) AS fresh,
+         CAST(rain_sensor_ts AS DATE) = day AS fresh,
          FIRST_VALUE(rain_counter_mm) OVER (
-           PARTITION BY station_id, CAST(ts AS DATE)
+           PARTITION BY station_id, day
            ORDER BY ts, obs_id) AS day_start
   FROM observations
 ),
@@ -60,10 +59,11 @@ def add_rain_state(df: DataFrame) -> DataFrame:
     obs-shaped DataFrame (station_id, ts, obs_id, rain_counter_mm,
     rain_sensor_ts). DataFrame mirror of the rain_base/rain_state CTEs."""
     w_day = Window.partitionBy("station_id", "day").orderBy("ts", "obs_id")
+    if "day" not in df.columns:  # obs substrate already carries day
+        df = df.withColumn("day", F.to_date("ts"))
     base = (
         df.withColumn("r", F.col("rain_counter_mm"))
-        .withColumn("day", F.to_date("ts"))
-        .withColumn("fresh", F.to_date("rain_sensor_ts") == F.to_date("ts"))
+        .withColumn("fresh", F.to_date("rain_sensor_ts") == F.col("day"))
         .withColumn("day_start", F.first("r").over(w_day))
     )
     return base.withColumn(
@@ -128,7 +128,7 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no previous row (prev_r NULL, delta 0) — exactly the day-reset
     semantics."""
     df = observations(tune(spark), sf_dir)
-    w = Window.partitionBy("station_id", F.to_date("ts")).orderBy("ts", "obs_id")
+    w = Window.partitionBy("station_id", "day").orderBy("ts", "obs_id")
     prev_r = F.lag("rain_counter_mm").over(w)
     return df.select(
         "station_id",
@@ -143,10 +143,10 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WIN_LAG = f"""{_CTE}
 SELECT station_id, obs_id, rain_counter_mm AS r,
-       LAG(rain_counter_mm) OVER (PARTITION BY station_id, CAST(ts AS DATE)
+       LAG(rain_counter_mm) OVER (PARTITION BY station_id, day
                                   ORDER BY ts, obs_id) AS prev_r,
        rain_counter_mm - COALESCE(
-         LAG(rain_counter_mm) OVER (PARTITION BY station_id, CAST(ts AS DATE)
+         LAG(rain_counter_mm) OVER (PARTITION BY station_id, day
                                     ORDER BY ts, obs_id),
          rain_counter_mm) AS delta_r
 FROM observations
