@@ -454,3 +454,250 @@ WHERE rnk <= {_TFIDF_TOP}
 """
 
 QUERIES["q_tfidf"] = (q_tfidf, ORACLE_TFIDF)
+
+
+# --- q_kmeans_step: one exact-integer Lloyd iteration ------------------------
+#
+# The clustering primitive behind IVF index builds and corpus
+# bucketing: assign every vector to its nearest seeded centroid by
+# exact squared-L2 over fixed-point BIGINTs (components <= 1e6, so
+# 64 * (2e6)^2 < 2^53 — no overflow, no float drift), then emit the
+# per-(cluster, dim) integer sums that ARE the next centroids.
+
+_K_CLUSTERS = 5
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embeddings corpus: seeds =
+    vectors 0..k-1, output = (cid, d, n_members, sum_fp, mean_fp) —
+    the updated centroid table.
+
+    Scale: the k seed centroids broadcast (tiny); assignment is a
+    map-side zip_with distance + per-vector top-1 window (k rows per
+    vector, never corpus x corpus); the update is a partial-aggregated
+    (cid, dim) integer sum — exactly the shape of a 1000-executor
+    k-means on 100 TB of vectors, minus the driver-side loop that
+    would iterate it to convergence."""
+    from metoffice_spark.operators.llm import _ivec_spark
+
+    emb = load(tune(spark), sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+    cent = (
+        base.filter(F.col("vec_id") < _K_CLUSTERS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, p) -> acc + p)"
+    )
+    pairs = base.crossJoin(F.broadcast(cent)).select("vec_id", "cid", "v", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    return (
+        assigned.select("cid", F.posexplode("v").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(F.count("*").alias("n_members"), F.sum("x").alias("sum_fp"))
+        .select(
+            "cid",
+            "d",
+            "n_members",
+            "sum_fp",
+            (F.col("sum_fp").cast("double") / F.col("n_members").cast("double")).alias(
+                "mean_fp"
+            ),
+        )
+    )
+
+
+def _oracle_kmeans() -> str:
+    from metoffice_spark.operators.llm import _ivec_duck
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}
+),
+pairs AS (
+  SELECT b.vec_id, c.cid, b.v,
+         list_aggregate(list_transform(range(1, len(b.v) + 1),
+           i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])), 'sum') AS d2
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+exploded AS (
+  SELECT a.cid, CAST(i - 1 AS INT) AS d, a.v[CAST(i AS INT)] AS x
+  FROM assigned a CROSS JOIN range(1, 65) t(i)
+)
+SELECT cid, d, count(*) AS n_members,
+       CAST(sum(x) AS BIGINT) AS sum_fp,
+       CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_fp
+FROM exploded
+GROUP BY cid, d
+"""
+
+
+QUERIES["q_kmeans_step"] = (q_kmeans_step, _oracle_kmeans())
+
+
+# --- q_shard_assign: deterministic training-shard assignment -----------------
+#
+# The "global shuffle" stage of batch assembly, in its scale-correct
+# form: shard = f(md5(seed || doc_id)) directly — balanced in
+# expectation with NO global row_number (a single total-order sort is
+# the classic 100 TB serialization point). Within-shard position comes
+# from a per-shard window (N_SHARDS parallel sorts).
+
+_N_SHARDS = 8
+_SHARD_SEED = "SH1"
+_NIBBLES = "0123456789abcdef"
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of N_SHARDS training shards by
+    digest, and report per-shard balance: doc count, token total, and
+    the first/last digest anchors of the shard's internal order."""
+    docs = load(tune(spark), sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SHARD_SEED + "|"), F.col("doc_id").cast("string")))
+    v = F.expr(
+        f"(locate(substring(h, 1, 1), '{_NIBBLES}') - 1) * 16"
+        f" + (locate(substring(h, 2, 1), '{_NIBBLES}') - 1)"
+    )
+    base = (
+        _spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"size({TOKS_SPARK.format(col='text')})").cast("bigint").alias("n_toks"),
+            h.alias("h"),
+        )
+        .withColumn("shard", (v % _N_SHARDS).cast("int"))
+    )
+    return (
+        base.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("toks_total"),
+            F.min("h").alias("first_digest"),
+            F.max("h").alias("last_digest"),
+        )
+    )
+
+
+ORACLE_SHARD_ASSIGN = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKS_DUCK.format(col="text")}) AS BIGINT) AS n_toks,
+         md5('{_SHARD_SEED}|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+sharded AS (
+  SELECT *,
+         CAST(((strpos('{_NIBBLES}', substring(h, 1, 1)) - 1) * 16
+               + (strpos('{_NIBBLES}', substring(h, 2, 1)) - 1))
+              % {_N_SHARDS} AS INT) AS shard
+  FROM base
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS toks_total,
+       min(h) AS first_digest,
+       max(h) AS last_digest
+FROM sharded
+GROUP BY shard
+"""
+
+QUERIES["q_shard_assign"] = (q_shard_assign, ORACLE_SHARD_ASSIGN)
+
+
+# --- q_mix_rebalance: corpus mixture rebalancing -----------------------------
+#
+# Downsample every language stratum to the minority stratum's size
+# (the uniform-mixture target) with a DETERMINISTIC Bernoulli: keep a
+# doc iff its 6-nibble digest prefix is lexicographically below the
+# per-lang threshold hex(floor(n_min * 16^6 / n_lang)). All threshold
+# arithmetic is exact integer division, so both engines draw the
+# identical sample.
+
+_MIX_SEED = "MIX1"
+_MIX_RES = 16_777_216  # 16^6
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang mixture rebalance report: corpus count, integer keep
+    threshold, kept count, and achieved-vs-target ratio.
+
+    Scale: one count-by-lang aggregate (broadcast back — #langs rows),
+    then a map-only keep decision per row; no sort, no sampling state,
+    rerunnable on any cluster size with an identical result."""
+    docs = load(tune(spark), sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"(n_min * {_MIX_RES}) div n_docs").alias("thr"),
+    )
+    h6 = F.substring(
+        F.md5(F.concat(F.lit(_MIX_SEED + "|"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    # thr == 16^6 exactly for the minority lang (keep-all): its hex is
+    # 7 digits and lpad-to-6 would truncate, so keep-all is explicit
+    thr_hex = F.lower(F.lpad(F.expr("hex(thr)"), 6, "0"))
+    kept = (
+        docs.select("doc_id", "lang", h6.alias("h6"))
+        .join(F.broadcast(thr), "lang")
+        .withColumn("keep", (F.col("thr") >= _MIX_RES) | (F.col("h6") < thr_hex))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("thr").alias("thr"),
+            F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "thr",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+    )
+
+
+ORACLE_MIX_REBALANCE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+thr AS (
+  SELECT lang, n_docs,
+         (SELECT min(n_docs) FROM counts) * {_MIX_RES} // n_docs AS thr
+  FROM counts
+),
+kept AS (
+  SELECT d.lang, t.n_docs, t.thr,
+         t.thr >= {_MIX_RES}
+         OR substring(md5('{_MIX_SEED}|' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+            < lower(lpad(printf('%x', t.thr), 6, '0')) AS keep
+  FROM documents d JOIN thr t ON d.lang = t.lang
+)
+SELECT lang, max(n_docs) AS n_docs, max(thr) AS thr,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(max(n_docs) AS DOUBLE) AS kept_frac
+FROM kept
+GROUP BY lang
+"""
+
+QUERIES["q_mix_rebalance"] = (q_mix_rebalance, ORACLE_MIX_REBALANCE)

@@ -104,6 +104,9 @@ _PRIORITY = (
     "q_contamination_ngram",
     "q_sample_stratified",
     "q_tfidf",
+    "q_kmeans_step",
+    "q_shard_assign",
+    "q_mix_rebalance",
 )
 
 

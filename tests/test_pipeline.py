@@ -102,6 +102,55 @@ def test_tfidf_prefers_rare_terms(spark, sf_smoke):
             assert r.df >= 1
 
 
+def test_kmeans_step_partitions_corpus(spark, sf_smoke):
+    """Each (cluster, dim) row carries the cluster's member count; the
+    counts are constant across dims of one cluster and sum to the
+    corpus size, and every seed vector lands in its own cluster
+    (distance 0 to itself)."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.pipeline import _K_CLUSTERS, q_kmeans_step
+
+    rows = q_kmeans_step(spark, sf_smoke).collect()
+    n_vecs = load(spark, sf_smoke, "embeddings").count()
+    assert len(rows) == _K_CLUSTERS * 64
+    per_cid: dict = {}
+    for r in rows:
+        per_cid.setdefault(r.cid, set()).add(r.n_members)
+    assert set(per_cid) == set(range(_K_CLUSTERS))
+    assert all(len(s) == 1 for s in per_cid.values())
+    assert sum(next(iter(s)) for s in per_cid.values()) == n_vecs
+    assert all(r.mean_fp == r.sum_fp / r.n_members for r in rows)
+
+
+def test_shard_assign_covers_and_balances(spark, sf_smoke):
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.pipeline import _N_SHARDS, q_shard_assign
+
+    rows = q_shard_assign(spark, sf_smoke).collect()
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.shard for r in rows} == set(range(_N_SHARDS))
+    # digest-based assignment: no shard more than 2x the uniform share
+    assert max(r.n_docs for r in rows) <= 2 * (n_docs / _N_SHARDS)
+
+
+def test_mix_rebalance_downsamples_to_minority(spark, sf_smoke):
+    from metoffice_spark.operators.pipeline import _MIX_RES, q_mix_rebalance
+
+    rows = q_mix_rebalance(spark, sf_smoke).collect()
+    n_min = min(r.n_docs for r in rows)
+    for r in rows:
+        if r.n_docs == n_min:
+            assert r.thr >= _MIX_RES and r.n_kept == r.n_docs  # keep-all
+        else:
+            # Bernoulli(n_min/n_docs): expect within 5 sigma of target
+            import math
+
+            p = r.thr / _MIX_RES
+            sigma = math.sqrt(r.n_docs * p * (1 - p))
+            assert abs(r.n_kept - r.n_docs * p) <= 5 * sigma + 1
+
+
 def test_quality_gopher_flags_repetitive_doc(spark):
     from metoffice_spark.operators.pipeline import q_quality_gopher
 
