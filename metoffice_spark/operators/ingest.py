@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -33,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from metoffice_spark.functions import weather as W
+from metoffice_spark.io import load
 from metoffice_spark.obs import (
     MAST_HEIGHT_M,
     SITE_ALTITUDE_M,
@@ -428,10 +431,61 @@ FROM pages
 """
 
 
+# --- q_sink_partitioned: partitioned parquet sink + pruned read-back --------
+
+# Completed sink roots; the most recent is kept because the returned
+# DataFrame lazily re-reads it (same discipline as streaming replays).
+_SINK_ROOTS: list[str] = []
+
+
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned parquet sink and partition-pruned
+    read-back: write ``documents`` partitioned by ``lang``, read it
+    back filtered to one lang, and aggregate per source.
+
+    This is the 100 TB table-layout primitive: at scale the write is
+    the date/lang-partitioned lake table and the read-back proves the
+    filter becomes a PartitionFilter (directory pruning — the scan
+    never opens the other partitions' files; locked by
+    tests/test_plans.py). The aggregate result equals the plain
+    filtered aggregate, which is what the oracle checks."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "metoffice_sink")
+    for stale in _SINK_ROOTS[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    del _SINK_ROOTS[: max(0, len(_SINK_ROOTS) - 1)]
+    root = os.path.join(base, uuid.uuid4().hex[:12])
+    docs.write.partitionBy("lang").mode("overwrite").parquet(root)
+    _SINK_ROOTS.append(root)
+    back = spark.read.parquet(root).filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_total"),
+        )
+    )
+
+
+ORACLE_SINK_PARTITIONED = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
     "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
     "q_fn_str_locate": (q_fn_str_locate, ORACLE_FN_STR_LOCATE),
     "q_sink_http_form": (q_sink_http_form, ORACLE_SINK_HTTP_FORM),
     "q_sink_error_alert": (q_sink_error_alert, ORACLE_SINK_ERROR_ALERT),
+    "q_sink_partitioned": (q_sink_partitioned, ORACLE_SINK_PARTITIONED),
 }

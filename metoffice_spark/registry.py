@@ -107,6 +107,7 @@ _PRIORITY = (
     "q_kmeans_step",
     "q_shard_assign",
     "q_mix_rebalance",
+    "q_sink_partitioned",
 )
 
 

@@ -122,3 +122,35 @@ def test_olap_parts_suppliers_uses_anti_join(spark, sf_smoke):
 
     plan = _plan(q_olap_parts_suppliers(spark, sf_smoke))
     assert "LeftAnti" in plan
+
+
+def test_sink_partitioned_read_back_prunes_partitions(spark, sf_smoke):
+    """The lang filter on the partitioned read-back must become a
+    PartitionFilter (directory pruning), never a data filter — at
+    100 TB this is the difference between opening one partition's
+    files and scanning the lake."""
+    from metoffice_spark.operators.ingest import q_sink_partitioned
+
+    plan = _plan(q_sink_partitioned(spark, sf_smoke))
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PartitionFilters: [isnotnull(lang" in scan
+    assert "DataFilters: []" in scan
+
+
+def test_obs_substrate_single_full_data_exchange(spark, sf_smoke):
+    """The substrate + rain-state window stack must share ONE full-data
+    exchange and sort: day is exposed by the substrate so downstream
+    (station, day) windows reuse its partitioning (round-3 fix — a
+    recomputed to_date(ts) used to force a second whole-surface
+    shuffle)."""
+    from metoffice_spark.operators.rain import _rain_state
+
+    plan = _plan(_rain_state(spark, sf_smoke))
+    full = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "station_id" in ln and "day" in ln
+    ]
+    # one (station, day) exchange over events + one over the tiny
+    # day_tot aggregate — never a third for the rain-state windows
+    assert len(full) <= 2, full
