@@ -108,6 +108,7 @@ _PRIORITY = (
     "q_shard_assign",
     "q_mix_rebalance",
     "q_sink_partitioned",
+    "q_join_bucketed",
 )
 
 

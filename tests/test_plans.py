@@ -154,3 +154,18 @@ def test_obs_substrate_single_full_data_exchange(spark, sf_smoke):
     # one (station, day) exchange over events + one over the tiny
     # day_tot aggregate — never a third for the rain-state windows
     assert len(full) <= 2, full
+
+
+def test_join_bucketed_has_no_join_key_exchange(spark, sf_smoke):
+    """Both sides are bucketed by orderkey into the same bucket count,
+    so the sort-merge join must read co-located bucket files with NO
+    exchange — the only shuffle in the plan is the final group-by."""
+    import re
+
+    from metoffice_spark.operators.relational import q_join_bucketed
+
+    plan = _plan(q_join_bucketed(spark, sf_smoke))
+    assert "SortMergeJoin" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert all("orderkey" not in k for k in keys), keys
+    assert len(keys) == 1, keys  # the o_orderpriority aggregation only
