@@ -701,3 +701,113 @@ GROUP BY lang
 """
 
 QUERIES["q_mix_rebalance"] = (q_mix_rebalance, ORACLE_MIX_REBALANCE)
+
+
+# --- q_pipeline_e2e: the full curation chain as ONE declarative plan ---------
+#
+# quality filter -> exact dedup -> mixture rebalance -> shard assign,
+# chained the way a production curation job runs them. Each stage
+# reuses the standalone operator's exact expressions (and the oracle
+# embeds the standalone oracle texts as CTEs), so the composite is
+# provably the composition of its parts.
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: Gopher-keep docs, dedup them exactly
+    (min-id winner per normalized digest), rebalance the survivors to
+    the minority lang's size, assign training shards, and report
+    per-shard (n_docs, toks_total).
+
+    Scale: every stage keeps its standalone shape — the chain is one
+    logical plan, so Catalyst pipelines the map-side stages and the
+    only shuffles are the three aggregates (token stats, digest
+    groups, shard stats) plus one broadcast of the per-lang
+    thresholds. Nothing is re-scanned: the document body is read once
+    and leaves the scan only as digests and counts."""
+    from metoffice_spark.operators.llm import NORM_SPARK
+
+    spark = tune(spark)
+    g = q_quality_gopher(spark, sf_dir).filter("keep").select("doc_id", "lang", "n_tokens")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.expr(NORM_SPARK), 256).alias("k")
+    )
+    winners = (
+        g.join(docs, "doc_id")
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    counts = winners.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang", F.expr(f"(n_min * {_MIX_RES}) div n_docs").alias("thr")
+    )
+    h6 = F.substring(
+        F.md5(F.concat(F.lit(_MIX_SEED + "|"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    thr_hex = F.lower(F.lpad(F.expr("hex(thr)"), 6, "0"))
+    kept = (
+        winners.join(F.broadcast(thr), "lang")
+        .withColumn("h6", h6)
+        .filter((F.col("thr") >= _MIX_RES) | (F.col("h6") < thr_hex))
+    )
+    hs = F.md5(F.concat(F.lit(_SHARD_SEED + "|"), F.col("doc_id").cast("string")))
+    shard = F.expr(
+        f"cast(((locate(substring(hs, 1, 1), '{_NIBBLES}') - 1) * 16"
+        f" + (locate(substring(hs, 2, 1), '{_NIBBLES}') - 1)) % {_N_SHARDS} as int)"
+    )
+    return (
+        kept.withColumn("hs", hs)
+        .withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("toks_total"),
+        )
+    )
+
+
+def _oracle_pipeline_e2e() -> str:
+    from metoffice_spark.operators.llm import NORM_DUCK
+
+    return f"""
+WITH gq AS ({ORACLE_QUALITY_GOPHER}),
+winners AS (
+  SELECT min(g.doc_id) AS doc_id,
+         min_by(g.lang, g.doc_id) AS lang,
+         min_by(g.n_tokens, g.doc_id) AS n_tokens
+  FROM gq g JOIN (SELECT doc_id, sha256({NORM_DUCK}) AS k FROM documents) d
+    ON g.doc_id = d.doc_id
+  WHERE g.keep
+  GROUP BY d.k
+),
+counts AS (
+  SELECT lang, count(*) AS n_docs FROM winners GROUP BY lang
+),
+thr AS (
+  SELECT lang, (SELECT min(n_docs) FROM counts) * {_MIX_RES} // n_docs AS thr
+  FROM counts
+),
+kept AS (
+  SELECT w.*,
+         md5('{_SHARD_SEED}|' || CAST(w.doc_id AS VARCHAR)) AS hs
+  FROM winners w JOIN thr t ON w.lang = t.lang
+  WHERE t.thr >= {_MIX_RES}
+     OR substring(md5('{_MIX_SEED}|' || CAST(w.doc_id AS VARCHAR)), 1, 6)
+        < lower(lpad(printf('%x', t.thr), 6, '0'))
+)
+SELECT CAST(((strpos('{_NIBBLES}', substring(hs, 1, 1)) - 1) * 16
+             + (strpos('{_NIBBLES}', substring(hs, 2, 1)) - 1))
+            % {_N_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS toks_total
+FROM kept
+GROUP BY 1
+"""
+
+
+QUERIES["q_pipeline_e2e"] = (q_pipeline_e2e, _oracle_pipeline_e2e())

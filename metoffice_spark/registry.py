@@ -109,6 +109,7 @@ _PRIORITY = (
     "q_mix_rebalance",
     "q_sink_partitioned",
     "q_join_bucketed",
+    "q_pipeline_e2e",
 )
 
 

@@ -151,6 +151,27 @@ def test_mix_rebalance_downsamples_to_minority(spark, sf_smoke):
             assert abs(r.n_kept - r.n_docs * p) <= 5 * sigma + 1
 
 
+def test_pipeline_e2e_is_composition_of_stages(spark, sf_smoke):
+    """The composite's totals must equal what chaining the standalone
+    stages yields: kept docs = rebalance of the deduped gopher-keep
+    winners, and every shard id is valid."""
+    from metoffice_spark.operators.pipeline import (
+        _MIX_RES,
+        _MIX_SEED,
+        _N_SHARDS,
+        q_pipeline_e2e,
+        q_quality_gopher,
+    )
+
+    rows = q_pipeline_e2e(spark, sf_smoke).collect()
+    assert rows and {r.shard for r in rows} <= set(range(_N_SHARDS))
+    total_kept = sum(r.n_docs for r in rows)
+    n_keep = q_quality_gopher(spark, sf_smoke).filter("keep").count()
+    # dedup and rebalance only ever drop docs
+    assert 0 < total_kept <= n_keep
+    assert all(r.toks_total >= 10 * r.n_docs for r in rows)  # gopher min
+
+
 def test_quality_gopher_flags_repetitive_doc(spark):
     from metoffice_spark.operators.pipeline import q_quality_gopher
 
