@@ -811,3 +811,111 @@ GROUP BY 1
 
 
 QUERIES["q_pipeline_e2e"] = (q_pipeline_e2e, _oracle_pipeline_e2e())
+
+
+# --- q_kmeans_train: 3 unrolled Lloyd iterations -----------------------------
+#
+# The iterative companion to q_kmeans_step: the driver-side Python
+# loop appends iterations to ONE logical plan (no collect between
+# rounds), and each round's centroid is the exact truncated-integer
+# mean (sum div n — `div` and DuckDB `//` both truncate toward zero,
+# verified), so every iteration stays bitwise cross-engine and the
+# whole unrolled computation is SQL-expressible for the oracle.
+
+_TRAIN_ITERS = 3
+
+_D2_SPARK = (
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, p) -> acc + p)"
+)
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations over the embeddings corpus; output = the
+    final centroid table (cid, d, n_members, c_fp).
+
+    Scale: per iteration one broadcast (k centroids), one map-side
+    distance + top-1 window (k rows per vector), one (cid, dim)
+    integer-sum shuffle. The loop is plan construction only — nothing
+    materializes until the final aggregate, and at 100 TB each
+    iteration would checkpoint its (k x dim) centroid table instead
+    (tiny), keeping lineage bounded."""
+    from metoffice_spark.operators.llm import _ivec_spark
+
+    emb = load(tune(spark), sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+    cent = (
+        base.filter(F.col("vec_id") < _K_CLUSTERS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    upd = None
+    for _ in range(_TRAIN_ITERS):
+        pairs = base.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", "v", F.expr(_D2_SPARK).alias("d2")
+        )
+        assigned = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        )
+        cent = (
+            upd.withColumn("m", F.expr("s div n"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("ds"))
+            .select("cid", F.expr("transform(ds, p -> p.m)").alias("c"))
+        )
+    return upd.select(
+        "cid",
+        "d",
+        F.col("n").alias("n_members"),
+        F.expr("s div n").alias("c_fp"),
+    )
+
+
+def _oracle_kmeans_train() -> str:
+    from metoffice_spark.operators.llm import _ivec_duck
+
+    d2 = (
+        "list_aggregate(list_transform(range(1, len(b.v) + 1),"
+        " i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])), 'sum')"
+    )
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}
+)"""
+    ]
+    for i in range(1, _TRAIN_ITERS + 1):
+        parts.append(f""",
+asg{i} AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT b.vec_id, c.cid, b.v,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM base b CROSS JOIN cent{i - 1} c
+  ) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT a.cid, CAST(i - 1 AS INT) AS d, count(*) AS n,
+         CAST(sum(a.v[CAST(i AS INT)]) AS BIGINT) AS s
+  FROM asg{i} a CROSS JOIN range(1, 65) t(i)
+  GROUP BY a.cid, i
+),
+cent{i} AS (
+  SELECT cid, list(s // n ORDER BY d) AS c FROM upd{i} GROUP BY cid
+)""")
+    parts.append(f"""
+SELECT cid, d, n AS n_members, s // n AS c_fp FROM upd{_TRAIN_ITERS}
+""")
+    return "".join(parts)
+
+
+QUERIES["q_kmeans_train"] = (q_kmeans_train, _oracle_kmeans_train())

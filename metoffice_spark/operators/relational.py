@@ -1255,3 +1255,61 @@ GROUP BY o.o_orderpriority
 """
 
 QUERIES["q_join_bucketed"] = (q_join_bucketed, ORACLE_JOIN_BUCKETED)
+
+
+# --- q_agg_histogram: deterministic equi-width histogram + CDF ---------------
+#
+# The oracle-checkable stand-in for approx-quantile sketches: fixed
+# 1 m/s bins over windspeed (bin = floor(x), exact on IEEE doubles in
+# both engines), per-station counts, and a fixed-point cumulative
+# distribution. Partial-aggregatable (bin counts merge by +), and the
+# CDF window runs over <= 20 bins per station — nothing scales with
+# row count past the first aggregate.
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metoffice_spark.obs import observations
+
+    obs = observations(tune(spark), sf_dir)
+    binned = obs.select(
+        "station_id", F.floor("windspeed_ms").cast("int").alias("bin")
+    )
+    counts = binned.groupBy("station_id", "bin").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("station_id")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("station_id")
+    return (
+        counts.withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        .withColumn("total", F.sum("n").over(tot).cast("bigint"))
+        .select(
+            "station_id",
+            "bin",
+            "n",
+            "cum_n",
+            F.expr("(cast(1000000 as bigint) * cum_n) div total").alias("cdf_ppm"),
+        )
+    )
+
+
+from metoffice_spark.obs import oracle_cte as _hist_cte  # noqa: E402
+
+ORACLE_AGG_HISTOGRAM = f"""{_hist_cte()},
+counts AS (
+  SELECT station_id, CAST(floor(windspeed_ms) AS INT) AS bin, count(*) AS n
+  FROM observations GROUP BY 1, 2
+)
+SELECT station_id, bin, n,
+       CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_n,
+       (1000000 * CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT))
+         // CAST(sum(n) OVER (PARTITION BY station_id) AS BIGINT) AS cdf_ppm
+FROM counts
+"""
+
+QUERIES["q_agg_histogram"] = (q_agg_histogram, ORACLE_AGG_HISTOGRAM)

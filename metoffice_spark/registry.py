@@ -110,6 +110,8 @@ _PRIORITY = (
     "q_sink_partitioned",
     "q_join_bucketed",
     "q_pipeline_e2e",
+    "q_agg_histogram",
+    "q_kmeans_train",
 )
 
 

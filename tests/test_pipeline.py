@@ -122,6 +122,30 @@ def test_kmeans_step_partitions_corpus(spark, sf_smoke):
     assert all(r.mean_fp == r.sum_fp / r.n_members for r in rows)
 
 
+def test_kmeans_train_refines_partition(spark, sf_smoke):
+    """After 3 rounds: full corpus still partitioned across the k
+    clusters, and the round-3 assignment differs from round-1's
+    (the seeds move — training actually refined something)."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.pipeline import (
+        _K_CLUSTERS,
+        q_kmeans_step,
+        q_kmeans_train,
+    )
+
+    rows = q_kmeans_train(spark, sf_smoke).collect()
+    n_vecs = load(spark, sf_smoke, "embeddings").count()
+    assert len(rows) == _K_CLUSTERS * 64
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.cid, r.n_members)
+    assert sum(sizes.values()) == n_vecs
+    step_sizes = {
+        r.cid: r.n_members for r in q_kmeans_step(spark, sf_smoke).collect() if r.d == 0
+    }
+    assert sizes != step_sizes  # rounds 2-3 moved at least one vector
+
+
 def test_shard_assign_covers_and_balances(spark, sf_smoke):
     from metoffice_spark.io import load
     from metoffice_spark.operators.pipeline import _N_SHARDS, q_shard_assign
