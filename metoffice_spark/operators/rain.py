@@ -381,3 +381,79 @@ SELECT '1d' AS level, * FROM b1d
 """
 
 QUERIES["q_rollup_hypertable"] = (q_rollup_hypertable, ORACLE_ROLLUP_HYPERTABLE)
+
+
+# --- q_ts_gapfill: 15-minute grid gap-filling + LOCF -------------------------
+#
+# The hypertable gap-fill / locf pair: materialize the complete
+# 15-minute grid between each station's first and last bucket,
+# left-join the observed bucket aggregates, and carry the last
+# observed counter forward across gaps. The reference's spreadsheet
+# implicitly assumes a complete 15-min cadence (MWC:34-39); this is
+# the operator that makes that assumption explicit and repairable.
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-complete per-station 15-min series: is_gap flag, zero-fill
+    for counts, last-observation-carried-forward for the rain counter.
+
+    Scale: the grid is stations x slots (generated, never scanned —
+    explode of one sequence per station); the join is keyed on
+    (station, bucket) exactly like the rollup levels; the LOCF window
+    sorts grid rows only (96/day/station). Nothing here scales with
+    raw row count past the first bucket aggregate."""
+    obs = observations(tune(spark), sf_dir)
+    b15 = (
+        obs.groupBy(F.col("station_id"), F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_obs"), F.max("rain_counter_mm").alias("r_max"))
+        .select("station_id", F.col("w.start").alias("bucket"), "n_obs", "r_max")
+    )
+    bounds = b15.groupBy("station_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "station_id",
+        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("station_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(b15, ["station_id", "bucket"], "left")
+        .select(
+            "station_id",
+            "bucket",
+            F.col("n_obs").isNull().alias("is_gap"),
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            F.last("r_max", ignorenulls=True).over(w).alias("r_locf"),
+        )
+    )
+
+
+ORACLE_TS_GAPFILL = f"""{_CTE},
+b15 AS (
+  SELECT station_id,
+         time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS bucket,
+         count(*) AS n_obs, max(rain_counter_mm) AS r_max
+  FROM observations GROUP BY 1, 2
+),
+bounds AS (
+  SELECT station_id, min(bucket) AS lo, max(bucket) AS hi FROM b15 GROUP BY 1
+),
+grid AS (
+  SELECT station_id, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+  FROM bounds
+)
+SELECT g.station_id, g.bucket,
+       b.n_obs IS NULL AS is_gap,
+       CAST(COALESCE(b.n_obs, 0) AS BIGINT) AS n_obs,
+       last_value(b.r_max IGNORE NULLS) OVER (
+         PARTITION BY g.station_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_locf
+FROM grid g LEFT JOIN b15 b
+  ON g.station_id = b.station_id AND g.bucket = b.bucket
+"""
+
+QUERIES["q_ts_gapfill"] = (q_ts_gapfill, ORACLE_TS_GAPFILL)

@@ -112,6 +112,7 @@ _PRIORITY = (
     "q_pipeline_e2e",
     "q_agg_histogram",
     "q_kmeans_train",
+    "q_ts_gapfill",
 )
 
 
