@@ -1,0 +1,363 @@
+"""Scale-technique operators: the distributed-execution patterns a
+100 TB deployment leans on, each expressed as an oracle-checkable
+query so the technique itself is under the correctness gate.
+
+- q_incr_agg        incremental aggregate maintenance (base + delta
+                    partials merged == full recompute)
+- q_topk_twophase   skew-safe per-group top-k (salted partial top-k,
+                    then global re-rank of the survivors)
+- q_join_bloom      Bloom-filter pre-filtered semi-join (k broadcast
+                    bit-tests ANDed map-side before the exact join)
+- q_sketch_cms      Count-Min sketch frequency estimates vs exact
+                    counts for the heavy hitters
+
+The reference has no analog (pure EXT). Determinism follows the repo
+discipline (llm.py header): md5 is the only "random" source, every
+aggregated quantity is an exact BIGINT (fixed-point via the
+relational._cents convention), and any IEEE divide happens last, on
+exact integer inputs, with the identical expression on both engines.
+
+Scale design (100 TB):
+- incremental agg merges pre-aggregated partials — the delta pipeline
+  never rescans the base corpus, and the merge shuffles #groups rows;
+- two-phase top-k bounds every task's sort at (salt-bucket x k) rows
+  even when one group holds half the table;
+- the Bloom build side is O(m) bits regardless of dim cardinality and
+  probes are map-side broadcast lookups, so the fact table is pruned
+  before the only real join;
+- the CMS is d*w cells however many events stream through it —
+  map-side combine collapses each partition to <= d*w rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.relational import _cents, _cents_sql
+from metoffice_spark.session import tune
+
+QUERIES: dict = {}
+
+_NIBBLES = "0123456789abcdef"
+
+
+def _nib_spark(h: str, i: int) -> str:
+    """0-15 value of hex nibble ``i`` (1-based) of column ``h``."""
+    return f"(locate(substring({h}, {i}, 1), '{_NIBBLES}') - 1)"
+
+
+def _nib_duck(h: str, i: int) -> str:
+    return f"(strpos('{_NIBBLES}', substring({h}, {i}, 1)) - 1)"
+
+
+# --- q_incr_agg: incremental aggregate maintenance ---------------------------
+#
+# The delta-pipeline pattern: yesterday's aggregate is materialized;
+# today only the delta partition is scanned, partially aggregated, and
+# MERGED (sum-of-sums, sum-of-counts, min/max-of-mins/maxes). The
+# oracle is the full recompute — the gate proves merge == batch.
+
+_INCR_CUTOFF = "1997-06-01"
+
+
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate maintained incrementally: partial
+    aggregates over the base (< cutoff shipdate) and the delta
+    (>= cutoff) merged into the full-table result.
+
+    Scale: each side is scanned once with its filter pushed to
+    parquet; the merge shuffles 2 x #groups pre-aggregated rows, so a
+    daily refresh costs the delta scan, never the base rescan."""
+    li = load(tune(spark), sf_dir, "lineitem")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_fp"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_fp"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+
+    merged = (
+        partial(li.filter(F.col("l_shipdate") < cutoff))
+        .unionByName(partial(li.filter(F.col("l_shipdate") >= cutoff)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("qty_fp").cast("bigint").alias("qty_fp"),
+            F.sum("price_fp").cast("bigint").alias("price_fp"),
+            F.min("first_ship").alias("first_ship"),
+            F.max("last_ship").alias("last_ship"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "qty_fp",
+        "price_fp",
+        (F.col("qty_fp") / F.lit(100.0) / F.col("n_rows")).alias("avg_qty"),
+        "first_ship",
+        "last_ship",
+    )
+
+
+# Oracle: the BATCH recompute — merge-of-partials must equal it.
+ORACLE_INCR_AGG = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum({_cents_sql("l_quantity")}) AS BIGINT) AS qty_fp,
+       CAST(sum({_cents_sql("l_extendedprice")}) AS BIGINT) AS price_fp,
+       CAST(sum({_cents_sql("l_quantity")}) AS BIGINT) / 100.0
+         / count(*) AS avg_qty,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["q_incr_agg"] = (q_incr_agg, ORACLE_INCR_AGG)
+
+
+# --- q_topk_twophase: skew-safe per-group top-k ------------------------------
+#
+# l_returnflag has 3 values over the whole table — the degenerate
+# skew case where a plain per-group window serializes a third of the
+# data through one task. Phase 1 ranks within (group, salt) so every
+# task sorts ~1/S of the group; phase 2 re-ranks only the <= S*k
+# survivors. The salt is Spark-internal (any hash works — it never
+# affects the result), so the oracle is the plain window.
+
+_TOPK_K = 5
+_TOPK_SALTS = 16
+
+
+def q_topk_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 line items per return flag by price, computed with a
+    salted two-phase ranking that never sorts a whole group in one
+    task. Total order (price_fp DESC, l_orderkey, l_linenumber) makes
+    the result unique; the salt only bounds intermediate sort size."""
+    li = load(tune(spark), sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_extendedprice")).alias("price_fp"),
+    )
+    order = [F.col("price_fp").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_TOPK_SALTS))
+    )
+    w1 = Window.partitionBy("l_returnflag", "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _TOPK_K)
+        .drop("salt", "rk1")
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _TOPK_K)
+        .select("l_returnflag", "rk", "l_orderkey", "l_linenumber", "price_fp")
+    )
+
+
+ORACLE_TOPK_TWOPHASE = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         {_cents_sql("l_extendedprice")} AS price_fp,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY {_cents_sql("l_extendedprice")} DESC,
+                    l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(rk AS INT) AS rk, l_orderkey, l_linenumber, price_fp
+FROM ranked WHERE rk <= {_TOPK_K}
+"""
+
+QUERIES["q_topk_twophase"] = (q_topk_twophase, ORACLE_TOPK_TWOPHASE)
+
+
+# --- q_join_bloom: Bloom-pre-filtered semi-join ------------------------------
+#
+# Build: the dim side (BUILDING-segment customers) sets k=3 positions
+# in an m=4096-bit filter — position j of a key is the first 3 hex
+# nibbles of md5('BLj|' || key). Probe: an orders row is a CANDIDATE
+# iff all 3 of its positions are set (three broadcast semi-joins
+# against <= m-row position sets — map-side, no shuffle of the fact).
+# Only candidates reach the exact membership join. Both engines
+# compute the identical filter, so the candidate counts (including
+# false positives) are themselves oracle-checked.
+
+_BLOOM_SEG = "BUILDING"
+_BLOOM_K = 3
+
+
+def _pos_spark(seed: str, key: str) -> str:
+    h = f"md5(concat('{seed}|', cast({key} as string)))"
+    return (
+        f"({_nib_spark(h, 1)} * 256 + {_nib_spark(h, 2)} * 16"
+        f" + {_nib_spark(h, 3)})"
+    )
+
+
+def _pos_duck(seed: str, key: str) -> str:
+    h = f"md5('{seed}|' || CAST({key} AS VARCHAR))"
+    return (
+        f"({_nib_duck(h, 1)} * 256 + {_nib_duck(h, 2)} * 16"
+        f" + {_nib_duck(h, 3)})"
+    )
+
+
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-priority: orders passing the 3-hash/4096-bit Bloom
+    pre-filter for BUILDING-segment customers (candidates), the exact
+    matches among them, and the false-positive overshoot.
+
+    Scale: the bit-position sets are bounded by m (4096) rows however
+    large the dim grows, broadcast to every task; the fact side is
+    pruned by ANDed map-side bit-tests before the one exact
+    (also broadcast) join — no shuffle of orders at any point."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == _BLOOM_SEG)
+    orders = load(spark, sf_dir, "orders")
+
+    cand = orders
+    for j in range(_BLOOM_K):
+        bits = cust.select(
+            F.expr(_pos_spark(f"BL{j}", "c_custkey")).alias(f"pos{j}")
+        ).distinct()
+        cand = cand.withColumn(f"pos{j}", F.expr(_pos_spark(f"BL{j}", "o_custkey"))).join(
+            F.broadcast(bits), f"pos{j}", "left_semi"
+        )
+
+    dim_keys = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    flagged = cand.join(
+        F.broadcast(dim_keys.withColumn("matched", F.lit(1))), "o_custkey", "left"
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("matched").alias("n_matches"),
+        (F.count(F.lit(1)) - F.count("matched")).alias("n_false_pos"),
+    )
+
+
+ORACLE_JOIN_BLOOM = f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+),
+cand AS (
+  SELECT o.o_orderpriority, o.o_custkey
+  FROM orders o
+  WHERE {_pos_duck("BL0", "o.o_custkey")} IN
+          (SELECT {_pos_duck("BL0", "c_custkey")} FROM dim)
+    AND {_pos_duck("BL1", "o.o_custkey")} IN
+          (SELECT {_pos_duck("BL1", "c_custkey")} FROM dim)
+    AND {_pos_duck("BL2", "o.o_custkey")} IN
+          (SELECT {_pos_duck("BL2", "c_custkey")} FROM dim)
+)
+SELECT o_orderpriority,
+       count(*) AS n_candidates,
+       count(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+                  THEN 1 END) AS n_matches,
+       count(*) - count(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+                             THEN 1 END) AS n_false_pos
+FROM cand
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q_join_bloom"] = (q_join_bloom, ORACLE_JOIN_BLOOM)
+
+
+# --- q_sketch_cms: Count-Min frequency sketch --------------------------------
+#
+# d=4 hash rows x w=256 columns; cell (j, c) counts events whose
+# user_id maps to column c under hash j (first 2 nibbles of
+# md5('CMSj|' || user_id)). The estimate for an item is the MIN of its
+# d cells — always >= the exact count, and identical on both engines
+# because the sketch construction is deterministic.
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TRACKED = 10
+
+
+def _cms_pos_spark(j: int, key: str) -> str:
+    h = f"md5(concat('CMS{j}|', cast({key} as string)))"
+    return f"({_nib_spark(h, 1)} * 16 + {_nib_spark(h, 2)})"
+
+
+def _cms_pos_duck(j: int, key: str) -> str:
+    h = f"md5('CMS{j}|' || CAST({key} AS VARCHAR))"
+    return f"({_nib_duck(h, 1)} * 16 + {_nib_duck(h, 2)})"
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimate vs exact count for the 10 heaviest event users:
+    (user_id, n_exact, n_est) with n_est = min over the 4 sketch rows.
+
+    Scale: the sketch is d*w = 1024 cells regardless of event volume
+    (map-side combine collapses each input partition to <= 1024 rows
+    before the shuffle); exact counts exist only for the tracked
+    heavy hitters, found via a TakeOrdered top-k, never a global
+    single-partition sort."""
+    ev = load(tune(spark), sf_dir, "events")
+
+    poses = F.array(
+        *[F.expr(_cms_pos_spark(j, "user_id")).cast("int") for j in range(_CMS_D)]
+    )
+    cells = (
+        ev.select(F.posexplode(poses).alias("j", "c"))
+        .groupBy("j", "c")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+
+    tracked = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(_CMS_TRACKED)
+    )
+    est = (
+        tracked.select("user_id", "n_exact", F.posexplode(poses).alias("j", "c"))
+        .join(F.broadcast(cells), ["j", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell_n").cast("bigint").alias("n_est"))
+    )
+    return est.select("user_id", "n_exact", "n_est")
+
+
+_CMS_CELL_UNION = "\nUNION ALL\n".join(
+    f"SELECT {j} AS j, {_cms_pos_duck(j, 'user_id')} AS c, count(*) AS cell_n"
+    f" FROM events GROUP BY 1, 2"
+    for j in range(_CMS_D)
+)
+_CMS_PROBE_UNION = "\nUNION ALL\n".join(
+    f"SELECT user_id, n_exact, {j} AS j, {_cms_pos_duck(j, 'user_id')} AS c"
+    f" FROM tracked"
+    for j in range(_CMS_D)
+)
+
+ORACLE_SKETCH_CMS = f"""
+WITH cells AS (
+  {_CMS_CELL_UNION}
+),
+tracked AS (
+  SELECT user_id, count(*) AS n_exact
+  FROM events GROUP BY user_id
+  ORDER BY n_exact DESC, user_id LIMIT {_CMS_TRACKED}
+),
+probes AS (
+  {_CMS_PROBE_UNION}
+)
+SELECT p.user_id, p.n_exact,
+       CAST(min(cells.cell_n) AS BIGINT) AS n_est
+FROM probes p JOIN cells ON p.j = cells.j AND p.c = cells.c
+GROUP BY p.user_id, p.n_exact
+"""
+
+QUERIES["q_sketch_cms"] = (q_sketch_cms, ORACLE_SKETCH_CMS)

@@ -35,6 +35,7 @@ _MODULES = (
     "udf",
     "streaming_batch",
     "pipeline",
+    "scale",
 )
 
 # qids registered first, in this order (driver checks the first 50).
@@ -113,6 +114,11 @@ _PRIORITY = (
     "q_agg_histogram",
     "q_kmeans_train",
     "q_ts_gapfill",
+    # round-3 scale-technique qids (scale.py)
+    "q_incr_agg",
+    "q_topk_twophase",
+    "q_join_bloom",
+    "q_sketch_cms",
 )
 
 
