@@ -457,3 +457,134 @@ FROM grid g LEFT JOIN b15 b
 """
 
 QUERIES["q_ts_gapfill"] = (q_ts_gapfill, ORACLE_TS_GAPFILL)
+
+
+# --- q_ts_interpolate: linear gap interpolation ------------------------------
+#
+# The hypertable `interpolate()` companion to q_ts_gapfill's locf():
+# missing grid buckets get a LINEAR blend of the surrounding observed
+# temperatures instead of a carried-forward constant. Fixed-point
+# endpoints (BIGINT) + epoch-second distances (BIGINT) keep every
+# input to the one IEEE blend exact, so the double result is bitwise
+# identical across engines (repo discipline: IEEE math last, on exact
+# integer inputs, same expression both sides).
+
+
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-complete per-station 15-min temperature series with
+    linear interpolation across gaps: observed buckets keep their own
+    value; gap buckets blend the previous/next observed endpoints by
+    elapsed-time fraction.
+
+    Scale: identical shape to q_ts_gapfill — grid generated, join
+    keyed (station, bucket), and the endpoint carry is two window
+    passes over grid rows (96/day/station), one forward and one
+    backward, on the SAME (station, bucket) sort order so the second
+    window reuses the first's shuffle. Nothing scales with raw row
+    count past the bucket aggregate."""
+    obs = observations(tune(spark), sf_dir)
+    b15 = (
+        obs.groupBy(F.col("station_id"), F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.max(F.floor(F.col("tempc") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "t_fp"
+            )
+        )
+        .select("station_id", F.col("w.start").alias("bucket"), "t_fp")
+    )
+    bounds = b15.groupBy("station_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "station_id",
+        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
+    )
+    joined = grid.join(b15, ["station_id", "bucket"], "left").withColumn(
+        "t_sec", F.unix_timestamp("bucket")
+    )
+    back = (
+        Window.partitionBy("station_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("station_id")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_sec = F.when(F.col("t_fp").isNotNull(), F.col("t_sec"))
+    filled = joined.select(
+        "station_id",
+        "bucket",
+        "t_fp",
+        "t_sec",
+        F.last("t_fp", ignorenulls=True).over(back).alias("prev_fp"),
+        F.last(obs_sec, ignorenulls=True).over(back).alias("prev_sec"),
+        F.first("t_fp", ignorenulls=True).over(fwd).alias("next_fp"),
+        F.first(obs_sec, ignorenulls=True).over(fwd).alias("next_sec"),
+    )
+    frac = (F.col("t_sec") - F.col("prev_sec")).cast("double") / (
+        F.col("next_sec") - F.col("prev_sec")
+    ).cast("double")
+    blended = (
+        F.col("prev_fp").cast("double")
+        + (F.col("next_fp") - F.col("prev_fp")).cast("double") * frac
+    ) / F.lit(100.0)
+    return filled.select(
+        "station_id",
+        "bucket",
+        F.col("t_fp").isNull().alias("is_gap"),
+        F.when(F.col("t_fp").isNotNull(), F.col("t_fp") / F.lit(100.0))
+        .otherwise(blended)
+        .alias("temp_c"),
+    )
+
+
+ORACLE_TS_INTERPOLATE = f"""{_CTE},
+b15 AS (
+  SELECT station_id,
+         time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS bucket,
+         max(CAST(floor(tempc * 100 + 0.5) AS BIGINT)) AS t_fp
+  FROM observations GROUP BY 1, 2
+),
+bounds AS (
+  SELECT station_id, min(bucket) AS lo, max(bucket) AS hi FROM b15 GROUP BY 1
+),
+grid AS (
+  SELECT station_id, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+  FROM bounds
+),
+joined AS (
+  SELECT g.station_id, g.bucket, b.t_fp,
+         CAST(epoch(g.bucket) AS BIGINT) AS t_sec
+  FROM grid g LEFT JOIN b15 b
+    ON g.station_id = b.station_id AND g.bucket = b.bucket
+),
+filled AS (
+  SELECT station_id, bucket, t_fp, t_sec,
+         last_value(t_fp IGNORE NULLS) OVER (
+           PARTITION BY station_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_fp,
+         last_value(CASE WHEN t_fp IS NOT NULL THEN t_sec END IGNORE NULLS) OVER (
+           PARTITION BY station_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sec,
+         first_value(t_fp IGNORE NULLS) OVER (
+           PARTITION BY station_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fp,
+         first_value(CASE WHEN t_fp IS NOT NULL THEN t_sec END IGNORE NULLS) OVER (
+           PARTITION BY station_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_sec
+  FROM joined
+)
+SELECT station_id, bucket,
+       t_fp IS NULL AS is_gap,
+       CASE WHEN t_fp IS NOT NULL THEN t_fp / 100.0
+            ELSE (CAST(prev_fp AS DOUBLE)
+                  + CAST(next_fp - prev_fp AS DOUBLE)
+                    * (CAST(t_sec - prev_sec AS DOUBLE)
+                       / CAST(next_sec - prev_sec AS DOUBLE))) / 100.0
+       END AS temp_c
+FROM filled
+"""
+
+QUERIES["q_ts_interpolate"] = (q_ts_interpolate, ORACLE_TS_INTERPOLATE)

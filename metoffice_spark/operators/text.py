@@ -412,3 +412,72 @@ WHERE rn <= 30
 """
 
 QUERIES["q_text_vocab"] = (q_text_vocab, ORACLE_TEXT_VOCAB)
+
+
+# --- q_text_chunk: overlapping token-window chunking (RAG prep) --------------
+#
+# Split every document into fixed-size overlapping token windows
+# (size 64, stride 32) — the retrieval-corpus chunking step of a RAG /
+# pretraining pipeline. Chunk boundaries are pure array arithmetic on
+# the token array; the chunk body never leaves the map side (only its
+# md5 fingerprint and token count shuffle if anything downstream
+# aggregates).
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 32
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, chunk): chunk index, token count, and the
+    md5 fingerprint of the space-joined window.
+
+    Scale: map-only — tokenize, generate start offsets with
+    ``sequence``, explode, slice. No shuffle, no Python; at 100 TB
+    this is the embarrassingly parallel stage before embedding."""
+    docs = load(tune(spark), sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(TOKS_SPARK.format(col="text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.expr(f"sequence(0, size(toks) - 1, {_CHUNK_STRIDE})")
+    chunked = base.select(
+        "doc_id",
+        F.col("toks"),
+        F.posexplode(starts).alias("chunk_idx", "s"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"slice(toks, s + 1, {_CHUNK_SIZE})").alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_digest"),
+    )
+
+
+ORACLE_TEXT_CHUNK = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_DUCK.format(col="text")} AS toks FROM documents
+),
+nonempty AS (
+  SELECT doc_id, toks FROM base WHERE len(toks) > 0
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS s
+  FROM nonempty
+),
+chunked AS (
+  SELECT doc_id,
+         CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+         list_slice(toks, s + 1, s + {_CHUNK_SIZE}) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(chunk, ' ')) AS chunk_digest
+FROM chunked
+"""
+
+QUERIES["q_text_chunk"] = (q_text_chunk, ORACLE_TEXT_CHUNK)

@@ -119,6 +119,8 @@ _PRIORITY = (
     "q_topk_twophase",
     "q_join_bloom",
     "q_sketch_cms",
+    "q_ts_interpolate",
+    "q_text_chunk",
 )
 
 
