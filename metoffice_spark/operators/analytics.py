@@ -268,3 +268,228 @@ QUERIES = {
     "q_olap_order_priority": (q_olap_order_priority, ORACLE_OLAP_ORDER_PRIORITY),
     "q_olap_parts_suppliers": (q_olap_parts_suppliers, ORACLE_OLAP_PARTS_SUPPLIERS),
 }
+
+
+# --- Round-3 behavioral-analytics suite: percentiles / funnel / cohorts ------
+#
+# The product-analytics workloads (exact distributed percentiles,
+# ordered event funnels, cohort retention) a warehouse user runs over
+# the events stream. All-new EXT; same integer-exact determinism
+# discipline as above.
+
+from pyspark.sql import Window  # noqa: E402  (module-local extension)
+
+_EPOCH_DAY = "2024-01-01"  # events span 2024-01; week index anchors here
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event type, computed as
+    rank-index selection (percentile_disc semantics): the smallest
+    value whose cumulative count reaches ceil(p*n).
+
+    Scale: one shuffle on event_type; the rank window sorts within a
+    type only (at 100 TB: the two-phase top-k / salted pattern of
+    q_topk_twophase applies verbatim if one type dominates). Index
+    arithmetic is all-integer — ceil(p*n) = (p*n + 99) div 100 —
+    so both engines select the identical row."""
+    ev = load(tune(spark), sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    def pick(p: int):
+        idx = (F.lit(p) * F.col("n") + F.lit(99)) / F.lit(100)
+        return F.max(F.when(F.col("rn") == F.floor(idx).cast("bigint"), F.col("v_fp")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (pick(50) / F.lit(1000.0)).alias("p50"),
+        (pick(90) / F.lit(1000.0)).alias("p90"),
+        (pick(99) / F.lit(1000.0)).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILE_EXACT = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp,
+         row_number() OVER (PARTITION BY event_type ORDER BY
+           CAST(floor(value * 1000 + 0.5) AS BIGINT), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN v_fp END) / 1000.0 AS p50,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN v_fp END) / 1000.0 AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN v_fp END) / 1000.0 AS p99
+FROM ranked
+GROUP BY event_type
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: users who viewed, users who
+    clicked strictly after a view, users who purchased strictly after
+    a qualifying click — "after" in the total per-user event order
+    (ts, event_id), so ties are deterministic.
+
+    Scale: one shuffle on user_id; both window passes share the same
+    (user, ts, event_id) sort, so Spark plans one exchange + one sort;
+    per-user frames are bounded by that user's event count."""
+    ev = load(tune(spark), sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "prior_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(prior),
+    ).withColumn(
+        "click_ok",
+        (F.col("event_type") == "click") & F.col("prior_view").isNotNull(),
+    )
+    s2 = s1.withColumn(
+        "prior_click",
+        F.min(F.when(F.col("click_ok"), F.col("ts"))).over(prior),
+    ).withColumn(
+        "purchase_ok",
+        (F.col("event_type") == "purchase") & F.col("prior_click").isNotNull(),
+    )
+    agg = s2.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view_users"),
+        F.countDistinct(F.when(F.col("click_ok"), F.col("user_id"))).alias(
+            "n_click_users"
+        ),
+        F.countDistinct(F.when(F.col("purchase_ok"), F.col("user_id"))).alias(
+            "n_purchase_users"
+        ),
+    )
+    return agg.select(
+        "n_view_users",
+        "n_click_users",
+        "n_purchase_users",
+        (F.col("n_click_users") / F.col("n_view_users")).alias("click_rate"),
+        (F.col("n_purchase_users") / F.col("n_click_users")).alias("purchase_rate"),
+    )
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         (event_type = 'click' AND prior_view IS NOT NULL) AS click_ok
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         min(CASE WHEN click_ok THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM s2
+),
+agg AS (
+  SELECT
+    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view_users,
+    count(DISTINCT CASE WHEN click_ok THEN user_id END) AS n_click_users,
+    count(DISTINCT CASE WHEN event_type = 'purchase' AND prior_click IS NOT NULL
+                   THEN user_id END) AS n_purchase_users
+  FROM s3
+)
+SELECT n_view_users, n_click_users, n_purchase_users,
+       n_click_users / CAST(n_view_users AS DOUBLE) AS click_rate,
+       n_purchase_users / CAST(n_click_users AS DOUBLE) AS purchase_rate
+FROM agg
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as retained in each later week they were active; week
+    index = days-since-anchor div 7 (pure integer arithmetic).
+
+    Scale: two aggregates shuffling user_id / (user, week) pairs with
+    map-side combine, then a broadcast of the cohort-size table
+    (#weeks rows). No windows, no skew hotspot."""
+    ev = load(tune(spark), sf_dir, "events")
+    week = lambda c: F.expr(f"div(datediff({c}, date'{_EPOCH_DAY}'), 7)")  # noqa: E731
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .select("user_id", week("first_day").cast("int").alias("cohort_week"))
+    )
+    active = (
+        ev.select("user_id", week("to_date(ts)").cast("int").alias("week_idx"))
+        .distinct()
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size").cast("double")).alias("retention"),
+        )
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '{_EPOCH_DAY}', min(CAST(ts AS DATE))) // 7
+              AS INT) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '{_EPOCH_DAY}', CAST(ts AS DATE)) // 7
+              AS INT) AS week_idx
+  FROM events
+),
+cohort_size AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       a.week_idx - f.cohort_week AS offset_weeks,
+       count(*) AS n_active,
+       max(cs.cohort_size) AS cohort_size,
+       count(*) / CAST(max(cs.cohort_size) AS DOUBLE) AS retention
+FROM active a
+JOIN firsts f USING (user_id)
+JOIN cohort_size cs ON cs.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, a.week_idx - f.cohort_week
+"""
+
+QUERIES.update(
+    {
+        "q_percentile_exact": (q_percentile_exact, ORACLE_PERCENTILE_EXACT),
+        "q_funnel_steps": (q_funnel_steps, ORACLE_FUNNEL_STEPS),
+        "q_cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
+    }
+)

@@ -919,3 +919,98 @@ SELECT cid, d, n AS n_members, s // n AS c_fp FROM upd{_TRAIN_ITERS}
 
 
 QUERIES["q_kmeans_train"] = (q_kmeans_train, _oracle_kmeans_train())
+
+
+# --- q_negative_sample: hashed negative sampling (contrastive pairs) ---------
+#
+# For every anchor document, k deterministic "random" negatives drawn
+# by hashing (anchor, slot) into the dense doc_id space [0, N) —
+# the contrastive-training pair generator. No cross join, no global
+# row_number: doc_ids are dense (TESTDATA.md), so the draw is a pure
+# hash mod N and the negative's features arrive via one equi-join.
+
+_NEG_K = 4
+_NEG_RES = 16_777_216  # 16^6 — 6-nibble digest prefix
+
+
+def _hex6_spark(h: str) -> str:
+    terms = " + ".join(
+        f"(locate(substring({h}, {i + 1}, 1), '{_NIBBLES}') - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def _hex6_duck(h: str) -> str:
+    terms = " + ".join(
+        f"(strpos('{_NIBBLES}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor doc_id, slot, negative doc_id, negative's length):
+    negatives are hash-draws over the dense id space, bumped by one
+    (mod N) when the draw hits the anchor itself.
+
+    Scale: slot fan-out is a map-side posexplode (k rows per anchor);
+    the only shuffle is the equi-join fetching the negative's
+    features — co-located if the corpus is bucketed by doc_id. The
+    1-row corpus count broadcasts."""
+    docs = load(tune(spark), sf_dir, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    draws = []
+    for j in range(_NEG_K):
+        h = f"md5(concat('NEG{j}|', cast(doc_id as string)))"
+        draws.append(F.expr(f"{_hex6_spark(h)} % n_docs").cast("bigint"))
+    anchors = (
+        _spread(docs, "doc_id")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.col("n_docs"),
+            F.posexplode(F.array(*draws)).alias("slot", "draw"),
+        )
+        .select(
+            "doc_id",
+            "slot",
+            F.when(F.col("draw") == F.col("doc_id"), (F.col("draw") + 1) % F.col("n_docs"))
+            .otherwise(F.col("draw"))
+            .alias("neg_doc_id"),
+        )
+    )
+    negs = docs.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("n_chars").alias("neg_n_chars"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return anchors.join(negs, "neg_doc_id").select(
+        "doc_id", "slot", "neg_doc_id", "neg_n_chars", "neg_lang"
+    )
+
+
+_NEG_DRAWS_SQL = "\nUNION ALL\n".join(
+    "SELECT doc_id, {j} AS slot, {v} % (SELECT n_docs FROM n1) AS draw FROM documents".format(
+        j=j, v=_hex6_duck(f"md5('NEG{j}|' || CAST(doc_id AS VARCHAR))")
+    )
+    for j in range(_NEG_K)
+)
+
+ORACLE_NEGATIVE_SAMPLE = f"""
+WITH n1 AS (SELECT count(*) AS n_docs FROM documents),
+draws AS (
+  {_NEG_DRAWS_SQL}
+),
+anchors AS (
+  SELECT doc_id, slot,
+         CASE WHEN draw = doc_id THEN (draw + 1) % (SELECT n_docs FROM n1)
+              ELSE draw END AS neg_doc_id
+  FROM draws
+)
+SELECT a.doc_id, a.slot, a.neg_doc_id,
+       d.n_chars AS neg_n_chars, d.lang AS neg_lang
+FROM anchors a JOIN documents d ON a.neg_doc_id = d.doc_id
+"""
+
+QUERIES["q_negative_sample"] = (q_negative_sample, ORACLE_NEGATIVE_SAMPLE)

@@ -361,3 +361,106 @@ GROUP BY p.user_id, p.n_exact
 """
 
 QUERIES["q_sketch_cms"] = (q_sketch_cms, ORACLE_SKETCH_CMS)
+
+
+# --- q_graph_pagerank: iterative PageRank over the order graph ---------------
+#
+# The iterative-graph companion to llm.py's connected components: 3
+# unrolled PageRank rounds over the symmetric customer<->supplier
+# trade graph (an edge per distinct (custkey, suppkey) order line;
+# supplier ids offset by 10000 into a disjoint node range). All
+# arithmetic is exact BIGINT — ranks are fixed-point of 1e12, every
+# divide is a positive integer div — so the trajectory is bitwise
+# identical on both engines (same discipline as q_kmeans_train).
+
+_PR_BASE = 1_000_000_000_000
+_PR_ROUNDS = 3
+_PR_SUPP_OFF = 10_000
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (d=0.85, 3 rounds): (node_id, rank_fp,
+    rank) for every node of the customer-supplier graph.
+
+    Scale: edges build once (distinct pair shuffle) and persist with
+    out-degrees attached; each round is one join keyed on src + one
+    aggregate keyed on dst — shuffles scale with |E|, rounds with
+    graph diameter, and the driver loop only appends to the logical
+    plan (no mid-loop action). The 1-row node-count side crossJoins
+    as a broadcast."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFF).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    from metoffice_spark.session import scoped_persist
+
+    ed = scoped_persist(edges.join(deg, "src"))  # (src, dst, outdeg), reused per round
+
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    base = nodes.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"div({_PR_BASE}, n)").alias("r_init")
+    )
+    r = nodes.crossJoin(F.broadcast(base)).select(
+        "node", F.col("r_init").alias("rank_fp")
+    )
+    for _ in range(_PR_ROUNDS):
+        insum = (
+            r.join(ed, r.node == ed.src)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("div(rank_fp, outdeg)")).alias("in_sum"))
+        )
+        r = insum.crossJoin(F.broadcast(base)).select(
+            F.col("dst").alias("node"),
+            F.expr("div(15 * r_init + 85 * in_sum, 100)").alias("rank_fp"),
+        )
+    return r.select(
+        F.col("node").alias("node_id"),
+        F.col("rank_fp").cast("bigint").alias("rank_fp"),
+        (F.col("rank_fp") / F.lit(float(_PR_BASE))).alias("rank"),
+    )
+
+
+def _pr_round_sql(prev: str, rnd: int) -> str:
+    return f"""r{rnd} AS (
+  SELECT e.dst AS node,
+         (15 * (SELECT r_init FROM base)
+          + 85 * CAST(sum({prev}.rank_fp // e.outdeg) AS BIGINT)) // 100 AS rank_fp
+  FROM {prev} JOIN ed e ON {prev}.node = e.src
+  GROUP BY e.dst
+)"""
+
+
+_PR_ROUNDS_SQL = ",\n".join(_pr_round_sql(f"r{i}", i + 1) for i in range(_PR_ROUNDS))
+
+ORACLE_GRAPH_PAGERANK = f"""
+WITH fwd AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {_PR_SUPP_OFF} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+nodes AS (SELECT DISTINCT src AS node FROM ed),
+base AS (SELECT {_PR_BASE} // count(*) AS r_init FROM nodes),
+r0 AS (SELECT node, (SELECT r_init FROM base) AS rank_fp FROM nodes),
+{_PR_ROUNDS_SQL}
+SELECT node AS node_id,
+       CAST(rank_fp AS BIGINT) AS rank_fp,
+       CAST(rank_fp AS BIGINT) / {float(_PR_BASE)} AS rank
+FROM r{_PR_ROUNDS}
+"""
+
+QUERIES["q_graph_pagerank"] = (q_graph_pagerank, ORACLE_GRAPH_PAGERANK)

@@ -121,6 +121,11 @@ _PRIORITY = (
     "q_sketch_cms",
     "q_ts_interpolate",
     "q_text_chunk",
+    "q_percentile_exact",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_graph_pagerank",
+    "q_negative_sample",
 )
 
 

@@ -1,0 +1,61 @@
+"""Semantic tests for the behavioral-analytics suite (percentile /
+funnel / retention), PageRank, and negative sampling."""
+
+from __future__ import annotations
+
+
+def test_percentile_monotone(spark, sf_smoke):
+    from metoffice_spark.operators.analytics import q_percentile_exact
+
+    rows = q_percentile_exact(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_funnel_monotone(spark, sf_smoke):
+    from metoffice_spark.operators.analytics import q_funnel_steps
+
+    [r] = q_funnel_steps(spark, sf_smoke).collect()
+    assert r["n_view_users"] >= r["n_click_users"] >= r["n_purchase_users"] > 0
+    assert 0.0 <= r["purchase_rate"] <= 1.0
+
+
+def test_retention_week_zero_is_full(spark, sf_smoke):
+    """Every user is active in their own first week, so offset-0
+    retention is exactly 1.0 for every cohort."""
+    from metoffice_spark.operators.analytics import q_cohort_retention
+
+    rows = q_cohort_retention(spark, sf_smoke).collect()
+    assert rows
+    zero = [r for r in rows if r["offset_weeks"] == 0]
+    assert zero and all(r["n_active"] == r["cohort_size"] for r in zero)
+    assert all(r["offset_weeks"] >= 0 for r in rows)
+
+
+def test_pagerank_mass_and_positivity(spark, sf_smoke):
+    """Integer truncation only ever drops mass: total rank is <= BASE
+    but stays close; every node keeps a positive rank and appears
+    exactly once."""
+    from metoffice_spark.operators.scale import _PR_BASE, q_graph_pagerank
+
+    rows = q_graph_pagerank(spark, sf_smoke).collect()
+    assert len(rows) == len({r["node_id"] for r in rows})
+    assert all(r["rank_fp"] > 0 for r in rows)
+    total = sum(r["rank_fp"] for r in rows)
+    assert 0.9 * _PR_BASE <= total <= _PR_BASE
+
+
+def test_negative_sample_shape(spark, sf_smoke):
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.pipeline import _NEG_K, q_negative_sample
+
+    rows = q_negative_sample(spark, sf_smoke).collect()
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert len(rows) == n_docs * _NEG_K
+    assert all(r["neg_doc_id"] != r["doc_id"] for r in rows)
+    assert all(0 <= r["neg_doc_id"] < n_docs for r in rows)
+    per_anchor: dict = {}
+    for r in rows:
+        per_anchor.setdefault(r["doc_id"], set()).add(r["slot"])
+    assert all(slots == set(range(_NEG_K)) for slots in per_anchor.values())
