@@ -36,6 +36,9 @@ HEADLINE = [
     "q_sim_search",       # embedding cosine top-k (brute force)
     "q_sim_search_ivf",   # clustered IVF search (the scale path)
     "q_text_analysis",    # tokenize + term frequencies
+    "q_topk_twophase",    # skew-safe salted two-phase top-k (round 3)
+    "q_graph_pagerank",   # iterative graph workload (round 3)
+    "q_funnel_steps",     # behavioral analytics windows (round 3)
 ]
 
 

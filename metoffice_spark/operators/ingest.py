@@ -481,6 +481,85 @@ GROUP BY source
 """
 
 
+
+
+# --- q_src_multiformat: CSV/JSON source round-trip ---------------------------
+#
+# The multi-format ingest surface: the same relation written to and
+# read back from line-JSON and RFC-4180 CSV with explicit schemas.
+# The checked property is round-trip fidelity — the read-back rows
+# aggregate to exactly the parquet truth, per format.
+
+_FMT_ROOTS: list[str] = []
+
+_DOCS_SCHEMA = "doc_id long, lang string, source string, n_chars long, text string"
+
+
+def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``documents`` as JSON-lines and quoted CSV, read both
+    back with explicit schemas, and prove fidelity: per format, row
+    count, rows whose text survived byte-identical, and the n_chars
+    checksum — all equal to the parquet truth.
+
+    Scale: format encode/decode is embarrassingly parallel (one task
+    per file split; both readers are splittable JVM sources); the
+    comparison join is keyed on doc_id, co-located at 100 TB if the
+    lake is bucketed by doc_id. Schemas are explicit, never inferred —
+    an inference pass over 100 TB is a full extra scan."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    base = os.path.join(tempfile.gettempdir(), "metoffice_multiformat")
+    for stale in _FMT_ROOTS[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    del _FMT_ROOTS[: max(0, len(_FMT_ROOTS) - 1)]
+    root = os.path.join(base, uuid.uuid4().hex[:12])
+    _FMT_ROOTS.append(root)
+
+    jdir, cdir = os.path.join(root, "json"), os.path.join(root, "csv")
+    docs.write.mode("overwrite").json(jdir)
+    csv_opts = {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"}
+    docs.write.mode("overwrite").options(**csv_opts).csv(cdir)
+
+    back_j = spark.read.schema(_DOCS_SCHEMA).json(jdir).withColumn(
+        "fmt", F.lit("json")
+    )
+    back_c = (
+        spark.read.schema(_DOCS_SCHEMA)
+        .options(**csv_opts)
+        .csv(cdir)
+        .withColumn("fmt", F.lit("csv"))
+    )
+    truth = docs.select(
+        "doc_id",
+        F.col("text").alias("text_truth"),
+        F.col("n_chars").alias("chars_truth"),
+    )
+    back = back_j.unionByName(back_c).join(truth, "doc_id")
+    return back.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("text") == F.col("text_truth"), 1))
+        .cast("bigint")
+        .alias("n_text_exact"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+
+
+# Truth: both formats must reproduce documents exactly.
+ORACLE_SRC_MULTIFORMAT = """
+SELECT fmt, count(*) AS n_rows,
+       count(*) AS n_text_exact,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents, (SELECT unnest(['csv', 'json']) AS fmt)
+GROUP BY fmt
+"""
+
+
 QUERIES = {
     "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
     "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
@@ -488,4 +567,5 @@ QUERIES = {
     "q_sink_http_form": (q_sink_http_form, ORACLE_SINK_HTTP_FORM),
     "q_sink_error_alert": (q_sink_error_alert, ORACLE_SINK_ERROR_ALERT),
     "q_sink_partitioned": (q_sink_partitioned, ORACLE_SINK_PARTITIONED),
+    "q_src_multiformat": (q_src_multiformat, ORACLE_SRC_MULTIFORMAT),
 }

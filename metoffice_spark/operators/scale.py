@@ -399,28 +399,46 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # both directions in ONE pass over fwd (a self-union would plan
+    # the join+distinct subtree twice — no CSE across union branches)
+    edges = fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from metoffice_spark.session import scoped_persist
 
-    ed = scoped_persist(edges.join(deg, "src"))  # (src, dst, outdeg), reused per round
+    # (src, dst, outdeg) cached HASH-PARTITIONED on src: every round's
+    # rank join reuses this layout (only the small rank side moves),
+    # and the degree count is a frame-free window over the partitions
+    # already in place — no separate degree aggregate + join.
+    ed = scoped_persist(
+        edges.repartition(F.col("src")).withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
 
     nodes = ed.select(F.col("src").alias("node")).distinct()
-    base = nodes.agg(F.count(F.lit(1)).alias("n")).select(
-        F.expr(f"div({_PR_BASE}, n)").alias("r_init")
-    )
-    r = nodes.crossJoin(F.broadcast(base)).select(
-        "node", F.col("r_init").alias("rank_fp")
-    )
+    # Setup scalar (same discipline as the streaming replay bounds):
+    # ONE driver-side count over the just-persisted edge cache fixes
+    # the node count; inlining it as a literal keeps the iterative
+    # plan free of four repeated 1-row aggregate/broadcast subtrees.
+    r_init = _PR_BASE // nodes.count()
+    r = nodes.select("node", F.lit(r_init).cast("bigint").alias("rank_fp"))
     for _ in range(_PR_ROUNDS):
         insum = (
             r.join(ed, r.node == ed.src)
             .groupBy("dst")
             .agg(F.sum(F.expr("div(rank_fp, outdeg)")).alias("in_sum"))
         )
-        r = insum.crossJoin(F.broadcast(base)).select(
+        r = insum.select(
             F.col("dst").alias("node"),
-            F.expr("div(15 * r_init + 85 * in_sum, 100)").alias("rank_fp"),
+            # {r_init}L: BIGINT literal — a small-N r_init fits INT32
+            # and 15 * INT would overflow silently at sf0.01+
+            F.expr(f"div(15 * {r_init}L + 85 * in_sum, 100)").alias("rank_fp"),
         )
     return r.select(
         F.col("node").alias("node_id"),

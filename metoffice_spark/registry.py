@@ -126,6 +126,7 @@ _PRIORITY = (
     "q_cohort_retention",
     "q_graph_pagerank",
     "q_negative_sample",
+    "q_src_multiformat",
 )
 
 
