@@ -493,3 +493,85 @@ QUERIES.update(
         "q_cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
     }
 )
+
+
+# --- q_sessionize_batch: gap-based sessionization of the event stream --------
+
+_SESS_GAP_MIN = 30
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) over events, batch form:
+    one row per (user, session) with start/end, duration, event count,
+    and purchases. Session ids are a running sum of new-session marks
+    over the total per-user order (ts, event_id) — the same technique
+    (and tie discipline) as the streaming session-window oracle.
+
+    Scale: one shuffle on user_id; both windows (mark + running sum)
+    share the same sort; the final per-session aggregate is keyed
+    (user, sid) with map-side combine."""
+    ev = load(tune(spark), sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(order_w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            gap.isNull()
+            | (F.col("ts").cast("long") - gap.cast("long") > _SESS_GAP_MIN * 60),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .cast("bigint")
+            .alias("dur_sec"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("bigint").alias("sid"),
+            "n_events",
+            "t_start",
+            "t_end",
+            "dur_sec",
+            "n_purchases",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_BATCH = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_SESS_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       count(*) AS n_events,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+            - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS dur_sec,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+FROM sess
+GROUP BY user_id, sid
+"""
+
+QUERIES["q_sessionize_batch"] = (q_sessionize_batch, ORACLE_SESSIONIZE_BATCH)

@@ -482,3 +482,50 @@ FROM r{_PR_ROUNDS}
 """
 
 QUERIES["q_graph_pagerank"] = (q_graph_pagerank, ORACLE_GRAPH_PAGERANK)
+
+
+# --- q_agg_distinct_twophase: skew-safe exact count-distinct -----------------
+#
+# groupBy(key).agg(countDistinct(v)) plans a single per-key distinct —
+# one hot key serializes through one task. The two-phase form first
+# shuffles DISTINCT (key, v) PAIRS (spread over the full pair-hash
+# space), then counts pairs per key with map-side combine; the hot key
+# costs |distinct v| tiny rows in phase 2, never |rows| in one task.
+
+
+def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users and exact distinct (user, day) activity
+    pairs per event type, via pair-distinct then count — the skew-safe
+    decomposition of COUNT(DISTINCT).
+
+    Scale: phase 1's shuffle key is the whole pair (uniform however
+    skewed event_type is); phase 2 shuffles pre-combined per-type
+    counts only."""
+    ev = load(tune(spark), sf_dir, "events")
+    pairs = ev.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    users = (
+        pairs.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    user_days = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_days"))
+    return users.join(user_days, "event_type").select(
+        "event_type", "n_users", "n_user_days"
+    )
+
+
+ORACLE_AGG_DISTINCT_TWOPHASE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["q_agg_distinct_twophase"] = (
+    q_agg_distinct_twophase,
+    ORACLE_AGG_DISTINCT_TWOPHASE,
+)

@@ -127,6 +127,8 @@ _PRIORITY = (
     "q_graph_pagerank",
     "q_negative_sample",
     "q_src_multiformat",
+    "q_sessionize_batch",
+    "q_agg_distinct_twophase",
 )
 
 

@@ -59,3 +59,45 @@ def test_negative_sample_shape(spark, sf_smoke):
     for r in rows:
         per_anchor.setdefault(r["doc_id"], set()).add(r["slot"])
     assert all(slots == set(range(_NEG_K)) for slots in per_anchor.values())
+
+
+def test_sessionize_batch_gap_property(spark, sf_smoke):
+    """Within a user, consecutive sessions are separated by more than
+    the gap; session ids are 1..n_sessions per user."""
+    from metoffice_spark.operators.analytics import _SESS_GAP_MIN, q_sessionize_batch
+
+    rows = q_sessionize_batch(spark, sf_smoke).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["sid"])
+        assert [r["sid"] for r in sessions] == list(range(1, len(sessions) + 1))
+        for a, b in zip(sessions, sessions[1:]):
+            gap = (b["t_start"] - a["t_end"]).total_seconds()
+            assert gap > _SESS_GAP_MIN * 60 - 1  # integer-second truncation slack
+        assert all(r["t_end"] >= r["t_start"] for r in sessions)
+
+
+def test_distinct_twophase_equals_plain_count_distinct(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.scale import q_agg_distinct_twophase
+
+    got = {
+        r["event_type"]: (r["n_users"], r["n_user_days"])
+        for r in q_agg_distinct_twophase(spark, sf_smoke).collect()
+    }
+    ev = load(spark, sf_smoke, "events")
+    want = {
+        r["event_type"]: (r["u"], r["ud"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("user_id", F.to_date("ts")).alias("ud"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -169,3 +169,39 @@ def test_join_bucketed_has_no_join_key_exchange(spark, sf_smoke):
     keys = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
     assert all("orderkey" not in k for k in keys), keys
     assert len(keys) == 1, keys  # the o_orderpriority aggregation only
+
+
+def test_incr_agg_pushes_cutoff_filters_to_scan(spark, sf_smoke):
+    """Both incremental sides must push their shipdate cutoff into the
+    parquet scan — the delta refresh only ever reads the delta."""
+    from metoffice_spark.operators.scale import q_incr_agg
+
+    plan = _plan(q_incr_agg(spark, sf_smoke))
+    pushed = [
+        seg.splitlines()[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    dated = [p for p in pushed if "l_shipdate" in p]
+    assert len(dated) >= 2, pushed
+
+
+def test_pagerank_edge_cache_reused_across_rounds(spark, sf_smoke):
+    """The partitioned edge table must be built once and re-read from
+    cache by every round: one InMemoryRelation, >= 3 InMemoryTableScan
+    references, and no SortMergeJoin re-shuffling the cached side on
+    src (rank side only)."""
+    from metoffice_spark.operators.scale import _PR_ROUNDS, q_graph_pagerank
+
+    plan = _plan(q_graph_pagerank(spark, sf_smoke))
+    assert plan.count("InMemoryTableScan") >= _PR_ROUNDS
+
+
+def test_cms_shuffles_cells_not_events(spark, sf_smoke):
+    """The sketch aggregate must partial-aggregate map-side: the (j, c)
+    exchange carries combined cell counts, so a HashAggregate appears
+    BELOW the exchange (map-side combine), never a raw event fan-out."""
+    from metoffice_spark.operators.scale import q_sketch_cms
+
+    plan = _plan(q_sketch_cms(spark, sf_smoke))
+    assert "Exchange hashpartitioning(j#" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
