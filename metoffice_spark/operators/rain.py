@@ -588,3 +588,69 @@ FROM filled
 """
 
 QUERIES["q_ts_interpolate"] = (q_ts_interpolate, ORACLE_TS_INTERPOLATE)
+
+
+# --- q_anomaly_zscore: per-station statistical outlier detection -------------
+#
+# The monitoring workload over the observation series: flag readings
+# whose temperature deviates more than 3 sigma from the station mean.
+# Moments accumulate as exact BIGINT sums (order-free, partial-agg
+# safe); mean/variance/sqrt happen once, on those exact ints, with the
+# identical expression on both engines — so the flagged set and the
+# z-scores are bitwise reproducible.
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observations with |z| > 3 against their station's temperature
+    distribution: (station_id, obs_id, temp_c, z).
+
+    Scale: one pass for per-station (n, sum, sumsq) — 3 BIGINTs per
+    station however many rows — broadcast back onto the scan for a
+    map-only flag; no window, no second shuffle."""
+    obs = observations(tune(spark), sf_dir)
+    fp = F.floor(F.col("tempc") * 100 + F.lit(0.5)).cast("bigint")
+    base = obs.select("station_id", "obs_id", fp.alias("t_fp"))
+    stats = base.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t_fp").alias("s1"),
+        F.sum(F.col("t_fp") * F.col("t_fp")).alias("s2"),
+    )
+    joined = base.join(F.broadcast(stats), "station_id")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("t_fp").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.select(
+            "station_id",
+            "obs_id",
+            (F.col("t_fp") / F.lit(100.0)).alias("temp_c"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = f"""{_CTE},
+base AS (
+  SELECT station_id, obs_id,
+         CAST(floor(tempc * 100 + 0.5) AS BIGINT) AS t_fp
+  FROM observations
+),
+stats AS (
+  SELECT station_id, count(*) AS n,
+         CAST(sum(t_fp) AS BIGINT) AS s1,
+         CAST(sum(t_fp * t_fp) AS BIGINT) AS s2
+  FROM base GROUP BY station_id
+),
+scored AS (
+  SELECT b.station_id, b.obs_id, b.t_fp / 100.0 AS temp_c,
+         (CAST(b.t_fp AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+           / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                  - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                    * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z
+  FROM base b JOIN stats s ON b.station_id = s.station_id
+)
+SELECT station_id, obs_id, temp_c, z FROM scored WHERE abs(z) > 3.0
+"""
+
+QUERIES["q_anomaly_zscore"] = (q_anomaly_zscore, ORACLE_ANOMALY_ZSCORE)

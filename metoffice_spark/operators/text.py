@@ -481,3 +481,77 @@ FROM chunked
 """
 
 QUERIES["q_text_chunk"] = (q_text_chunk, ORACLE_TEXT_CHUNK)
+
+
+# --- q_text_entropy: token-distribution entropy per language -----------------
+#
+# Shannon entropy of the unigram distribution, a corpus-diversity /
+# quality signal: H = ln(N) - (1/N) * sum(c_i * ln(c_i)). The inner
+# sum uses the tfidf discipline (pipeline.py:385): ln over an exact
+# integer count, floor-scaled to 1e6 fixed point, then an exact
+# BIGINT sum — order-free and partial-agg safe; the outer ln/divide
+# run once on exact integers with the identical expression.
+
+_ENT_SCALE = 1_000_000
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: token count, distinct tokens, Shannon entropy of
+    the token distribution (nats), and the normalized ratio against
+    the uniform-distribution maximum ln(n_distinct).
+
+    Scale: one (lang, token) partial-aggregated shuffle, then a
+    #langs-row aggregate; bodies never move, only token strings."""
+    docs = load(tune(spark), sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.expr(TOKS_SPARK.format(col="text"))).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lnc_fp = F.floor(
+        F.lit(float(_ENT_SCALE)) * F.log(F.col("c").cast("double"))
+    ).cast("bigint")
+    agg = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * lnc_fp).cast("bigint").alias("clnc_fp"),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("clnc_fp").cast("double")
+        / F.col("n_tokens").cast("double")
+        / F.lit(float(_ENT_SCALE))
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy_nats"),
+        (ent / F.log(F.col("n_distinct").cast("double"))).alias("entropy_ratio"),
+    )
+
+
+ORACLE_TEXT_ENTROPY = f"""
+WITH counts AS (
+  SELECT lang, t, count(*) AS c
+  FROM (SELECT lang, unnest({TOKS_DUCK.format(col="text")}) AS t FROM documents)
+  GROUP BY lang, t
+),
+agg AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(sum(c * CAST(floor({_ENT_SCALE}e0 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS clnc_fp
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_tokens, n_distinct,
+       ln(CAST(n_tokens AS DOUBLE))
+         - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0)
+         AS entropy_nats,
+       (ln(CAST(n_tokens AS DOUBLE))
+         - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0))
+         / ln(CAST(n_distinct AS DOUBLE)) AS entropy_ratio
+FROM agg
+"""
+
+QUERIES["q_text_entropy"] = (q_text_entropy, ORACLE_TEXT_ENTROPY)

@@ -129,6 +129,8 @@ _PRIORITY = (
     "q_src_multiformat",
     "q_sessionize_batch",
     "q_agg_distinct_twophase",
+    "q_anomaly_zscore",
+    "q_text_entropy",
 )
 
 

@@ -101,3 +101,38 @@ def test_distinct_twophase_equals_plain_count_distinct(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_anomaly_zscore_flags_are_extreme(spark, sf_smoke):
+    """Every flagged row really deviates: recompute each station's
+    mean/std driver-side and confirm |x - mean| > 3 * std."""
+    from metoffice_spark.obs import observations
+    from metoffice_spark.operators.rain import q_anomaly_zscore
+
+    flagged = q_anomaly_zscore(spark, sf_smoke).collect()
+    import statistics
+
+    obs = observations(spark, sf_smoke).select("station_id", "tempc").collect()
+    by_st: dict = {}
+    for r in obs:
+        by_st.setdefault(r["station_id"], []).append(round(r["tempc"] * 100) / 100)
+    for r in flagged:
+        vals = by_st[r["station_id"]]
+        mu = statistics.fmean(vals)
+        sd = statistics.pstdev(vals)
+        assert abs(r["temp_c"] - mu) > 2.9 * sd  # slack for fp rounding
+        assert abs(r["z"]) > 3.0
+
+
+def test_entropy_bounds(spark, sf_smoke):
+    """0 <= H <= ln(n_distinct) (+fixed-point slack) for every lang."""
+    import math
+
+    from metoffice_spark.operators.text import q_text_entropy
+
+    rows = q_text_entropy(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-3
+        assert 0.0 <= r["entropy_ratio"] <= 1.0 + 1e-6
+        assert r["n_distinct"] <= r["n_tokens"]
