@@ -560,6 +560,71 @@ GROUP BY fmt
 """
 
 
+
+
+# --- q_sink_compact: small-file compaction (lake maintenance) ----------------
+#
+# The nightly lake-maintenance primitive: a fragmented table (many
+# tiny files — the streaming-ingest failure mode) is rewritten into
+# few right-sized files. The checked property is content preservation
+# (post-compaction aggregates equal the source truth); the file-count
+# collapse itself is asserted by tests/test_scale_ops.py.
+
+_COMPACT_ROOTS: list[str] = []
+
+_FRAG_FILES = 64   # simulated ingest fragmentation
+_COMPACT_FILES = 4  # target layout
+
+
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment ``events`` into 64 tiny parquet files, compact to 4,
+    and return the per-type aggregate read FROM THE COMPACTED table —
+    equal to the source truth iff compaction lost/duplicated nothing.
+
+    Scale: compaction is one round-robin repartition (no key, no
+    skew) sized so files land near the HDFS-friendly target;
+    at 100 TB this runs per lake partition with
+    ``spark.sql.files.maxRecordsPerFile`` bounding file size, and the
+    read side schedules 16x fewer splits afterwards."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), "metoffice_compact")
+    for stale in _COMPACT_ROOTS[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    del _COMPACT_ROOTS[: max(0, len(_COMPACT_ROOTS) - 1)]
+    root = os.path.join(base, uuid.uuid4().hex[:12])
+    _COMPACT_ROOTS.append(root)
+
+    frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
+    ev.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(_COMPACT_FILES).write.mode(
+        "overwrite"
+    ).parquet(compact)
+
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_fp_total"),
+    )
+
+
+ORACLE_SINK_COMPACT = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_fp_total
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
     "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
@@ -568,4 +633,5 @@ QUERIES = {
     "q_sink_error_alert": (q_sink_error_alert, ORACLE_SINK_ERROR_ALERT),
     "q_sink_partitioned": (q_sink_partitioned, ORACLE_SINK_PARTITIONED),
     "q_src_multiformat": (q_src_multiformat, ORACLE_SRC_MULTIFORMAT),
+    "q_sink_compact": (q_sink_compact, ORACLE_SINK_COMPACT),
 }

@@ -131,6 +131,7 @@ _PRIORITY = (
     "q_agg_distinct_twophase",
     "q_anomaly_zscore",
     "q_text_entropy",
+    "q_sink_compact",
 )
 
 

@@ -104,3 +104,28 @@ def test_cms_estimate_bounds(spark, sf_smoke):
     rows = q_sketch_cms(spark, sf_smoke).collect()
     assert 0 < len(rows) <= _CMS_TRACKED
     assert all(r["n_exact"] <= r["n_est"] for r in rows)
+
+
+def test_compaction_collapses_file_count(spark, sf_smoke):
+    """After q_sink_compact runs, the compacted dir holds exactly the
+    target number of parquet part-files, and content is preserved."""
+    import glob
+    import os
+
+    from metoffice_spark.operators.ingest import (
+        _COMPACT_FILES,
+        _COMPACT_ROOTS,
+        _FRAG_FILES,
+        q_sink_compact,
+    )
+
+    rows = q_sink_compact(spark, sf_smoke).collect()
+    assert rows
+    root = _COMPACT_ROOTS[-1]
+    frag = glob.glob(os.path.join(root, "frag", "part-*.parquet"))
+    comp = glob.glob(os.path.join(root, "compact", "part-*.parquet"))
+    assert len(frag) == _FRAG_FILES
+    assert len(comp) == _COMPACT_FILES
+    from metoffice_spark.io import load
+
+    assert sum(r["n_events"] for r in rows) == load(spark, sf_smoke, "events").count()
