@@ -36,6 +36,7 @@ _MODULES = (
     "streaming_batch",
     "pipeline",
     "scale",
+    "quality",
 )
 
 # qids registered first, in this order (driver checks the first 50).
@@ -132,6 +133,8 @@ _PRIORITY = (
     "q_anomaly_zscore",
     "q_text_entropy",
     "q_sink_compact",
+    "q_dq_checks",
+    "q_cdc_diff",
 )
 
 

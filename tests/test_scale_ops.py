@@ -129,3 +129,36 @@ def test_compaction_collapses_file_count(spark, sf_smoke):
     from metoffice_spark.io import load
 
     assert sum(r["n_events"] for r in rows) == load(spark, sf_smoke, "events").count()
+
+
+def test_dq_checks_all_pass_on_clean_data(spark, sf_smoke):
+    """The generated TPC-H-ish tables are clean: every check passes,
+    and the violation counts are exactly zero."""
+    from metoffice_spark.operators.quality import q_dq_checks
+
+    rows = q_dq_checks(spark, sf_smoke).collect()
+    assert len(rows) == 5
+    assert all(r["pass"] and r["n_violations"] == 0 for r in rows)
+
+
+def test_cdc_diff_partitions_the_key_space(spark, sf_smoke):
+    """insert/delete/update/unchanged counts must add up to the union
+    of both snapshots' key sets, and each op's count matches the
+    modular arithmetic that derived the snapshots."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.quality import q_cdc_diff
+
+    got = {r["op"]: r["n_rows"] for r in q_cdc_diff(spark, sf_smoke).collect()}
+    keys = [
+        r["c_custkey"]
+        for r in load(spark, sf_smoke, "customer").select("c_custkey").collect()
+    ]
+    old = {k for k in keys if k % 10 != 0}
+    new = {k for k in keys if k % 7 != 0}
+    want = {
+        "insert": len(new - old),
+        "delete": len(old - new),
+        "update": len({k for k in old & new if k % 5 == 0}),
+        "unchanged": len({k for k in old & new if k % 5 != 0}),
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
