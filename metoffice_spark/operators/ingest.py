@@ -486,7 +486,7 @@ GROUP BY source
 # --- q_src_multiformat: CSV/JSON source round-trip ---------------------------
 #
 # The multi-format ingest surface: the same relation written to and
-# read back from line-JSON and RFC-4180 CSV with explicit schemas.
+# read back from line-JSON, RFC-4180 CSV, and ORC with explicit schemas.
 # The checked property is round-trip fidelity — the read-back rows
 # aggregate to exactly the parquet truth, per format.
 
@@ -496,8 +496,8 @@ _DOCS_SCHEMA = "doc_id long, lang string, source string, n_chars long, text stri
 
 
 def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write ``documents`` as JSON-lines and quoted CSV, read both
-    back with explicit schemas, and prove fidelity: per format, row
+    """Write ``documents`` as JSON-lines, quoted CSV, and ORC, read
+    each back with explicit schemas, and prove fidelity: per format, row
     count, rows whose text survived byte-identical, and the n_chars
     checksum — all equal to the parquet truth.
 
@@ -522,7 +522,9 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     _FMT_ROOTS.append(root)
 
     jdir, cdir = os.path.join(root, "json"), os.path.join(root, "csv")
+    odir = os.path.join(root, "orc")
     docs.write.mode("overwrite").json(jdir)
+    docs.write.mode("overwrite").orc(odir)
     csv_opts = {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"}
     docs.write.mode("overwrite").options(**csv_opts).csv(cdir)
 
@@ -540,7 +542,10 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_truth"),
         F.col("n_chars").alias("chars_truth"),
     )
-    back = back_j.unionByName(back_c).join(truth, "doc_id")
+    back_o = spark.read.schema(_DOCS_SCHEMA).orc(odir).withColumn(
+        "fmt", F.lit("orc")
+    )
+    back = back_j.unionByName(back_c).unionByName(back_o).join(truth, "doc_id")
     return back.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("text") == F.col("text_truth"), 1))
@@ -555,7 +560,7 @@ ORACLE_SRC_MULTIFORMAT = """
 SELECT fmt, count(*) AS n_rows,
        count(*) AS n_text_exact,
        CAST(sum(n_chars) AS BIGINT) AS chars_total
-FROM documents, (SELECT unnest(['csv', 'json']) AS fmt)
+FROM documents, (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
 GROUP BY fmt
 """
 
