@@ -9,7 +9,8 @@ counts everywhere, one final IEEE divide on exact ints.
 Scale design (100 TB):
 - every check is an aggregate with map-side combine over one scan of
   the checked table (checks share the pass, not one scan per check);
-- referential checks are broadcast anti-joins against the dim key set;
+- referential checks ride the fact scan via a broadcast left join
+  against the dim key set (no second scan, no anti-join pass);
 - the CDC diff is one full-outer join keyed on the primary key —
   co-located (zero-shuffle) when both snapshots are bucketed alike.
 """
@@ -35,9 +36,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (discount ∈ [0,1], quantity > 0).
 
     Scale: the three lineitem range/null checks share ONE scan (a
-    single aggregate computes them all); uniqueness is a count-vs-
-    distinct aggregate; the FK check is a broadcast anti-join count.
-    No check shuffles row bodies — counts only."""
+    single aggregate computes them all); the orders scan serves BOTH
+    the PK-uniqueness count and the FK-orphan count (broadcast left
+    join + null count). No check shuffles row bodies — counts only."""
     spark = tune(spark)
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -51,39 +52,58 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("null_ship"),
     )
-    ord_agg = orders.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
-    )
-    orphans = (
+    # one scan of orders serves BOTH the uniqueness and the FK check:
+    # broadcast-left-join the dim key set, count nulls instead of a
+    # second anti-join scan
+    ord_agg = (
         orders.join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"))
+                .distinct()
+                .withColumn("known", F.lit(1))
+            ),
             "o_custkey",
-            "left_anti",
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+            F.count(F.when(F.col("known").isNull(), 1)).alias("n_orphans"),
+        )
     )
 
-    def row(name: str, src, checked, viol) -> DataFrame:
-        return src.select(
+    # The three lineitem checks EXPLODE out of the one aggregate row —
+    # a 3-branch union would re-plan (and re-run) the scan per branch
+    # (no CSE across union branches; same trap as the pagerank edges).
+    def crow(name: str, checked, viol):
+        return F.struct(
             F.lit(name).alias("check_name"),
             checked.cast("bigint").alias("n_checked"),
             viol.cast("bigint").alias("n_violations"),
-            (viol == 0).alias("pass"),
         )
 
-    return (
-        row("lineitem_quantity_positive", li_agg, F.col("n"), F.col("bad_qty"))
-        .unionByName(row("lineitem_discount_in_range", li_agg, F.col("n"), F.col("bad_disc")))
-        .unionByName(row("lineitem_shipdate_not_null", li_agg, F.col("n"), F.col("null_ship")))
-        .unionByName(row("orders_pk_unique", ord_agg, F.col("n"), F.col("dup_pk")))
-        .unionByName(
-            orphans.select(
-                F.lit("orders_custkey_references_customer").alias("check_name"),
-                F.lit(None).cast("bigint").alias("n_checked"),
-                F.col("n_orphans").cast("bigint").alias("n_violations"),
-                (F.col("n_orphans") == 0).alias("pass"),
+    li_rows = li_agg.select(
+        F.explode(
+            F.array(
+                crow("lineitem_quantity_positive", F.col("n"), F.col("bad_qty")),
+                crow("lineitem_discount_in_range", F.col("n"), F.col("bad_disc")),
+                crow("lineitem_shipdate_not_null", F.col("n"), F.col("null_ship")),
             )
-        )
+        ).alias("c")
+    ).select("c.*")
+    ord_rows = ord_agg.select(
+        F.explode(
+            F.array(
+                crow("orders_pk_unique", F.col("n"), F.col("dup_pk")),
+                crow(
+                    "orders_custkey_references_customer",
+                    F.lit(None).cast("bigint"),
+                    F.col("n_orphans"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return li_rows.unionByName(ord_rows).withColumn(
+        "pass", F.col("n_violations") == 0
     )
 
 

@@ -205,3 +205,12 @@ def test_cms_shuffles_cells_not_events(spark, sf_smoke):
     plan = _plan(q_sketch_cms(spark, sf_smoke))
     assert "Exchange hashpartitioning(j#" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_dq_checks_one_scan_per_table(spark, sf_smoke):
+    """The check suite must share scans: exactly one FileScan per
+    checked table (lineitem, orders, customer), never one per check."""
+    from metoffice_spark.operators.quality import q_dq_checks
+
+    plan = _plan(q_dq_checks(spark, sf_smoke))
+    assert plan.count("FileScan") == 3, plan.count("FileScan")
