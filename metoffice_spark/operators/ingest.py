@@ -525,7 +525,18 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     odir = os.path.join(root, "orc")
     docs.write.mode("overwrite").json(jdir)
     docs.write.mode("overwrite").orc(odir)
-    csv_opts = {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"}
+    # nullValue sentinel keeps empty string and NULL distinct through
+    # the round-trip (default CSV reads an empty field back as NULL,
+    # which would silently break byte-fidelity on empty documents)
+    # probed: writer quotes an empty string ("") while NULL becomes
+    # the \N sentinel, so both survive the round-trip distinctly
+    csv_opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "multiLine": "true",
+        "nullValue": "\\N",
+    }
     docs.write.mode("overwrite").options(**csv_opts).csv(cdir)
 
     back_j = spark.read.schema(_DOCS_SCHEMA).json(jdir).withColumn(

@@ -1127,31 +1127,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels); all data work is joins + aggregates. At 100 TB this is
     the alternating big-star/small-star pattern — each round is one
     shuffle on doc_id, diameter rounds total (here <= ~4)."""
-    edges = scoped_persist(_ngram_edges(spark, sf_dir))
+    # nodes FIRST: _corpus runs tune(), whose query-scope boundary
+    # releases all scoped persists — called after the edge build it
+    # would immediately unpersist the edge cache (and the posting-list
+    # cache inside it) that the 32-round loop depends on.
     nodes = _corpus(spark, sf_dir).select("doc_id")
+    edges = scoped_persist(_ngram_edges(spark, sf_dir))
     # bidirectional edge list
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     adj = scoped_persist(fwd.unionByName(rev))
 
-    labels = scoped_persist(nodes.select("doc_id", F.col("doc_id").alias("lbl")))
+    # Per-round lineage TRUNCATION, not just caching: with persist()
+    # alone each round's logical plan embeds every previous round, and
+    # analysis/codegen time grows superlinearly (measured 1.0 → 9.6 s
+    # by round 4 at sf0.1). localCheckpoint materializes the ~|V|-row
+    # label frame and cuts the plan back to a leaf each round
+    # (14.7 s → 2.0 s loop at sf0.1); on a real cluster use
+    # checkpoint() with a reliable dir to survive executor loss.
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
     for _ in range(32):  # diameter bound; converges in ~3 rounds here
         neigh = (
             adj.join(labels, adj.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "lbl")
         )
-        new_labels = scoped_persist(
+        new_labels = (
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
-        )
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()  # driver-side convergence check only
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -45,11 +45,15 @@ _MIN_TOKENS = 10
 _TOP_FRAC_MAX = 0.20      # most-common token may cover <= 20% of tokens
 _DUP_BG_FRAC_MAX = 0.20   # duplicated bigrams may cover <= 20% of bigrams
 
-# bigrams of the token array (size >= 2 guarded by greatest/len checks)
+# bigrams of the token array. The short-doc case needs an explicit
+# CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+# returning empty, so a <= 1-token document would evaluate
+# element_at(toks, 0/2) and throw where DuckDB's range() is empty.
 _BIGRAMS_SPARK = (
-    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+    "CASE WHEN size(toks) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(toks) - 1),"
     " i -> concat(element_at(toks, cast(i as int)), ' ',"
-    " element_at(toks, cast(i + 1 as int))))"
+    " element_at(toks, cast(i + 1 as int)))) END"
 )
 _BIGRAMS_DUCK = (
     "list_transform(range(1, greatest(len(toks), 1)),"
@@ -244,12 +248,14 @@ QUERIES["q_pack_sequences"] = (q_pack_sequences, ORACLE_PACK_SEQUENCES)
 _GRAM_N = 5
 _MIN_SHARED = 3
 
+# CASE guard for the same descending-sequence trap as _BIGRAMS_SPARK
 _G5_SPARK = (
-    "transform(sequence(1, greatest(size(toks) - 4, 0)),"
+    "CASE WHEN size(toks) < 5 THEN array()"
+    " ELSE transform(sequence(1, size(toks) - 4),"
     " i -> md5(concat_ws(' ',"
     " element_at(toks, cast(i as int)), element_at(toks, cast(i + 1 as int)),"
     " element_at(toks, cast(i + 2 as int)), element_at(toks, cast(i + 3 as int)),"
-    " element_at(toks, cast(i + 4 as int)))))"
+    " element_at(toks, cast(i + 4 as int))))) END"
 )
 _G5_DUCK = (
     "list_transform(range(1, greatest(len(toks) - 3, 1)),"

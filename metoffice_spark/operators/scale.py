@@ -368,14 +368,15 @@ QUERIES["q_sketch_cms"] = (q_sketch_cms, ORACLE_SKETCH_CMS)
 # The iterative-graph companion to llm.py's connected components: 3
 # unrolled PageRank rounds over the symmetric customer<->supplier
 # trade graph (an edge per distinct (custkey, suppkey) order line;
-# supplier ids offset by 10000 into a disjoint node range). All
+# supplier nodes mapped to -(suppkey + 1) — negative ids are disjoint
+# from customer keys at EVERY scale factor, unlike any fixed offset,
+# which a large-SF custkey range would eventually collide with). All
 # arithmetic is exact BIGINT — ranks are fixed-point of 1e12, every
 # divide is a positive integer div — so the trajectory is bitwise
 # identical on both engines (same discipline as q_kmeans_train).
 
 _PR_BASE = 1_000_000_000_000
 _PR_ROUNDS = 3
-_PR_SUPP_OFF = 10_000
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +396,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + _PR_SUPP_OFF).alias("dst"),
+            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
         )
         .distinct()
     )
@@ -461,7 +462,7 @@ _PR_ROUNDS_SQL = ",\n".join(_pr_round_sql(f"r{i}", i + 1) for i in range(_PR_ROU
 
 ORACLE_GRAPH_PAGERANK = f"""
 WITH fwd AS (
-  SELECT DISTINCT o_custkey AS src, l_suppkey + {_PR_SUPP_OFF} AS dst
+  SELECT DISTINCT o_custkey AS src, CAST(-(l_suppkey + 1) AS BIGINT) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 edges AS (

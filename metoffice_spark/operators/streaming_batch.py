@@ -70,19 +70,23 @@ _OBS_COLS = [
 
 def _run_root() -> str:
     base = os.path.join(tempfile.gettempdir(), "metoffice_stream")
-    # Sweep replay trees left by PREVIOUS queries in this process (their
+    # Sweep replay trees left by OLDER queries in this process (their
     # input/ckpt were already deleted on success; their small out/ stays
-    # until a later query starts in case the driver re-collects). Roots
-    # from other live processes are untouched.
-    for stale in _COMPLETED_ROOTS[:-1]:
+    # until later queries start in case the driver re-collects). The
+    # last _KEEP_ROOTS survive so a caller holding the results of a few
+    # recent streaming queries (e.g. a stashed dead-letter dir) can
+    # still lazily re-collect them. Roots from other live processes are
+    # untouched.
+    for stale in _COMPLETED_ROOTS[:-_KEEP_ROOTS]:
         shutil.rmtree(stale, ignore_errors=True)
-    del _COMPLETED_ROOTS[: max(0, len(_COMPLETED_ROOTS) - 1)]
+    del _COMPLETED_ROOTS[: max(0, len(_COMPLETED_ROOTS) - _KEEP_ROOTS)]
     return os.path.join(base, uuid.uuid4().hex[:12])
 
 
 # Roots whose streaming run finished; oldest are deleted when the next
-# replay starts (the returned DataFrame of the MOST RECENT run may still
-# be lazily re-collected by the driver, so it is always kept).
+# replay starts (the returned DataFrames of the last _KEEP_ROOTS runs
+# may still be lazily re-collected by the driver, so they are kept).
+_KEEP_ROOTS = 4
 _COMPLETED_ROOTS: list[str] = []
 
 

@@ -40,10 +40,13 @@ _MODULES = (
 )
 
 # qids registered first, in this order (driver checks the first 50).
-# Positions 1-45: the qids with no driver correctness row as of r02.
-# Position 46: q_rollup_hypertable, driver-red in r02 (HUGEINT oracle
-# type, fixed this round) — needs a fresh hard row to prove the fix.
-# Positions 47-50: the four r02-weak/rotated relational qids.
+# Positions 1-45: the qids with no driver correctness row as of r02
+# (the r02-weak/rotated relational qids sit at 38-45 inside this
+# block). Position 46: q_rollup_hypertable, driver-red in r02 (HUGEINT
+# oracle type, fixed this round) — needs a fresh hard row to prove the
+# fix. Positions 47-50 (the window's last four slots): the first
+# round-3 pipeline qids; everything after position 50 rotates into the
+# driver window in later rounds.
 _PRIORITY = (
     # llm pipeline (dedup / similarity / multimodal / split)
     "q_dedup_exact",

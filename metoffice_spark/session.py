@@ -37,7 +37,13 @@ _SCOPED_PERSISTS: list = []
 
 def scoped_persist(df):
     """``df.persist()`` whose lifetime ends when the next query builder
-    calls :func:`tune` — cache discipline for one-session drivers."""
+    calls :func:`tune` — cache discipline for one-session drivers.
+
+    TRAP: never call a helper that runs :func:`tune` (e.g. ``load``
+    wrapped in it, or another query builder) AFTER creating scoped
+    persists in the same builder — the nested tune() is a query-scope
+    boundary and releases them immediately (the q_dedup_components
+    round-3 bug). Order all tune()-running calls first."""
     df = df.persist()
     _SCOPED_PERSISTS.append(df)
     return df
