@@ -70,9 +70,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (the shuffle carries distinct pairs), bigram stats computed
     entirely as array expressions on the scan side — no Python, no
     all-pairs, body never shuffled."""
+    from metoffice_spark.session import scoped_persist
+
     docs = load(tune(spark), sf_dir, "documents")
-    base = _spread(docs, "doc_id").select(
-        "doc_id", "lang", F.expr(TOKS_SPARK.format(col="text")).alias("toks")
+    # persist barrier: CollapseProject would otherwise inline the
+    # tokenize expression into EVERY downstream reference (the two
+    # bigram size() calls, the explode, the CASE guard) — recomputing
+    # split+filter per reference and blowing up codegen (the round-2
+    # q_dedup_fuzzy lesson). Cached, toks is computed once per row.
+    base = scoped_persist(
+        _spread(docs, "doc_id").select(
+            "doc_id", "lang", F.expr(TOKS_SPARK.format(col="text")).alias("toks")
+        )
     )
     # per-(doc, token) counts -> per-doc top/total/distinct
     tok_stats = (
@@ -737,7 +746,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.sha2(F.expr(NORM_SPARK), 256).alias("k")
     )
-    winners = (
+    from metoffice_spark.session import scoped_persist
+
+    # winners feeds THREE consumers (counts, the n_min scalar via
+    # counts, and kept) — uncached, the whole quality+digest+dedup
+    # subtree re-evaluates per branch (~3x, with the tokenize explode
+    # inside doubling again; measured 16 s at sf0.1). The persisted
+    # frame is tiny: one (doc_id, lang, n_tokens) row per unique doc.
+    winners = scoped_persist(
         g.join(docs, "doc_id")
         .groupBy("k")
         .agg(
