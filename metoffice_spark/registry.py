@@ -40,74 +40,14 @@ _MODULES = (
 )
 
 # qids registered first, in this order (driver checks the first 50).
-# Positions 1-45: the qids with no driver correctness row as of r02
-# (the r02-weak/rotated relational qids sit at 38-45 inside this
-# block). Position 46: q_rollup_hypertable, driver-red in r02 (HUGEINT
-# oracle type, fixed this round) — needs a fresh hard row to prove the
-# fix. Positions 47-50 (the window's last four slots): the first
-# round-3 pipeline qids; everything after position 50 rotates into the
-# driver window in later rounds.
+# Round-4 rotation: positions 1-29 are the qids with no driver
+# correctness row after r03 (r03's window covered its priority
+# positions 1-50; these sat at 51-79). Positions 30+: the round-4
+# additions (temporal / curation modules), then re-verification slots
+# for the most-reworked long-green qids. Everything else has a hard
+# driver row from r01-r03 and registers after the window.
 _PRIORITY = (
-    # llm pipeline (dedup / similarity / multimodal / split)
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embed_cosine",
-    "q_dedup_components",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_split_train_val",
-    "q_embed_quantize",
-    # text analysis
-    "q_text_analysis",
-    "q_text_redact",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_vocab",
-    # udf surface
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf",
-    # streaming suite
-    "q_stream_ingest",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_stateful",
-    "q_stream_sink",
-    # olap composites
-    "q_olap_shipping_priority",
-    "q_olap_local_supplier",
-    "q_olap_returned_items",
-    "q_olap_order_priority",
-    "q_olap_parts_suppliers",
-    # round-2 relational additions never driver-checked
-    "q_fn_array_map_json",
-    "q_fn_date_extract",
-    "q_pivot_unpivot",
-    "q_merge_upsert",
-    "q_join_salted",
-    "q_sketch_distinct",
-    "q_set_bag",
-    "q_sql_ansi",
-    # driver-red in r02, HUGEINT oracle fixed this round
-    "q_rollup_hypertable",
-    # round-3 training-pipeline additions (pipeline.py), never checked;
-    # the last of these may fall outside the driver's 50-row window —
-    # it rotates in next round.
-    "q_quality_gopher",
-    "q_pack_sequences",
-    "q_contamination_ngram",
-    "q_sample_stratified",
+    # round-3 training-pipeline tail never driver-checked (r03 pos 51+)
     "q_tfidf",
     "q_kmeans_step",
     "q_shard_assign",
@@ -118,7 +58,7 @@ _PRIORITY = (
     "q_agg_histogram",
     "q_kmeans_train",
     "q_ts_gapfill",
-    # round-3 scale-technique qids (scale.py)
+    # round-3 scale-technique qids (scale.py), never driver-checked
     "q_incr_agg",
     "q_topk_twophase",
     "q_join_bloom",
@@ -138,6 +78,80 @@ _PRIORITY = (
     "q_sink_compact",
     "q_dq_checks",
     "q_cdc_diff",
+    # round-4 additions (temporal.py / curation.py) register here as
+    # they land — inside the window for a first-round hard signal.
+    "q_scd2_build",
+    "q_join_temporal",
+    "q_interval_sweep",
+    "q_win_ewma",
+    "q_win_distribution",
+    "q_mode_agg",
+    "q_cov_stats",
+    "q_text_boilerplate",
+    "q_bpe_pair_count",
+    "q_oov_rate",
+    "q_embed_dimstats",
+    "q_sample_weighted",
+    "q_ann_pq",
+    "q_fn_json_suite",
+    "q_fn_regex_suite",
+    # re-verification: once-red / heavily-reworked qids (r03 substrate
+    # exchange-reuse touched the first three; rollup was r02-red)
+    "q_rollup_hypertable",
+    "q_rain_daily_delta",
+    "q_sink_http_form",
+    "q_win_lag",
+    "q_dedup_fuzzy",
+    # --- driver window ends here (50) ---
+    # previously front-loaded r03 window, all with hard r03 rows
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine",
+    "q_dedup_components",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_split_train_val",
+    "q_embed_quantize",
+    "q_text_analysis",
+    "q_text_redact",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_vocab",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf",
+    "q_stream_ingest",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
+    "q_stream_stateful",
+    "q_stream_sink",
+    "q_olap_shipping_priority",
+    "q_olap_local_supplier",
+    "q_olap_returned_items",
+    "q_olap_order_priority",
+    "q_olap_parts_suppliers",
+    "q_fn_array_map_json",
+    "q_fn_date_extract",
+    "q_pivot_unpivot",
+    "q_merge_upsert",
+    "q_join_salted",
+    "q_sketch_distinct",
+    "q_set_bag",
+    "q_sql_ansi",
+    "q_quality_gopher",
+    "q_pack_sequences",
+    "q_contamination_ngram",
+    "q_sample_stratified",
 )
 
 
