@@ -1,0 +1,517 @@
+"""Data-curation operators for LLM training corpora (SURVEY.md §2.15).
+
+Pure EXT — the round-4 curation wave: phrase-level boilerplate
+detection (the CCNet/RefinedWeb common-line idea re-expressed over
+n-gram phrases), a BPE merge-step pair count, OOV-rate scoring
+against a corpus-derived vocabulary, per-dimension embedding
+statistics, weighted systematic sampling, product-quantization ANN,
+and the JSON / regex scalar-function suites.
+
+Determinism follows the repo discipline (llm.py header): md5 is the
+only "random" source, counts and fixed-point quantities are exact
+BIGINTs, IEEE divides happen last on exact integer inputs with the
+identical expression on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK, _ivec_duck, _ivec_spark
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+
+# --- q_text_boilerplate: phrase-frequency boilerplate detection --------------
+#
+# Boilerplate = 3-gram phrases that recur across many documents
+# (navigation chrome, license footers, template text). A phrase is
+# flagged when its document frequency exceeds 2% of the corpus — a
+# RELATIVE threshold, so the operator is scale-stable (an absolute
+# cutoff silently stops flagging anything as the corpus grows). Each
+# doc then reports what fraction of its phrase instances are
+# boilerplate, aggregated per source.
+
+_BP_DF_FRAC = 0.02  # flag phrases present in > 2% of docs
+
+# The tokenizer array expression, shared with the oracles below.
+_TOKS_ARR = TOKS_SPARK
+_TOKS_ARR_DUCK = TOKS_DUCK
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs, phrase instances, boilerplate-phrase
+    instances, and the boilerplate fraction (instances covered by
+    3-gram phrases whose document frequency > 2% of the corpus).
+
+    Scale: phrase DF is one (phrase -> distinct-doc count) aggregate
+    with map-side combine; the flagged set (bounded by the DF cutoff
+    — high-DF phrases are few by Zipf) joins back by phrase hash.
+    Nothing is all-pairs; no Python in the path."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # setup scalar, inlined as a literal (llm.py discipline)
+    cutoff = int(n_docs * _BP_DF_FRAC)
+
+    # sequence(1, 0) is DESCENDING in Spark — docs with < 3 tokens must
+    # short-circuit to an empty array (the round-3 short-doc guard).
+    grams_expr = (
+        f"case when size({_TOKS_ARR}) < 3 then array()"
+        f" else transform(sequence(1, size({_TOKS_ARR}) - 2),"
+        f" i -> concat_ws(' ', {_TOKS_ARR}[i - 1], {_TOKS_ARR}[i],"
+        f" {_TOKS_ARR}[i + 1])) end"
+    )
+    grams = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(grams_expr)).alias("phrase"),
+        )
+    )
+    flagged = (
+        grams.groupBy("phrase")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("phrase")
+    )
+    tagged = grams.join(
+        flagged.withColumn("is_bp", F.lit(1)), "phrase", "left"
+    )
+    per_doc = tagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_phrases"),
+        F.count("is_bp").alias("n_bp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_phrases").cast("bigint").alias("phrase_instances"),
+        F.sum("n_bp").cast("bigint").alias("bp_instances"),
+        (F.sum("n_bp").cast("bigint") / F.sum("n_phrases").cast("bigint")).alias(
+            "bp_frac"
+        ),
+    )
+
+
+def _boilerplate_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_ARR_DUCK} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS phrase
+  FROM toks
+),
+flagged AS (
+  SELECT phrase FROM grams
+  GROUP BY phrase
+  HAVING count(DISTINCT doc_id) >
+         (SELECT CAST(floor(count(*) * {_BP_DF_FRAC}) AS BIGINT) FROM documents)
+),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(*) AS n_phrases,
+         count(f.phrase) AS n_bp
+  FROM grams g LEFT JOIN flagged f ON g.phrase = f.phrase
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_phrases) AS BIGINT) AS phrase_instances,
+       CAST(sum(n_bp) AS BIGINT) AS bp_instances,
+       CAST(sum(n_bp) AS BIGINT) / CAST(sum(n_phrases) AS BIGINT) AS bp_frac
+FROM per_doc
+GROUP BY source
+"""
+
+
+QUERIES["q_text_boilerplate"] = (q_text_boilerplate, _boilerplate_oracle())
+
+
+# --- q_bpe_pair_count: one BPE merge-step pair count -------------------------
+#
+# The counting step of byte-pair encoding: over the corpus vocabulary
+# (distinct words with frequencies), count adjacent CHARACTER pairs
+# weighted by word frequency; the top pair is the next BPE merge. At
+# scale the vocab is capped (top-256 by frequency) so the char-pair
+# explosion is bounded by 256 * max-word-length however large the
+# corpus — the corpus itself is touched only by the word count.
+
+_BPE_VOCAB = 256
+_BPE_TOP = 20
+
+
+def q_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs (the BPE merge candidates)
+    over the top-256-word vocabulary, weighted by word frequency.
+
+    Scale: the only corpus-wide work is the word count (map-side
+    combine); pair explosion runs over <= 256 vocab rows; the final
+    top-k is a window over #distinct-pairs rows."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.orderBy(F.desc("freq"), F.asc("w")).limit(_BPE_VOCAB)
+    # Single-char words yield no pairs; Spark's sequence(1, 0) would
+    # descend ([1, 0]) and fabricate them — guard explicitly.
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "case when char_length(w) < 2 then array()"
+                " else transform(sequence(1, char_length(w) - 1),"
+                " i -> substring(w, i, 2)) end"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _BPE_TOP)
+        .select("rnk", "pair", "n")
+    )
+
+
+ORACLE_BPE_PAIR_COUNT = f"""
+WITH words AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({TOKS_DUCK}) AS w FROM documents)
+  GROUP BY w
+),
+vocab AS (
+  SELECT w, freq FROM words ORDER BY freq DESC, w LIMIT {_BPE_VOCAB}
+),
+pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> substring(w, i, 2))) AS pair
+  FROM vocab
+),
+counts AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk, pair, n
+FROM counts
+QUALIFY rnk <= {_BPE_TOP}
+"""
+
+QUERIES["q_bpe_pair_count"] = (q_bpe_pair_count, ORACLE_BPE_PAIR_COUNT)
+
+
+# --- q_oov_rate: out-of-vocabulary rate against a corpus vocabulary ----------
+#
+# The vocabulary is the corpus's own top-20 tokens (frequency-ranked,
+# ties to the lexicographically first). Every doc's tokens are split
+# into in/out-of-vocab; rates aggregate per language. The vocab is a
+# broadcast-sized set by construction, so membership is a map-side
+# broadcast join at any corpus size.
+
+_OOV_VOCAB = 20
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: token count, OOV token count, and the OOV rate
+    against the corpus top-20 vocabulary.
+
+    Scale: vocab is top-k (bounded, broadcast); the per-token
+    membership probe is map-side; only (lang) partial sums shuffle."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select("lang", F.explode(F.expr(TOKS_SPARK)).alias("t"))
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(_OOV_VOCAB)
+        .select("t")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "t", "left"
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count("in_v")).cast("bigint").alias("n_oov"),
+        (
+            (F.count(F.lit(1)) - F.count("in_v")).cast("bigint")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS_DUCK}) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM toks GROUP BY t
+  ORDER BY count(*) DESC, t LIMIT {_OOV_VOCAB}
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(count(*) - count(v.t) AS BIGINT) AS n_oov,
+       CAST(count(*) - count(v.t) AS BIGINT) / count(*) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (t)
+GROUP BY lang
+"""
+
+QUERIES["q_oov_rate"] = (q_oov_rate, ORACLE_OOV_RATE)
+
+
+# --- q_embed_dimstats: per-dimension embedding statistics --------------------
+#
+# The normalization pass every embedding pipeline runs before
+# quantization / whitening: per-dimension count, sum, sum-of-squares,
+# min, max in 1e-6 fixed point, plus the mean as the final divide.
+# posexplode fans each vector into 64 (dim, value) rows that partially
+# aggregate map-side down to 64 rows per partition before the shuffle.
+
+def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per embedding dimension: n, sum, sum of squares, min, max
+    (1e-6 fixed point) and the mean.
+
+    Scale: the 64x row fan-out collapses to 64 rows per partition via
+    map-side combine — the shuffle carries #dims rows regardless of
+    corpus size."""
+    emb = load(tune(spark), sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.expr(_ivec_spark("embedding"))).alias("dim", "x")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sum_fp"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sumsq_fp"),
+            F.min("x").cast("bigint").alias("min_fp"),
+            F.max("x").cast("bigint").alias("max_fp"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_fp",
+            "sumsq_fp",
+            "min_fp",
+            "max_fp",
+            (F.col("sum_fp") / F.col("n")).alias("mean_fp"),
+        )
+    )
+
+
+ORACLE_EMBED_DIMSTATS = f"""
+WITH dims AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest({_ivec_duck("embedding")}) AS x
+  FROM embeddings
+)
+SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_fp,
+       CAST(sum(x * x) AS BIGINT) AS sumsq_fp,
+       CAST(min(x) AS BIGINT) AS min_fp,
+       CAST(max(x) AS BIGINT) AS max_fp,
+       CAST(sum(x) AS BIGINT) / count(*) AS mean_fp
+FROM dims
+GROUP BY dim
+"""
+
+QUERIES["q_embed_dimstats"] = (q_embed_dimstats, ORACLE_EMBED_DIMSTATS)
+
+
+# --- q_sample_weighted: weighted systematic sampling -------------------------
+#
+# Systematic (grid) sampling proportional to document length: lay N
+# grid points over the cumulative-weight axis; a doc is picked once
+# per grid point inside its weight interval (long docs can be picked
+# multiple times — by design, that IS length-proportional sampling).
+# Selection count = floor(cum * N / total) - floor(prev_cum * N /
+# total): pure integer arithmetic, no floats anywhere.
+#
+# The cumulative sum is computed scale-safely: docs hash into 16
+# ordered buckets (first md5 nibble), partial sums run per bucket, and
+# bucket prefix offsets (a 16-row aggregate) broadcast back — the
+# classic two-phase distributed prefix sum. The oracle is the plain
+# global window cumsum, proving the decomposition exact.
+
+_WS_N = 50
+_WS_SEED = "WS1"
+_NIBBLES = "0123456789abcdef"
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional systematic sample of documents: the picked
+    docs with their weight interval and pick count (N = 50 grid
+    points over the cumulative n_chars axis).
+
+    Scale: two-phase prefix sum — per-bucket window sort (16-way
+    parallel) + a broadcast 16-row offset table; the alternative
+    single global ordered window serializes the corpus through one
+    task."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.md5(F.concat(F.lit(f"{_WS_SEED}|"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    docs = docs.withColumn(
+        "bucket",
+        F.expr(f"locate(substring(h, 1, 1), '{_NIBBLES}') - 1").cast("int"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = docs.withColumn("local_cum", F.sum("w").over(wb))
+    btot = (
+        docs.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    )
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("bw").over(woff), F.lit(0)).alias("off")
+    )
+    total = docs.agg(F.sum("w")).collect()[0][0]  # setup scalar (llm.py discipline)
+    cum = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "w",
+        (F.col("local_cum") + F.col("off")).cast("bigint").alias("cum"),
+    )
+    # Integer division ONLY: floor(double /) can land off-by-one at
+    # exactly-divisible grid points and diverge from the oracle's //.
+    picks = F.expr(
+        f"(cum * {_WS_N}) div {total} - ((cum - w) * {_WS_N}) div {total}"
+    ).cast("bigint")
+    return (
+        cum.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "w", "cum", "n_picks")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH src AS (
+  SELECT doc_id, n_chars AS w,
+         md5('{_WS_SEED}|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, w,
+         CAST(sum(w) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST((SELECT sum(w) FROM src) AS BIGINT) AS total
+  FROM src
+)
+SELECT doc_id, w, cum,
+       CAST((cum * {_WS_N}) // total - ((cum - w) * {_WS_N}) // total
+            AS BIGINT) AS n_picks
+FROM cums
+WHERE (cum * {_WS_N}) // total - ((cum - w) * {_WS_N}) // total > 0
+"""
+
+QUERIES["q_sample_weighted"] = (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED)
+
+
+# --- q_fn_json_suite: JSON extraction functions ------------------------------
+#
+# events.props carries a JSON payload; extract, type, aggregate, and
+# re-serialize (the re-serialization is built by hand with concat so
+# both engines emit byte-identical strings — engine-native to_json
+# differs in whitespace).
+
+def q_fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: count, sum/min/max of the JSON field $.k, and
+    a hand-serialized JSON summary payload.
+
+    Scale: map-only JSON extraction (Jackson inside codegen, no
+    Python), then a #event-types-row aggregate."""
+    ev = load(tune(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
+    payload = F.concat(
+        F.lit('{"type":"'),
+        F.col("event_type"),
+        F.lit('","n":'),
+        F.col("n").cast("string"),
+        F.lit(',"sum":'),
+        F.col("k_sum").cast("string"),
+        F.lit("}"),
+    )
+    return agg.select(
+        "event_type", "n", "n_with_k", "k_sum", "k_min", "k_max",
+        payload.alias("summary_json"),
+    )
+
+
+ORACLE_FN_JSON_SUITE = """
+WITH src AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+agg AS (
+  SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+         CAST(sum(k) AS BIGINT) AS k_sum,
+         CAST(min(k) AS BIGINT) AS k_min,
+         CAST(max(k) AS BIGINT) AS k_max
+  FROM src GROUP BY event_type
+)
+SELECT event_type, n, n_with_k, k_sum, k_min, k_max,
+       '{"type":"' || event_type || '","n":' || CAST(n AS VARCHAR)
+         || ',"sum":' || CAST(k_sum AS VARCHAR) || '}' AS summary_json
+FROM agg
+"""
+
+QUERIES["q_fn_json_suite"] = (q_fn_json_suite, ORACLE_FN_JSON_SUITE)
+
+
+# --- q_fn_regex_suite: regular-expression functions --------------------------
+#
+# Extraction, global replacement, and match counting over part names.
+# Patterns stay in the POSIX-class subset where Java (Spark) and RE2
+# (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g' flag
+# to match Spark's global-by-default semantics.
+
+def q_fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: first word, vowel count, vowel-masked name, and word
+    count via regex functions.
+
+    Scale: map-only codegen expressions; no shuffle at all."""
+    part = load(tune(spark), sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        name.alias("p_name"),
+        F.regexp_extract(name, "^[a-z]+", 0).alias("first_word"),
+        (
+            F.length(name) - F.length(F.regexp_replace(name, "[aeiou]", ""))
+        ).cast("bigint").alias("n_vowels"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("masked"),
+        F.size(F.split(name, " ")).cast("bigint").alias("n_words"),
+    )
+
+
+ORACLE_FN_REGEX_SUITE = """
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '^[a-z]+') AS first_word,
+       CAST(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g'))
+            AS BIGINT) AS n_vowels,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+FROM part
+"""
+
+QUERIES["q_fn_regex_suite"] = (q_fn_regex_suite, ORACLE_FN_REGEX_SUITE)

@@ -37,6 +37,8 @@ _MODULES = (
     "pipeline",
     "scale",
     "quality",
+    "temporal",
+    "curation",
 )
 
 # qids registered first, in this order (driver checks the first 50).
