@@ -515,3 +515,210 @@ FROM part
 """
 
 QUERIES["q_fn_regex_suite"] = (q_fn_regex_suite, ORACLE_FN_REGEX_SUITE)
+
+
+# --- q_ann_pq: product-quantization ANN with ADC -----------------------------
+#
+# Product quantization: the 64-dim embedding splits into 8 subspaces
+# of 8 dims; each subspace gets a 16-entry codebook (the subvectors of
+# 16 hash-seeded anchor vectors — deterministic k-means++-style
+# seeding); every corpus vector compresses to 8 one-nibble codes.
+# Queries score candidates with asymmetric distance computation (ADC):
+# a per-query 8x16 lookup table of exact subspace distances, summed
+# along each vector's code word. All distances are exact BIGINTs in
+# 1e-6 fixed point squared space.
+#
+# Scale: the corpus is touched twice ever — once to encode (64x
+# smaller codes persist thereafter) and once per query batch to sum 8
+# broadcast-LUT lookups per vector; the LUT is 128 cells per query
+# regardless of corpus size. The argmin-per-subspace uses the
+# min(dist2 * 16 + c) packing so code assignment is one aggregate
+# (deterministic smallest-c tiebreak), never a window over the
+# exploded corpus.
+
+_PQ_SUBS = 8          # subspaces
+_PQ_SUBDIM = 8        # dims per subspace
+_PQ_K = 16            # codebook entries per subspace
+_PQ_QUERIES = 5       # vec_id < 5 are the query set
+_PQ_TOPK = 5
+_PQ_SEED = "PQ1"
+
+_SQDIST_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, p) -> acc + p)"
+)
+_SQDIST_DUCK = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: per query, the top-5 corpus vectors by ADC
+    distance, with the exact distance of each winner alongside (the
+    quantization-error audit).
+
+    Scale: codes are 8 nibbles/vector (64x compression); the ADC scan
+    joins codes to a broadcast 128-cell-per-query LUT and shuffles
+    only (query, vector) partial sums; nothing is all-pairs."""
+    spark = tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+    qs = base.filter(F.col("vec_id") < _PQ_QUERIES)
+    cs = base.filter(F.col("vec_id") >= _PQ_QUERIES)
+
+    # 16 hash-seeded anchors, c = 0..15 in hash order
+    hashed = cs.select(
+        "vec_id",
+        "v",
+        F.md5(F.concat(F.lit(f"{_PQ_SEED}|"), F.col("vec_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    anchors = hashed.orderBy("h").limit(_PQ_K)
+    anchors = anchors.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).cast("int").alias("c"), "v"
+    )
+    # codebook cells: (c, s, d, a) — d is the within-subspace offset
+    book = anchors.select(
+        "c", F.posexplode("v").alias("dim", "a")
+    ).select(
+        "c",
+        (F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+        (F.col("dim") % _PQ_SUBDIM).cast("int").alias("d"),
+        "a",
+    )
+    book = scoped_persist(book)
+
+    # encode: per (vec_id, s) the argmin-c subspace distance, via the
+    # dist2*16+c packing (one aggregate, smallest-c tiebreak)
+    cexp = cs.select("vec_id", F.posexplode("v").alias("dim", "x")).select(
+        "vec_id",
+        (F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+        (F.col("dim") % _PQ_SUBDIM).cast("int").alias("d"),
+        "x",
+    )
+    sub_d2 = (
+        cexp.join(F.broadcast(book), ["s", "d"])
+        .groupBy("vec_id", "s", "c")
+        .agg(F.sum((F.col("x") - F.col("a")) * (F.col("x") - F.col("a"))).alias("d2"))
+    )
+    codes = (
+        sub_d2.groupBy("vec_id", "s")
+        .agg(F.min(F.col("d2") * _PQ_K + F.col("c")).alias("m"))
+        .select("vec_id", "s", F.expr(f"m % {_PQ_K}").cast("int").alias("code"))
+    )
+
+    # per-query ADC lookup table: (q_id, s, c) -> exact subspace dist
+    qexp = qs.select(
+        F.col("vec_id").alias("q_id"), F.posexplode("v").alias("dim", "qx")
+    ).select(
+        "q_id",
+        (F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+        (F.col("dim") % _PQ_SUBDIM).cast("int").alias("d"),
+        "qx",
+    )
+    lut = (
+        qexp.join(F.broadcast(book), ["s", "d"])
+        .groupBy("q_id", "s", "c")
+        .agg(
+            F.sum((F.col("qx") - F.col("a")) * (F.col("qx") - F.col("a"))).alias(
+                "cell"
+            )
+        )
+    )
+
+    # ADC scan: sum the 8 LUT cells along each vector's code word
+    adc = (
+        codes.join(F.broadcast(lut), (codes.s == lut.s) & (codes.code == lut.c))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("cell").cast("bigint").alias("adc_fp"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    winners = (
+        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+    )
+
+    # quantization-error audit: exact distance for the winners only
+    qv = qs.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    return (
+        winners.join(cs, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "rnk",
+            "vec_id",
+            "adc_fp",
+            F.expr(_SQDIST_SPARK.format(a="qv", b="v")).cast("bigint").alias(
+                "exact_fp"
+            ),
+        )
+    )
+
+
+ORACLE_ANN_PQ = f"""
+WITH base AS (
+  SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+),
+qs AS (SELECT * FROM base WHERE vec_id < {_PQ_QUERIES}),
+cs AS (SELECT * FROM base WHERE vec_id >= {_PQ_QUERIES}),
+anchors AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('{_PQ_SEED}|' || CAST(vec_id AS VARCHAR))) - 1 AS c, v
+  FROM cs
+  ORDER BY md5('{_PQ_SEED}|' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_K}
+),
+book AS (
+  SELECT c, (dim - 1) // {_PQ_SUBDIM} AS s, (dim - 1) % {_PQ_SUBDIM} AS d, a
+  FROM (SELECT c, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS a
+        FROM anchors)
+),
+cexp AS (
+  SELECT vec_id, (dim - 1) // {_PQ_SUBDIM} AS s, (dim - 1) % {_PQ_SUBDIM} AS d, x
+  FROM (SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x
+        FROM cs)
+),
+sub_d2 AS (
+  SELECT cexp.vec_id, cexp.s, book.c,
+         CAST(sum((cexp.x - book.a) * (cexp.x - book.a)) AS BIGINT) AS d2
+  FROM cexp JOIN book ON cexp.s = book.s AND cexp.d = book.d
+  GROUP BY cexp.vec_id, cexp.s, book.c
+),
+codes AS (
+  SELECT vec_id, s,
+         CAST(min(d2 * {_PQ_K} + c) % {_PQ_K} AS INT) AS code
+  FROM sub_d2 GROUP BY vec_id, s
+),
+qexp AS (
+  SELECT vec_id AS q_id,
+         (dim - 1) // {_PQ_SUBDIM} AS s, (dim - 1) % {_PQ_SUBDIM} AS d, qx
+  FROM (SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS qx
+        FROM qs)
+),
+lut AS (
+  SELECT q_id, qexp.s, book.c,
+         CAST(sum((qexp.qx - book.a) * (qexp.qx - book.a)) AS BIGINT) AS cell
+  FROM qexp JOIN book ON qexp.s = book.s AND qexp.d = book.d
+  GROUP BY q_id, qexp.s, book.c
+),
+adc AS (
+  SELECT l.q_id, codes.vec_id, CAST(sum(l.cell) AS BIGINT) AS adc_fp
+  FROM codes JOIN lut l ON codes.s = l.s AND codes.code = l.c
+  GROUP BY l.q_id, codes.vec_id
+),
+winners AS (
+  SELECT q_id, vec_id, adc_fp,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_fp, vec_id) AS INT) AS rnk
+  FROM adc
+  QUALIFY rnk <= {_PQ_TOPK}
+)
+SELECT w.q_id, w.rnk, w.vec_id, w.adc_fp,
+       CAST({_SQDIST_DUCK.format(a="q.v", b="c.v")} AS BIGINT) AS exact_fp
+FROM winners w
+JOIN qs q ON q.vec_id = w.q_id
+JOIN cs c ON c.vec_id = w.vec_id
+"""
+
+QUERIES["q_ann_pq"] = (q_ann_pq, ORACLE_ANN_PQ)

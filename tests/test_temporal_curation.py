@@ -166,3 +166,25 @@ def test_embed_dimstats_covers_all_dims(spark, sf_smoke):
     for r in rows:
         assert r["n"] == n_vecs
         assert r["min_fp"] <= r["max_fp"]
+
+
+def test_pq_adc_ranks_and_exact_audit(spark, sf_smoke):
+    from metoffice_spark.operators.curation import (
+        _PQ_QUERIES,
+        _PQ_TOPK,
+        q_ann_pq,
+    )
+
+    rows = q_ann_pq(spark, sf_smoke).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert r["adc_fp"] >= 0 and r["exact_fp"] >= 0
+        assert r["vec_id"] >= _PQ_QUERIES  # queries never match themselves
+    assert set(per_q) == set(range(_PQ_QUERIES))
+    for q_id, rs in per_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, _PQ_TOPK + 1))
+        # ADC distances are monotone in rank by construction
+        adcs = [r["adc_fp"] for r in rs]
+        assert adcs == sorted(adcs)
