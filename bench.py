@@ -39,6 +39,9 @@ HEADLINE = [
     "q_topk_twophase",    # skew-safe salted two-phase top-k (round 3)
     "q_graph_pagerank",   # iterative graph workload (round 3)
     "q_funnel_steps",     # behavioral analytics windows (round 3)
+    "q_scd2_build",       # SCD2 gaps-and-islands build (round 4)
+    "q_interval_sweep",   # sweep-line interval concurrency (round 4)
+    "q_ann_pq",           # product-quantization ANN + ADC (round 4)
 ]
 
 

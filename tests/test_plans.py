@@ -214,3 +214,36 @@ def test_dq_checks_one_scan_per_table(spark, sf_smoke):
 
     plan = _plan(q_dq_checks(spark, sf_smoke))
     assert plan.count("FileScan") == 3, plan.count("FileScan")
+
+
+def test_pit_join_is_union_window_not_bnlj(spark, sf_smoke):
+    """The point-in-time join must stay the union-window form: zero
+    BroadcastNestedLoopJoin (the plan Spark picks for an interval
+    BETWEEN join) and zero cartesian products."""
+    from metoffice_spark.operators.temporal import q_join_temporal
+
+    plan = _plan(q_join_temporal(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_smoke):
+    """All three SCD2 windows (lag marks, version sum, lead validity)
+    plus the version aggregate must reuse ONE user_id shuffle."""
+    import re
+
+    from metoffice_spark.operators.temporal import q_scd2_build
+
+    plan = _plan(q_scd2_build(spark, sf_smoke))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_pq_adc_scan_uses_broadcast_lut(spark, sf_smoke):
+    """The PQ ADC join (codes x per-query LUT) and the codebook joins
+    must broadcast the bounded side — a shuffle of codes on (s, code)
+    would move the whole corpus for a 128-cell table."""
+    from metoffice_spark.operators.curation import q_ann_pq
+
+    plan = _plan(q_ann_pq(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
