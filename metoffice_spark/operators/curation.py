@@ -722,3 +722,224 @@ JOIN cs c ON c.vec_id = w.vec_id
 """
 
 QUERIES["q_ann_pq"] = (q_ann_pq, ORACLE_ANN_PQ)
+
+
+# --- q_tokenize_ids: vocabulary-id encoding ----------------------------------
+#
+# The tokenize-to-ids step every training pipeline runs last: map each
+# document's token stream onto integer ids from a corpus-derived
+# vocabulary (top-32 by frequency; id = frequency rank, 0 = UNK).
+# Order preservation under distributed reassembly is the actual
+# operator here: tokens explode WITH POSITION, ids come back from a
+# broadcast vocab join, and the array rebuilds via sort of (pos, id)
+# structs — deterministic on both engines.
+
+_TOKID_VOCAB = 32
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: the ordered token-id array (top-32 vocab, 0 =
+    UNK), token count, and UNK count.
+
+    Scale: vocab is top-k (broadcast); the id probe is map-side; the
+    only shuffle regroups (doc_id, pos, id) rows back into arrays —
+    and at 100 TB even that disappears if the explode/regroup runs
+    partition-local per document batch."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select(
+            "doc_id", F.posexplode(F.expr(TOKS_SPARK)).alias("pos", "t")
+        )
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(_TOKID_VOCAB)
+        .select(
+            "t",
+            (F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t"))))
+            .cast("int")
+            .alias("tok_id"),
+        )
+    )
+    tagged = toks.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).cast("int").alias("tok_id")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok_id))),"
+                   " s -> s.tok_id)").alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+
+
+ORACLE_TOKENIZE_IDS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(1, len({TOKS_DUCK}) + 1)) AS pos,
+         unnest({TOKS_DUCK}) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT t,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, t) AS INT) AS tok_id
+  FROM toks GROUP BY t
+  ORDER BY count(*) DESC, t LIMIT {_TOKID_VOCAB}
+)
+SELECT doc_id,
+       list(CAST(coalesce(v.tok_id, 0) AS INT) ORDER BY pos) AS ids,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM toks LEFT JOIN vocab v USING (t)
+GROUP BY doc_id
+"""
+
+QUERIES["q_tokenize_ids"] = (q_tokenize_ids, ORACLE_TOKENIZE_IDS)
+
+
+# --- q_rank_bm25: BM25 document ranking --------------------------------------
+#
+# Full-text relevance ranking with BM25 (k1 = 1.2, b = 0.75) for a
+# fixed 3-term query, in exact integer arithmetic end-to-end: with
+# A = total corpus tokens, D = doc count, dl = doc length, the term
+# score
+#     idf * 2.2 tf / (tf + 1.2 * (0.25 + 0.75 dl D / A))
+# multiplies out to
+#     (idf_fp * 22 A tf) // (10 A tf + 3 A + 9 dl D)
+# — one integer division per (doc, term), summed exactly (idf_fp
+# multiplies INSIDE the division so the quotient keeps idf_fp's six
+# fixed-point digits). idf is the Lucene BM25 form ln(1 + (D - df +
+# 0.5)/(df + 0.5)) = ln((2D + 2)/(2df + 1)) in the repo's
+# floor-1e6-ln fixed point — strictly positive for df <= D, which
+# matters: a negative numerator would hit the Spark-div(truncate) vs
+# DuckDB-//(floor) semantic split. Query terms are corpus frequency
+# ranks 5/10/15 — present in many but not all docs, so tf, dl AND
+# missing terms all differentiate.
+#
+# Scale: df and tf are partial-aggregated counts; the query-term set
+# (3 rows) and the scalar (A, D) pair broadcast; scoring is one
+# map-side expression per (doc, matched term) followed by a per-doc
+# sum and a bounded top-k window.
+
+_BM25_RANKS = (5, 10, 15)
+_BM25_TOPK = 10
+
+
+def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for the fixed 3-term query drawn from
+    corpus frequency ranks 5/10/15; exact-integer scores.
+
+    Scale: no per-row floats until the final audit column; the
+    corpus-wide inputs are two broadcast scalars and a 3-row term
+    table."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
+    )
+    # corpus scalars (setup literals, llm.py discipline)
+    a_total, d_docs = toks.count(), docs.count()
+
+    freq_rank = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t")))
+        )
+    )
+    qterms = freq_rank.filter(F.col("rnk").isin(*_BM25_RANKS)).select("t")
+
+    tf = (
+        toks.join(F.broadcast(qterms), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "t",
+        F.expr(
+            f"cast(floor(1000000.0 * ln((2.0 * {d_docs} + 2.0)"
+            f" / (2.0 * df + 1.0))) as bigint)"
+        ).alias("idf_fp"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score_fp",
+            F.expr(
+                f"(idf_fp * 22 * {a_total}L * tf) div"
+                f" (10 * {a_total}L * tf + 3 * {a_total}L + 9 * dl * {d_docs}L)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score_fp").cast("bigint").alias("score_fp"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select("rnk", "doc_id", "score_fp", "n_terms_hit")
+    )
+
+
+def _bm25_oracle() -> str:
+    ranks = ", ".join(str(r) for r in _BM25_RANKS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_DUCK}) AS t FROM documents
+),
+scalars AS (
+  SELECT (SELECT count(*) FROM toks) AS a_total,
+         (SELECT count(*) FROM documents) AS d_docs
+),
+freq_rank AS (
+  SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+  FROM toks GROUP BY t
+),
+qterms AS (SELECT t FROM freq_rank WHERE rnk IN ({ranks})),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM toks JOIN qterms USING (t)
+  GROUP BY doc_id, t
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+idf AS (
+  SELECT t, CAST(floor(1000000.0 * ln(
+           (2.0 * d_docs + 2.0) / (2.0 * df + 1.0))) AS BIGINT)
+           AS idf_fp
+  FROM (SELECT t, count(*) AS df FROM tf GROUP BY t), scalars
+),
+scored AS (
+  SELECT tf.doc_id,
+         (idf.idf_fp * 22 * s.a_total * tf.tf) //
+           (10 * s.a_total * tf.tf + 3 * s.a_total + 9 * dl.dl * s.d_docs)
+           AS term_score_fp
+  FROM tf
+  JOIN idf USING (t)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scalars s
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(term_score_fp) AS BIGINT) AS score_fp,
+         CAST(count(*) AS INT) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rnk,
+       doc_id, score_fp, n_terms_hit
+FROM per_doc
+QUALIFY rnk <= {_BM25_TOPK}
+"""
+
+
+QUERIES["q_rank_bm25"] = (q_rank_bm25, _bm25_oracle())

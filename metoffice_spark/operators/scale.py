@@ -530,3 +530,253 @@ QUERIES["q_agg_distinct_twophase"] = (
     q_agg_distinct_twophase,
     ORACLE_AGG_DISTINCT_TWOPHASE,
 )
+
+
+# --- q_layout_zorder: Z-order clustering vs arrival layout -------------------
+#
+# The data-skipping argument, made measurable: rows are assigned to
+# 256 "files" two ways — arrival order (round-robin on l_orderkey,
+# what an unclustered ingest writes) vs fixed-width ranges of the
+# Morton (Z-order) interleave of (l_partkey, l_suppkey). Per file and
+# layout we keep min/max of both keys (the parquet footer stats) and
+# report the summed key spans: the min/max window a point query must
+# intersect. Z-order shrinks BOTH spans at once — that's the whole
+# point of multi-dimensional clustering, and here it's an
+# oracle-checked number, not a slogan.
+#
+# Scale: file assignment is a map-only expression in both layouts (a
+# fixed-width z-range IS range partitioning by z-value — no global
+# sort, unlike a row_number-based binning); the stats aggregate is
+# map-side-combined per (layout, file).
+
+_Z_BITS = 16
+_Z_FILES = 256
+
+
+def _morton_spark(x: str, y: str) -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(shiftright({x}, {j}) & 1) * {1 << (2 * j)}")
+        terms.append(f"(shiftright({y}, {j}) & 1) * {1 << (2 * j + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_duck(x: str, y: str) -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(({x} >> {j}) & 1) * {1 << (2 * j)}")
+        terms.append(f"(({y} >> {j}) & 1) * {1 << (2 * j + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per layout (arrival round-robin vs Z-order ranges): file count
+    and the summed per-file min/max spans of l_partkey and l_suppkey
+    — the footer-stats window a point query must intersect.
+
+    Scale: both layouts are map-only assignments (Z uses fixed-width
+    z-ranges = range partitioning by z-value, no global sort); stats
+    are one combined aggregate per (layout, file)."""
+    li = load(tune(spark), sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    morton = _morton_spark(
+        f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})"
+    )
+    z_width = (1 << (2 * _Z_BITS)) // _Z_FILES
+    # integer div ONLY: double / could round across a file boundary
+    z_file = F.expr(f"{morton} div {z_width}").cast("int")
+    assigned = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("layout"),
+                    (F.col("l_orderkey") % _Z_FILES).cast("int").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    z_file.alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+        "l_partkey",
+        "l_suppkey",
+    ).select("a.layout", "a.file_id", "l_partkey", "l_suppkey")
+    stats = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("pk_max") - F.col("pk_min") + 1).cast("bigint").alias("pk_span_sum"),
+        F.sum(F.col("sk_max") - F.col("sk_min") + 1).cast("bigint").alias("sk_span_sum"),
+    )
+
+
+ORACLE_LAYOUT_ZORDER = f"""
+WITH assigned AS (
+  SELECT 'arrival' AS layout,
+         CAST(l_orderkey % {_Z_FILES} AS INT) AS file_id,
+         l_partkey, l_suppkey
+  FROM lineitem
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         CAST({_morton_duck(f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})")}
+              // {(1 << (2 * _Z_BITS)) // _Z_FILES} AS INT) AS file_id,
+         l_partkey, l_suppkey
+  FROM lineitem
+),
+stats AS (
+  SELECT layout, file_id, count(*) AS n_rows,
+         min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+  FROM assigned GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(pk_max - pk_min + 1) AS BIGINT) AS pk_span_sum,
+       CAST(sum(sk_max - sk_min + 1) AS BIGINT) AS sk_span_sum
+FROM stats
+GROUP BY layout
+"""
+
+QUERIES["q_layout_zorder"] = (q_layout_zorder, ORACLE_LAYOUT_ZORDER)
+
+
+# --- q_sketch_hll: HyperLogLog distinct-count sketch -------------------------
+#
+# The 256-register HLL companion to q_sketch_distinct's KMV: bucket =
+# first 2 md5 nibbles, rho = 1 + leading-zero BITS of the remaining 14
+# nibbles (capped at 40 so the 2^(40-rho) summands stay exact
+# BIGINTs: 256 * 2^40 << 2^63). The harmonic sum is exact integer
+# arithmetic; alpha * m^2 / S is the one final IEEE step, written as
+# the identical literal expression on both engines.
+#
+# Scale: the sketch is 256 registers however many rows stream through;
+# map-side combine collapses every partition to <= 256 (bucket, max)
+# rows — the mergeable-sketch property that makes HLL THE distributed
+# distinct counter.
+
+_HLL_M = 256
+_HLL_RHO_CAP = 40
+# alpha_m * m^2 * 2^cap, computed once in Python so both engines see
+# ONE double literal (DuckDB would evaluate 0.7213/... as DECIMAL —
+# decimal literals are DECIMAL there — and the estimate diverges in
+# the 8th digit; repr() round-trips the exact double on both).
+_HLL_EST_CONST = (
+    0.7213 / (1.0 + 1.079 / _HLL_M) * (_HLL_M * _HLL_M) * float(1 << _HLL_RHO_CAP)
+)
+_HLL_RAW = f"({_HLL_EST_CONST!r} / cast(s_scaled as double))"
+# Small-range correction (the actual HLL algorithm): below 2.5m with
+# empty registers present, LinearCounting m*ln(m/V) replaces the raw
+# estimate — the raw form overshoots tiny cardinalities by 10x+. The
+# branch condition compares doubles both engines compute identically,
+# so the branch taken is identical too. Shared Spark/DuckDB text.
+_HLL_EST_EXPR = (
+    f"case when ({_HLL_M} - n_nonzero) > 0 and {_HLL_RAW} <= {2.5 * _HLL_M!r}"
+    f" then cast({_HLL_M} as double)"
+    f" * ln(cast({_HLL_M} as double) / cast({_HLL_M} - n_nonzero as double))"
+    f" else {_HLL_RAW} end"
+)
+
+
+def _rho_spark(h: str) -> str:
+    rest = f"substring({h}, 3, 14)"
+    lz = f"length(regexp_extract({rest}, '^0*', 0))"
+    nib = f"(locate(substring({rest}, {lz} + 1, 1), '{_NIBBLES}') - 1)"
+    extra = (
+        f"(case when {lz} >= 14 then 0"
+        f" when {nib} >= 8 then 0 when {nib} >= 4 then 1"
+        f" when {nib} >= 2 then 2 else 3 end)"
+    )
+    return f"least(4 * {lz} + {extra} + 1, {_HLL_RHO_CAP})"
+
+
+def _rho_duck(h: str) -> str:
+    rest = f"substring({h}, 3, 14)"
+    lz = f"length(regexp_extract({rest}, '^0*'))"
+    nib = f"(strpos('{_NIBBLES}', substring({rest}, {lz} + 1, 1)) - 1)"
+    extra = (
+        f"(CASE WHEN {lz} >= 14 THEN 0"
+        f" WHEN {nib} >= 8 THEN 0 WHEN {nib} >= 4 THEN 1"
+        f" WHEN {nib} >= 2 THEN 2 ELSE 3 END)"
+    )
+    return f"least(4 * {lz} + {extra} + 1, {_HLL_RHO_CAP})"
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row HLL summary over events.user_id: register stats, the
+    exact harmonic sum (scaled by 2^40), the HLL estimate, and the
+    exact distinct count it approximates.
+
+    Scale: per-partition state is 256 registers (map-side combine);
+    the exact count exists only to audit the estimate and would be
+    dropped at 100 TB."""
+    ev = load(tune(spark), sf_dir, "events")
+    hashed = ev.select(
+        F.expr("md5(concat('HLL|', cast(user_id as string)))").alias("h")
+    )
+    regs = (
+        hashed.select(
+            F.expr(f"{_nib_spark('h', 1)} * 16 + {_nib_spark('h', 2)}").alias("bucket"),
+            F.expr(_rho_spark("h")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    allb = spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    filled = allb.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    summed = filled.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("m_j") > 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_nonzero"
+        ),
+        F.sum(F.expr(f"cast(pow(2, {_HLL_RHO_CAP} - m_j) as bigint)")).alias(
+            "s_scaled"
+        ),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return summed.crossJoin(exact).select(
+        F.col("m").cast("int").alias("m"),
+        "n_nonzero",
+        F.col("s_scaled").cast("bigint").alias("s_scaled"),
+        F.expr(_HLL_EST_EXPR).alias("est_distinct"),
+        "n_exact",
+    )
+
+
+ORACLE_SKETCH_HLL = f"""
+WITH hashed AS (
+  SELECT md5('HLL|' || CAST(user_id AS VARCHAR)) AS h FROM events
+),
+regs AS (
+  SELECT {_nib_duck("h", 1)} * 16 + {_nib_duck("h", 2)} AS bucket,
+         max({_rho_duck("h")}) AS m_j
+  FROM hashed GROUP BY 1
+),
+filled AS (
+  SELECT b.bucket, coalesce(r.m_j, 0) AS m_j
+  FROM (SELECT unnest(range({_HLL_M})) AS bucket) b
+  LEFT JOIN regs r ON b.bucket = r.bucket
+),
+summed AS (
+  SELECT count(*) AS m,
+         CAST(sum(CASE WHEN m_j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+         CAST(sum(CAST(pow(2, {_HLL_RHO_CAP} - m_j) AS BIGINT)) AS BIGINT)
+           AS s_scaled
+  FROM filled
+)
+SELECT CAST(m AS INT) AS m, n_nonzero, s_scaled,
+       {_HLL_EST_EXPR} AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+FROM summed
+"""
+
+QUERIES["q_sketch_hll"] = (q_sketch_hll, ORACLE_SKETCH_HLL)

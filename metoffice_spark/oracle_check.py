@@ -37,7 +37,16 @@ _ARROW_DIVERGENT = {"hugeint", "uhugeint"}
 
 
 def _norm_type(t: str) -> str:
-    return _TYPEMAP.get(t.lower(), t.lower())
+    """Normalize a type string to a cross-engine class. Arrays
+    normalize recursively (Spark ``array<int>`` and DuckDB
+    ``integer[]`` are both Arrow ``list<int32>``) but ELEMENT classes
+    still matter: list<int32> vs list<int64> hash differently."""
+    t = t.lower().strip()
+    if t.endswith("[]"):
+        return f"a<{_norm_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"a<{_norm_type(t[6:-1])}>"
+    return _TYPEMAP.get(t, t)
 
 
 def _canon(v):

@@ -97,14 +97,18 @@ _PRIORITY = (
     "q_ann_pq",
     "q_fn_json_suite",
     "q_fn_regex_suite",
-    # re-verification: once-red / heavily-reworked qids (r03 substrate
-    # exchange-reuse touched the first three; rollup was r02-red)
+    "q_layout_zorder",
+    "q_sketch_hll",
+    "q_tokenize_ids",
+    "q_rank_bm25",
+    # re-verification: the r02-red rollup (HUGEINT oracle, fixed r03)
+    # and the most-reworked substrate query (r03 exchange-reuse)
     "q_rollup_hypertable",
     "q_rain_daily_delta",
+    # --- driver window ends here (50) ---
     "q_sink_http_form",
     "q_win_lag",
     "q_dedup_fuzzy",
-    # --- driver window ends here (50) ---
     # previously front-loaded r03 window, all with hard r03 rows
     "q_dedup_exact",
     "q_dedup_simhash",

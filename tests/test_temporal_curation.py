@@ -188,3 +188,51 @@ def test_pq_adc_ranks_and_exact_audit(spark, sf_smoke):
         # ADC distances are monotone in rank by construction
         adcs = [r["adc_fp"] for r in rs]
         assert adcs == sorted(adcs)
+
+
+def test_zorder_shrinks_both_key_spans(spark, sf_smoke):
+    """The whole point of Z-order: the clustered layout must have a
+    strictly smaller summed footer-stat span than arrival order on
+    BOTH dimensions at once."""
+    from metoffice_spark.operators.scale import q_layout_zorder
+
+    rows = {r["layout"]: r for r in q_layout_zorder(spark, sf_smoke).collect()}
+    assert set(rows) == {"arrival", "zorder"}
+    assert rows["arrival"]["n_rows"] == rows["zorder"]["n_rows"]
+    assert rows["zorder"]["pk_span_sum"] < rows["arrival"]["pk_span_sum"]
+    assert rows["zorder"]["sk_span_sum"] < rows["arrival"]["sk_span_sum"]
+
+
+def test_hll_estimate_within_tolerance(spark, sf_smoke):
+    """256-register HLL has ~6.5% relative standard error; assert the
+    estimate lands within 4 sigma of the exact count."""
+    from metoffice_spark.operators.scale import q_sketch_hll
+
+    r = q_sketch_hll(spark, sf_smoke).collect()[0]
+    assert r["m"] == 256
+    rel_err = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+    assert rel_err < 0.26, (r["est_distinct"], r["n_exact"])
+
+
+def test_tokenize_ids_roundtrip(spark, sf_smoke):
+    """ids arrays must preserve token order and length, and UNK ids
+    must count exactly the out-of-vocab positions."""
+    from metoffice_spark.operators.curation import q_tokenize_ids
+
+    rows = q_tokenize_ids(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert len(r["ids"]) == r["n_tokens"]
+        assert sum(1 for i in r["ids"] if i == 0) == r["n_unk"]
+        assert all(i >= 0 for i in r["ids"])
+
+
+def test_bm25_scores_rank_consistently(spark, sf_smoke):
+    from metoffice_spark.operators.curation import _BM25_TOPK, q_rank_bm25
+
+    rows = sorted(q_rank_bm25(spark, sf_smoke).collect(), key=lambda r: r["rnk"])
+    assert 0 < len(rows) <= _BM25_TOPK
+    scores = [r["score_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
+    assert all(r["score_fp"] > 0 for r in rows)
