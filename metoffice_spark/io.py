@@ -36,14 +36,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros —
-        # the same ns→µs truncation DuckDB applies, so oracle parity holds.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects unless read as long) and as
+        # timestamp[us]; adapt to whatever the file actually contains
+        # rather than hardcoding one physical type.  With nanosAsLong
+        # set, a NANOS column surfaces as LongType (truncate ns→µs, the
+        # same truncation DuckDB applies, so oracle parity holds) while
+        # a MICROS column still reads as a timestamp and passes through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, TimestampNTZType):
+            # Session TZ is pinned UTC (session.py), so NTZ→LTZ is
+            # value-identical; keep the historical downstream type.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -378,16 +378,24 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = btot.select(
         "bucket", F.coalesce(F.sum("bw").over(woff), F.lit(0)).alias("off")
     )
-    total = docs.agg(F.sum("w")).collect()[0][0]  # setup scalar (llm.py discipline)
-    cum = local.join(F.broadcast(offsets), "bucket").select(
-        "doc_id",
-        "w",
-        (F.col("local_cum") + F.col("off")).cast("bigint").alias("cum"),
+    # The grand total rides along as a broadcast 1-row crossJoin (the
+    # pipeline.py:428 discipline) — no driver-side collect, so the
+    # whole query is still one job / one composed plan at 100 TB.
+    total_df = docs.agg(F.sum("w").cast("bigint").alias("_total"))
+    cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("local_cum") + F.col("off")).cast("bigint").alias("cum"),
+            "_total",
+        )
     )
     # Integer division ONLY: floor(double /) can land off-by-one at
     # exactly-divisible grid points and diverge from the oracle's //.
     picks = F.expr(
-        f"(cum * {_WS_N}) div {total} - ((cum - w) * {_WS_N}) div {total}"
+        f"(cum * {_WS_N}) div _total - ((cum - w) * {_WS_N}) div _total"
     ).cast("bigint")
     return (
         cum.withColumn("n_picks", picks)
@@ -738,8 +746,13 @@ _TOKID_VOCAB = 32
 
 
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: the ordered token-id array (top-32 vocab, 0 =
-    UNK), token count, and UNK count.
+    """Per document: the ordered token-id sequence (top-32 vocab, 0 =
+    UNK) as a '|'-joined string, token count, and UNK count.
+
+    The id sequence is emitted as a string, not an array — top-level
+    arrays break the driver's pandas-based canonicalizer (the
+    q_agg_collect pattern, relational.py); order preservation, the
+    property under test, survives the join intact.
 
     Scale: vocab is top-k (broadcast); the id probe is map-side; the
     only shuffle regroups (doc_id, pos, id) rows back into arrays —
@@ -770,8 +783,8 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tagged.groupBy("doc_id")
         .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, tok_id))),"
-                   " s -> s.tok_id)").alias("ids"),
+            F.expr("array_join(transform(array_sort(collect_list(struct(pos, tok_id))),"
+                   " s -> cast(s.tok_id as string)), '|')").alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
             .cast("bigint")
@@ -794,7 +807,7 @@ vocab AS (
   ORDER BY count(*) DESC, t LIMIT {_TOKID_VOCAB}
 )
 SELECT doc_id,
-       list(CAST(coalesce(v.tok_id, 0) AS INT) ORDER BY pos) AS ids,
+       string_agg(CAST(coalesce(v.tok_id, 0) AS VARCHAR), '|' ORDER BY pos) AS ids,
        count(*) AS n_tokens,
        CAST(sum(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
 FROM toks LEFT JOIN vocab v USING (t)

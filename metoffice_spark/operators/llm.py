@@ -135,6 +135,9 @@ GROUP BY k
 
 _N_MINHASH = 12
 _BAND_ROWS = 3  # 4 bands x 3 rows
+# Hot-bucket cap for the LSH band self-join: buckets larger than this
+# are dropped before pairing (skew guard — see q_dedup_fuzzy).
+_MAX_BUCKET = 64
 
 _PLANT_SUFFIX = " planted near duplicate suffix"
 
@@ -240,6 +243,20 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"band{b}") for b in range(_N_MINHASH // _BAND_ROWS)])
         ).alias("band_id", "bucket"),
     )
+    # Hot-bucket guard (VERDICT r03): a degenerate band bucket (all
+    # boilerplate docs hashing identically) would turn the self-join
+    # below into one n-squared task at 100 TB. Drop buckets with more
+    # than _MAX_BUCKET members BEFORE pairing — mirrored in the DuckDB
+    # oracle so the semantics stay bitwise-identical. Oversized buckets
+    # carry near-zero precision anyway (they pair everything with
+    # everything); real near-dup clusters are small.
+    safe = (
+        buckets.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _MAX_BUCKET)
+        .select("band_id", "bucket")
+    )
+    buckets = buckets.join(safe, ["band_id", "bucket"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -308,8 +325,15 @@ bands AS (
          {band_sql}
   FROM sigs
 ),
-buckets AS (
+buckets_raw AS (
   {band_union}
+),
+safe AS (
+  SELECT band_id, bucket FROM buckets_raw
+  GROUP BY band_id, bucket HAVING count(*) <= {_MAX_BUCKET}
+),
+buckets AS (
+  SELECT bu.* FROM buckets_raw bu JOIN safe USING (band_id, bucket)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -90,6 +90,31 @@ def compare(spark, con, fn, sql, sf_dir: str) -> list[str]:
         )
     elif [t for _, t in scols] != [t for _, t in ocols]:
         problems.append(f"coltypes spark={scols} oracle={ocols}")
+    # Driver-path simulation (VERDICT r03 item 8): the driver
+    # canonicalizes result rows through a pandas sort over every
+    # column; element types pandas cannot factorize (ndarray/list from
+    # array columns, dict from maps) kill the driver's CHECKER even
+    # when Spark's values are right (the r03 q_tokenize_ids red).
+    # Collected rows reproduce the same unhashability, so this stays
+    # a zero-extra-execution check.
+    import pandas as pd
+
+    for label, rows, cols in (("spark", srows, scols), ("oracle", orows, ocols)):
+        pdf = pd.DataFrame(rows, columns=[c for c, _ in cols]) if rows else None
+        if pdf is None:
+            continue
+        for i, col in enumerate(pdf.columns):
+            series = pdf.iloc[:, i]
+            if series.dtype != object:
+                continue
+            try:
+                # the exact operation the driver's lexsort runs per key
+                pd.factorize(series)
+            except TypeError as e:
+                problems.append(
+                    f"{label} column {col!r} breaks the driver's pandas "
+                    f"canonicalizer ({e}) — stringify it (array_join pattern)"
+                )
     if not problems:
         order = sorted(range(len(scols)), key=lambda i: scols[i][0])
         skey = sorted(tuple(str(r[i]) for i in order) for r in srows)
