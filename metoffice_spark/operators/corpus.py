@@ -1,0 +1,447 @@
+"""Corpus-statistics + retrieval-fusion operators (SURVEY.md §2.16).
+
+Pure EXT — the round-4b wave: the remaining quality / retrieval
+signals a large-scale training-data pipeline runs over a web corpus
+that the earlier waves did not cover:
+
+- bigram language-model scoring (the classic perplexity-proxy quality
+  filter: score each document under a corpus-trained smoothed bigram
+  model — the distributed analog of a KenLM pass);
+- n-gram repetition scoring (the Gopher "repetition" family: fraction
+  of duplicated 3-grams per document);
+- reciprocal-rank fusion of two retrieval rankers (RRF, the standard
+  way hybrid search merges BM25-ish and structural rankings);
+- semantic dedup against per-cluster centroids (the SemDeDup idea:
+  within an embedding cluster, keep one representative and flag
+  vectors whose cosine to the centroid exceeds a threshold).
+
+Determinism follows the repo discipline (llm.py header): counts and
+fixed-point quantities are exact BIGINTs, ln/IEEE divides happen last
+on exact integer inputs with the identical expression in both
+engines, ranking windows carry total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.llm import (
+    DOT_DUCK,
+    DOT_SPARK,
+    NORM2_DUCK,
+    NORM2_SPARK,
+    TOKS_DUCK,
+    TOKS_SPARK,
+    _ivec_duck,
+    _ivec_spark,
+)
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+
+# --- q_lm_bigram_score: smoothed bigram LM scoring ---------------------------
+#
+# Train a Laplace-smoothed bigram model on the corpus itself, then
+# score every document by its average negative log-probability — the
+# cheap distributed stand-in for the "perplexity under a reference LM"
+# quality filter (CCNet / RefinedWeb). With c12 = corpus count of the
+# bigram, c1 = corpus count of its first token, V = vocabulary size:
+#
+#   -ln p(w2|w1) = ln((c1 + V) / (c12 + 1))
+#
+# computed as floor-1e6-ln fixed point (the BM25 pattern: ln of a
+# quotient of exact integers, floored to 6 digits, summed exactly).
+# The argument is > 1 whenever c12 <= c1 + V - 1 (always), so the
+# fixed-point term is non-negative and the sum cannot straddle the
+# Spark-div(truncate) vs DuckDB-//(floor) split.
+#
+# Scale: bigram instances aggregate per (doc, bigram) first (map-side
+# combine), corpus stats are a second-level aggregate of those
+# partials, and scoring is one equi-join on the bigram key — the model
+# "table" shuffles as (bigram, count) pairs, never document bodies.
+# V and the doc count are setup scalars (llm.py discipline).
+
+
+def _bigrams_spark() -> str:
+    t = TOKS_SPARK
+    return (
+        f"case when size({t}) < 2 then array()"
+        f" else transform(sequence(1, size({t}) - 1),"
+        f" i -> concat_ws(' ', {t}[i - 1], {t}[i])) end"
+    )
+
+
+_BIGRAMS_DUCK = (
+    f"list_transform(range(1, greatest(len({TOKS_DUCK}), 1)),"
+    f" i -> ({TOKS_DUCK})[i] || ' ' || ({TOKS_DUCK})[i + 1])"
+)
+
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: bigram count and average negative log-prob under
+    the corpus-trained Laplace bigram model, in 1e-6 fixed point.
+
+    Docs with < 2 tokens have no bigrams and are excluded (the model
+    assigns them no probability), identically in both engines."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    # per-(doc, bigram) counts: the partial-aggregated substrate both
+    # the model AND the scoring pass derive from (one tokenize).
+    db = scoped_persist(
+        docs.select("doc_id", F.explode(F.expr(_bigrams_spark())).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # corpus model: c12 per bigram; c1 per first token; V distinct toks
+    c12 = db.groupBy("bg").agg(F.sum("n").cast("bigint").alias("c12"))
+    uni = scoped_persist(
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    v_size = uni.count()  # setup scalar, inlined as a literal
+
+    model = c12.withColumn("w1", F.expr("split(bg, ' ')[0]")).join(
+        uni.withColumnRenamed("t", "w1"), "w1"
+    )
+    scored = db.join(model.select("bg", "c12", "c1"), "bg").withColumn(
+        "nll_fp",
+        F.expr(
+            f"n * cast(floor(1000000.0 * ln((c1 + {v_size}.0) / (c12 + 1.0)))"
+            " as bigint)"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_fp").cast("bigint").alias("nll_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_fp",
+            F.expr("nll_fp div n_bigrams").cast("bigint").alias("avg_nll_fp"),
+        )
+    )
+
+
+ORACLE_LM_BIGRAM = f"""
+WITH db AS (
+  SELECT doc_id, bg, count(*) AS n
+  FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM documents)
+  GROUP BY doc_id, bg
+),
+c12 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c12 FROM db GROUP BY bg),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest({TOKS_DUCK}) AS t FROM documents)
+  GROUP BY t
+),
+v AS (SELECT count(*) AS v_size FROM uni),
+model AS (
+  SELECT c12.bg, c12.c12, uni.c1
+  FROM c12 JOIN uni ON string_split(c12.bg, ' ')[1] = uni.t
+),
+scored AS (
+  SELECT db.doc_id, db.n,
+         db.n * CAST(floor(1000000.0 * ln(
+           (m.c1 + (SELECT v_size FROM v) * 1.0) / (m.c12 + 1.0)))
+           AS BIGINT) AS nll_fp
+  FROM db JOIN model m ON db.bg = m.bg
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_fp) AS BIGINT) AS nll_fp,
+       CAST(sum(nll_fp) // sum(n) AS BIGINT) AS avg_nll_fp
+FROM scored
+GROUP BY doc_id
+"""
+
+QUERIES["q_lm_bigram_score"] = (q_lm_bigram_score, ORACLE_LM_BIGRAM)
+
+
+# --- q_repetition_ngram: duplicated-3-gram repetition score ------------------
+#
+# The Gopher repetition family: a document whose 3-grams repeat a lot
+# is template/spam-like. Per document: total 3-gram instances,
+# distinct 3-grams, the duplicated fraction in 1e-6 fixed point, and
+# the count of the single most repeated 3-gram.
+#
+# Scale: explode → per-(doc, gram) count (map-side combine) → per-doc
+# aggregate; the shuffle key is (doc_id, gram-string); nothing is
+# corpus-global, so the operator is embarrassingly parallel per doc.
+
+_REP_GRAMS_SPARK = (
+    f"case when size({TOKS_SPARK}) < 3 then array()"
+    f" else transform(sequence(1, size({TOKS_SPARK}) - 2),"
+    f" i -> concat_ws(' ', ({TOKS_SPARK})[i - 1], ({TOKS_SPARK})[i],"
+    f" ({TOKS_SPARK})[i + 1])) end"
+)
+
+_REP_GRAMS_DUCK = (
+    f"list_transform(range(1, greatest(len({TOKS_DUCK}) - 1, 1)),"
+    f" i -> ({TOKS_DUCK})[i] || ' ' || ({TOKS_DUCK})[i + 1]"
+    f" || ' ' || ({TOKS_DUCK})[i + 2])"
+)
+
+
+def q_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (with >= 1 3-gram): instances, distinct grams,
+    duplicated fraction (1e-6 fixed point), max single-gram count."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per_gram = (
+        docs.select("doc_id", F.explode(F.expr(_REP_GRAMS_SPARK)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.expr("(1000000 * (sum(n) - count(1))) div sum(n)")
+        .cast("bigint")
+        .alias("dup_frac_fp"),
+        F.max("n").cast("bigint").alias("top_gram_count"),
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH per_gram AS (
+  SELECT doc_id, g, count(*) AS n
+  FROM (SELECT doc_id, unnest({_REP_GRAMS_DUCK}) AS g FROM documents)
+  GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT) AS dup_frac_fp,
+       CAST(max(n) AS BIGINT) AS top_gram_count
+FROM per_gram
+GROUP BY doc_id
+"""
+
+QUERIES["q_repetition_ngram"] = (q_repetition_ngram, ORACLE_REPETITION)
+
+
+# --- q_rank_rrf_fusion: reciprocal-rank fusion of two rankers ----------------
+#
+# Hybrid retrieval's standard merge: two independent rankings of the
+# matched set are fused by RRF(d) = Σ_r 1/(K + rank_r(d)), K = 60.
+# Fixed point: 1000000 div (60 + rank) per ranker, summed exactly.
+# Ranker A = total query-term frequency (desc); ranker B = matched
+# term count desc, then document length asc (short matching docs
+# first) — deliberately different orderings so the fusion is
+# non-trivial. Both carry doc_id as the final tie-break, so every
+# rank is total and engine-independent.
+#
+# Scale: only docs matching >= 1 query term are ranked (the candidate
+# set, bounded by the posting lists of 3 terms), so the global ranking
+# windows sort candidates, not the corpus; the query-term table (3
+# rows) broadcasts. The corpus-wide frequency ranking reuses the BM25
+# pattern (one partial-aggregated term count).
+
+_RRF_RANKS = (4, 8, 12)  # query = corpus frequency ranks 4/8/12
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def q_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by reciprocal-rank fusion of the tf ranking
+    and the (match count, shortness) ranking; exact-integer scores."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
+    )
+    freq_rank = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t")))
+        )
+    )
+    qterms = freq_rank.filter(F.col("rnk").isin(*_RRF_RANKS)).select("t")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cand = (
+        toks.join(F.broadcast(qterms), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.lit(1)).cast("bigint").alias("tf_total"),
+            F.count_distinct("t").cast("int").alias("n_terms"),
+        )
+        .join(dl, "doc_id")
+    )
+    w_a = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    w_b = Window.orderBy(F.desc("n_terms"), F.asc("dl"), F.asc("doc_id"))
+    ranked = cand.withColumn("rank_a", F.row_number().over(w_a)).withColumn(
+        "rank_b", F.row_number().over(w_b)
+    )
+    fused = ranked.withColumn(
+        "rrf_fp",
+        F.expr(
+            f"1000000 div ({_RRF_K} + rank_a) + 1000000 div ({_RRF_K} + rank_b)"
+        ).cast("bigint"),
+    )
+    w_f = Window.orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select(
+            "rnk",
+            "doc_id",
+            "rrf_fp",
+            F.col("rank_a").cast("int").alias("rank_a"),
+            F.col("rank_b").cast("int").alias("rank_b"),
+        )
+    )
+
+
+def _rrf_oracle() -> str:
+    ranks = ", ".join(str(r) for r in _RRF_RANKS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_DUCK}) AS t FROM documents
+),
+freq_rank AS (
+  SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+  FROM toks GROUP BY t
+),
+qterms AS (SELECT t FROM freq_rank WHERE rnk IN ({ranks})),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cand AS (
+  SELECT toks.doc_id,
+         CAST(count(*) AS BIGINT) AS tf_total,
+         CAST(count(DISTINCT t) AS INT) AS n_terms,
+         any_value(dl.dl) AS dl
+  FROM toks JOIN qterms USING (t) JOIN dl ON toks.doc_id = dl.doc_id
+  GROUP BY toks.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY tf_total DESC, doc_id) AS rank_a,
+         row_number() OVER (ORDER BY n_terms DESC, dl ASC, doc_id) AS rank_b
+  FROM cand
+),
+fused AS (
+  SELECT doc_id,
+         CAST(1000000 // ({_RRF_K} + rank_a)
+              + 1000000 // ({_RRF_K} + rank_b) AS BIGINT) AS rrf_fp,
+         CAST(rank_a AS INT) AS rank_a,
+         CAST(rank_b AS INT) AS rank_b
+  FROM ranked
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS INT) AS rnk,
+       doc_id, rrf_fp, rank_a, rank_b
+FROM fused
+QUALIFY rnk <= {_RRF_TOPK}
+"""
+
+
+QUERIES["q_rank_rrf_fusion"] = (q_rank_rrf_fusion, _rrf_oracle())
+
+
+# --- q_semdedup_centroid: semantic dedup vs cluster centroids ----------------
+#
+# The SemDeDup recipe at cluster granularity: within each embedding
+# cluster (the `label` column — the corpus' precomputed clustering),
+# compute the centroid, measure every member's cosine to it, and flag
+# members above the similarity threshold as semantic duplicates —
+# keeping exactly one representative (min vec_id among the flagged).
+#
+# Arithmetic: vectors quantize to 1e-6 fixed point (the llm.py house
+# pattern); the centroid is the exact per-dimension integer mean
+# (sum div count — BIGINT, order-free); cosine is the one IEEE
+# divide at the end of exact-integer dot/norm sums, the identical
+# expression in both engines.
+#
+# Scale: per-(label, dim) sums partial-aggregate map-side; the
+# centroid table (labels × 1 row) broadcasts back; cosine is map-only;
+# the keep-mark is a min() window bounded by the label partition.
+
+# The driver's synthetic embeddings are near-isotropic (cos-to-
+# centroid tops out ~0.46), so the real-corpus SemDeDup threshold
+# (~0.9+) would flag nothing and leave the keep-representative logic
+# untested; 0.3 flags the top ~10% tail at every driver SF.
+_SEM_THRESH = 0.3
+
+
+def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: its label, cosine to the label centroid, whether it
+    is flagged near-centroid, and whether it survives the dedup
+    (keep = not flagged, or the min-vec_id representative)."""
+    spark = tune(spark)
+    emb = scoped_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.expr(_ivec_spark("embedding")).alias("v")
+        )
+    )
+    sums = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").cast("bigint").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, sx, cnt)))"
+            ", s -> s.sx div s.cnt)"
+        ).alias("c")
+    )
+    dot = DOT_SPARK.format(a="v", b="c")
+    n2v = NORM2_SPARK.format(v="v")
+    n2c = NORM2_SPARK.format(v="c")
+    scored = emb.join(F.broadcast(cent), "label").withColumn(
+        "cos_c",
+        F.expr(
+            f"cast({dot} as double) / (sqrt(cast({n2v} as double))"
+            f" * sqrt(cast({n2c} as double)))"
+        ),
+    )
+    flagged = scored.withColumn("is_dup", F.col("cos_c") >= F.lit(_SEM_THRESH))
+    w_rep = Window.partitionBy("label", "is_dup")
+    return flagged.select(
+        "vec_id",
+        "label",
+        "cos_c",
+        "is_dup",
+        (~F.col("is_dup") | (F.col("vec_id") == F.min("vec_id").over(w_rep))).alias(
+            "keep"
+        ),
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_ivec_duck('embedding')} AS v FROM embeddings
+),
+sums AS (
+  SELECT label, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS cnt
+  FROM (SELECT label, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM emb)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(sx // cnt ORDER BY pos) AS c
+  FROM sums GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST({DOT_DUCK.format(a='e.v', b='c.c')} AS DOUBLE)
+           / (sqrt(CAST({NORM2_DUCK.format(v='e.v')} AS DOUBLE))
+              * sqrt(CAST({NORM2_DUCK.format(v='c.c')} AS DOUBLE))) AS cos_c
+  FROM emb e JOIN cent c USING (label)
+),
+flagged AS (
+  SELECT *, cos_c >= {_SEM_THRESH} AS is_dup FROM scored
+)
+SELECT vec_id, label, cos_c, is_dup,
+       (NOT is_dup) OR vec_id = min(vec_id) OVER (PARTITION BY label, is_dup)
+         AS keep
+FROM flagged
+"""
+
+QUERIES["q_semdedup_centroid"] = (q_semdedup_centroid, ORACLE_SEMDEDUP)

@@ -249,14 +249,16 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than _MAX_BUCKET members BEFORE pairing — mirrored in the DuckDB
     # oracle so the semantics stay bitwise-identical. Oversized buckets
     # carry near-zero precision anyway (they pair everything with
-    # everything); real near-dup clusters are small.
-    safe = (
-        buckets.groupBy("band_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsz"))
+    # everything); real near-dup clusters are small. An unbounded COUNT
+    # window over (band_id, bucket) shares the pairing join's shuffle
+    # key, so the guard costs no extra exchange of the bucket table
+    # (vs. a groupBy + semi-join, which re-shuffles it twice).
+    w_bucket = Window.partitionBy("band_id", "bucket")
+    buckets = (
+        buckets.withColumn("bsz", F.count(F.lit(1)).over(w_bucket))
         .filter(F.col("bsz") <= _MAX_BUCKET)
-        .select("band_id", "bucket")
+        .drop("bsz")
     )
-    buckets = buckets.join(safe, ["band_id", "bucket"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

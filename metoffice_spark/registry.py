@@ -39,6 +39,7 @@ _MODULES = (
     "quality",
     "temporal",
     "curation",
+    "corpus",
 )
 
 # qids registered first, in this order (driver checks the first 50).

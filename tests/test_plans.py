@@ -247,3 +247,24 @@ def test_pq_adc_scan_uses_broadcast_lut(spark, sf_smoke):
     plan = _plan(q_ann_pq(spark, sf_smoke))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_fuzzy_hot_bucket_guard_in_plan(spark, sf_smoke):
+    """The LSH band self-join must be preceded by the hot-bucket
+    count-window filter (bsz <= cap): without it one degenerate bucket
+    becomes a single n-squared task at 100 TB. The window form must
+    also not add an extra exchange of the bucket table beyond the one
+    the pairing join already needs."""
+    from metoffice_spark.operators.llm import _MAX_BUCKET, q_dedup_fuzzy
+
+    plan = _plan(q_dedup_fuzzy(spark, sf_smoke))
+    # the guard's count window over (band_id, bucket)
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "band_id" in ln and "bucket" in ln
+    ]
+    assert win_lines, "hot-bucket count window missing from plan"
+    # and its cap filter survives into the physical plan
+    assert f"<= {_MAX_BUCKET}" in plan or f"{_MAX_BUCKET})" in plan, (
+        "bucket-size cap filter not found in plan"
+    )

@@ -215,16 +215,19 @@ def test_hll_estimate_within_tolerance(spark, sf_smoke):
 
 
 def test_tokenize_ids_roundtrip(spark, sf_smoke):
-    """ids arrays must preserve token order and length, and UNK ids
-    must count exactly the out-of-vocab positions."""
+    """The id sequence ('|'-joined string — the driver's pandas
+    canonicalizer cannot hash top-level arrays) must preserve token
+    order and length, and UNK ids must count exactly the out-of-vocab
+    positions."""
     from metoffice_spark.operators.curation import q_tokenize_ids
 
     rows = q_tokenize_ids(spark, sf_smoke).collect()
     assert rows
     for r in rows:
-        assert len(r["ids"]) == r["n_tokens"]
-        assert sum(1 for i in r["ids"] if i == 0) == r["n_unk"]
-        assert all(i >= 0 for i in r["ids"])
+        ids = [int(s) for s in r["ids"].split("|")]
+        assert len(ids) == r["n_tokens"]
+        assert sum(1 for i in ids if i == 0) == r["n_unk"]
+        assert all(i >= 0 for i in ids)
 
 
 def test_bm25_scores_rank_consistently(spark, sf_smoke):
