@@ -445,3 +445,129 @@ FROM flagged
 """
 
 QUERIES["q_semdedup_centroid"] = (q_semdedup_centroid, ORACLE_SEMDEDUP)
+
+
+# --- q_minhash_est_audit: minhash Jaccard estimate vs exact ------------------
+#
+# The sketch-accuracy audit pattern (house precedent: q_sketch_hll's
+# est-vs-exact, q_ann_pq's ADC-vs-exact): for every planted near-dup
+# pair (original, original+100000 — the q_dedup_fuzzy corpus), compare
+# the minhash-estimated Jaccard (fraction of the 12 signature slots
+# agreeing) against the exact shingle-set Jaccard, both in 1e-6 fixed
+# point, plus the absolute estimation error. This is the measurement a
+# pipeline runs before trusting LSH thresholds at scale.
+#
+# Scale: the pair set is keyed (orig, orig+100000) — an equi-join on
+# doc_id, never a candidate cross product; signatures are 12 16-bit
+# slices (48 bytes/doc) so the join moves sketches, not shingle sets;
+# the exact leg joins the two (few) sides' shingle arrays row-local.
+
+def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per planted near-dup pair: minhash-estimated vs exact Jaccard
+    (1e-6 fixed point) and the absolute error."""
+    from metoffice_spark.operators.llm import (
+        _HS_SPARK,
+        _N_MINHASH,
+        _SHINGLES_SPARK,
+        _corpus,
+        _mh_spark,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    shingled = scoped_persist(
+        corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    )
+    hashed = shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs"))
+    mh_arr = "array(" + ", ".join(_mh_spark(j) for j in range(_N_MINHASH)) + ")"
+    sigs = hashed.select("doc_id", F.expr(mh_arr).alias("mh"))
+
+    orig_s = shingled.filter(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)
+    ).select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    plant_s = shingled.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    orig_m = sigs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)
+    ).select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    plant_m = sigs.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_a"), F.col("mh").alias("mh_b")
+    )
+
+    est = orig_m.join(plant_m, "doc_a").select(
+        "doc_a",
+        F.expr(
+            "cast(1000000 * size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y),"
+            f" b -> b)) as bigint) div {_N_MINHASH}"
+        ).alias("est_fp"),
+    )
+    exact = plant_s.join(orig_s, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "cast(1000000 * size(array_intersect(sh_a, sh_b)) as bigint)"
+            " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+        ).alias("exact_fp"),
+    )
+    return exact.join(est, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "est_fp",
+        "exact_fp",
+        F.abs(F.col("est_fp") - F.col("exact_fp")).cast("bigint").alias("err_fp"),
+    )
+
+
+def _minhash_audit_oracle() -> str:
+    from metoffice_spark.operators.llm import (
+        _CORPUS_DUCK,
+        _HS_DUCK,
+        _N_MINHASH,
+        _SHINGLES_DUCK,
+        _mh_duck,
+    )
+
+    mh_list = "[" + ", ".join(_mh_duck(j) for j in range(_N_MINHASH)) + "]"
+    return f"""
+WITH {_CORPUS_DUCK.strip()},
+shingled AS (
+  SELECT doc_id, sh, {_HS_DUCK} AS hs
+  FROM (
+    SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+    FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
+    WHERE len(toks) >= 3
+  )
+),
+sigs AS (SELECT doc_id, {mh_list} AS mh FROM shingled),
+sig_pairs AS (
+  SELECT o.doc_id AS doc_a, so.mh AS mh_a, sp.mh AS mh_b
+  FROM shingled o
+  JOIN sigs so ON so.doc_id = o.doc_id
+  JOIN sigs sp ON sp.doc_id = o.doc_id + 100000
+  WHERE o.doc_id % 25 = 0 AND o.doc_id < 100000
+),
+est AS (
+  SELECT doc_a,
+         CAST(1000000 * len(list_filter(range(1, {_N_MINHASH} + 1),
+              i -> mh_a[i] = mh_b[i])) AS BIGINT) // {_N_MINHASH} AS est_fp
+  FROM sig_pairs
+),
+exact AS (
+  SELECT o.doc_id AS doc_a, p.doc_id AS doc_b,
+         CAST(1000000 * len(list_intersect(o.sh, p.sh)) AS BIGINT)
+           // (len(o.sh) + len(p.sh) - len(list_intersect(o.sh, p.sh)))
+           AS exact_fp
+  FROM shingled o JOIN shingled p ON p.doc_id = o.doc_id + 100000
+  WHERE o.doc_id % 25 = 0 AND o.doc_id < 100000
+)
+SELECT e.doc_a, e.doc_b, s.est_fp, e.exact_fp,
+       CAST(abs(s.est_fp - e.exact_fp) AS BIGINT) AS err_fp
+FROM exact e JOIN est s USING (doc_a)
+"""
+
+
+QUERIES["q_minhash_est_audit"] = (q_minhash_est_audit, _minhash_audit_oracle())

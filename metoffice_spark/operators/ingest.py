@@ -641,6 +641,85 @@ GROUP BY event_type
 """
 
 
+
+# --- q_src_schema_merge: schema-evolution parquet read -----------------------
+#
+# The lake-table schema-evolution primitive: two parquet drops of the
+# same logical table with DIFFERENT column sets (an old writer without
+# `source`, a new writer without `lang`) read back as ONE relation via
+# mergeSchema, absent columns null-filled. At 100 TB this is how a
+# years-old partition coexists with today's writer without a rewrite;
+# the checked property is that the merged read aggregates exactly like
+# the explicit NULL-padded union.
+
+_MERGE_ROOTS: list[str] = []
+
+
+def q_src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents split deterministically (doc_id parity) into an
+    old-schema drop (doc_id, lang, n_chars) and a new-schema drop
+    (doc_id, source, n_chars); read both with mergeSchema and prove
+    the union semantics: per drop, row count, non-null lang/source
+    counts, and the n_chars checksum.
+
+    Scale: mergeSchema unifies footers only (no data rewrite); the
+    read stays one splittable scan per file. Schema drift bigger than
+    add/remove-column (type changes) belongs to a real table format,
+    not raw parquet — documented boundary."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "metoffice_schema_merge")
+    for stale in _MERGE_ROOTS[:-1]:
+        shutil.rmtree(stale, ignore_errors=True)
+    del _MERGE_ROOTS[: max(0, len(_MERGE_ROOTS) - 1)]
+    root = os.path.join(base, uuid.uuid4().hex[:12])
+    _MERGE_ROOTS.append(root)
+
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "n_chars")
+    old.write.mode("overwrite").parquet(os.path.join(root, "drop=old"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "drop=new"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "drop=old"), os.path.join(root, "drop=new")
+    )
+    return (
+        merged.withColumn(
+            "drop_kind",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("old")).otherwise(F.lit("new")),
+        )
+        .groupBy("drop_kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("lang").cast("bigint").alias("n_lang"),
+            F.count("source").cast("bigint").alias("n_source"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_total"),
+        )
+    )
+
+
+ORACLE_SRC_SCHEMA_MERGE = """
+WITH merged AS (
+  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS drop_kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(lang) AS BIGINT) AS n_lang,
+       CAST(count(source) AS BIGINT) AS n_source,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+FROM merged
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_src_json_rest": (q_src_json_rest, ORACLE_SRC_JSON_REST),
     "q_src_text_scrape": (q_src_text_scrape, ORACLE_SRC_TEXT_SCRAPE),
@@ -650,4 +729,5 @@ QUERIES = {
     "q_sink_partitioned": (q_sink_partitioned, ORACLE_SINK_PARTITIONED),
     "q_src_multiformat": (q_src_multiformat, ORACLE_SRC_MULTIFORMAT),
     "q_sink_compact": (q_sink_compact, ORACLE_SINK_COMPACT),
+    "q_src_schema_merge": (q_src_schema_merge, ORACLE_SRC_SCHEMA_MERGE),
 }

@@ -89,3 +89,20 @@ def test_semdedup_centroid_broadcasts(spark, sf_smoke):
     )
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_audit_covers_planted_pairs_with_bounded_error(spark, sf_smoke):
+    """Every planted near-dup pair is audited; exact Jaccard is high
+    (the plant appends a 3-token suffix); the 12-slot estimate stays
+    within 4 slots (~333334 fp) of exact on these high-sim pairs."""
+    from metoffice_spark.operators.corpus import q_minhash_est_audit
+
+    rows = q_minhash_est_audit(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_b"] == r["doc_a"] + 100000
+        assert r["doc_a"] % 25 == 0
+        assert 0 <= r["est_fp"] <= 1_000_000
+        assert 500_000 <= r["exact_fp"] < 1_000_000
+        assert r["err_fp"] == abs(r["est_fp"] - r["exact_fp"])
+        assert r["err_fp"] <= 400_000
