@@ -989,50 +989,75 @@ WHERE rn <= 5
 
 # --- q_multimodal_decode: mapInPandas decode/feature-extract pipeline --------
 
-def _decode_batches(batches):
-    """Arrow-batched 'decode' of opaque binary payloads.
+# Luminance threshold for the dark-fraction feature: bytes below this
+# 8-bit value count as "dark" (mirrored literally in the oracle).
+_DARK_CUTOFF = 110
 
-    A real deployment decodes image/audio bytes here (PIL/librosa);
-    those libs are not in this container, so the pixel-level decode is
-    STUBBED (see _real_decode) and the extracted features are
-    deterministic functions of the typed metadata — the Spark-side
-    plumbing (binary columns through Arrow, struct metadata access,
-    batch iteration, output schema) is the real thing."""
+
+def _decode_batches(batches):
+    """Arrow-batched decode of opaque binary payloads.
+
+    The payload is treated as a RAW 8-bit luminance buffer — for that
+    format this IS the real decode, done with numpy over the Arrow
+    batch (no per-row Python): byte mean (brightness), byte min/max,
+    and the dark-pixel fraction all come from the actual bytes of the
+    binary column. Codec-compressed media (JPEG/FLAC/H.264) would
+    swap PIL/librosa/ffmpeg into ``_codec_decode`` — those libs are
+    not in this container, so that branch stays a documented stub;
+    frame count for 'video' comes from the typed metadata."""
+    import numpy as np
+
     for pdf in batches:
-        n_bytes = pdf["payload"].map(len).astype("int64")  # real: from the bytes
+        mins, maxs, sums, darks, lens = [], [], [], [], []
+        for payload in pdf["payload"]:
+            px = np.frombuffer(payload, dtype=np.uint8)
+            lens.append(px.size)
+            mins.append(int(px.min()) if px.size else 0)
+            maxs.append(int(px.max()) if px.size else 0)
+            sums.append(int(px.sum(dtype=np.int64)))
+            darks.append(int((px < _DARK_CUTOFF).sum()))
+        n_bytes = np.array(lens, dtype=np.int64)
         meta = pdf["meta"]
-        width = meta.map(lambda m: m["width"]).astype("int32")
-        height = meta.map(lambda m: m["height"]).astype("int32")
         fmt = meta.map(lambda m: m["fmt"])
-        brightness = ((pdf["doc_id"] * 37) % 256).astype("int32")  # fake decode
-        n_frames = ((pdf["doc_id"] % 24) + 1).where(fmt == "video", 1).astype("int32")
         out = pdf[["doc_id"]].copy()
         out["fmt"] = fmt
-        out["width"] = width
-        out["height"] = height
+        out["width"] = meta.map(lambda m: m["width"]).astype("int32")
+        out["height"] = meta.map(lambda m: m["height"]).astype("int32")
         out["n_bytes"] = n_bytes
-        out["brightness"] = brightness
-        out["n_frames"] = n_frames
+        out["brightness"] = (
+            np.array(sums, dtype=np.int64) // np.maximum(n_bytes, 1)
+        ).astype("int32")
+        out["px_min"] = np.array(mins, dtype=np.int32)
+        out["px_max"] = np.array(maxs, dtype=np.int32)
+        out["dark_frac_fp"] = (
+            1_000_000 * np.array(darks, dtype=np.int64) // np.maximum(n_bytes, 1)
+        )
+        out["n_frames"] = (
+            ((pdf["doc_id"] % 24) + 1).where(fmt == "video", 1).astype("int32")
+        )
         yield out
 
 
-def _real_decode(payload: bytes):  # pragma: no cover - documentation stub
-    """Pixel/sample decode of the binary payload. Requires image/audio
-    codecs not present in this environment."""
+def _codec_decode(payload: bytes):  # pragma: no cover - documentation stub
+    """Codec decode (JPEG/FLAC/H.264 ...) of the binary payload.
+    Requires image/audio codecs not present in this environment; the
+    RAW-luminance path in ``_decode_batches`` is the live decode."""
     raise NotImplementedError(
-        "binary media decode is stubbed: this container has no image/audio "
-        "codecs; _decode_batches extracts deterministic metadata features "
-        "instead, keeping the Arrow/mapInPandas plumbing real"
+        "codec-compressed media decode requires PIL/librosa/ffmpeg, which "
+        "this container lacks; the RAW byte-domain decode path is real"
     )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline: binary payload + typed metadata
-    struct -> ``mapInPandas`` feature extraction (decode stub).
+    struct -> ``mapInPandas`` RAW-luminance decode + feature extract
+    (byte mean/min/max, dark fraction) computed from the actual bytes.
 
     Scale shape: map-only (zero shuffles) — each Arrow batch of binary
     blobs is decoded executor-side; at 100 TB this is the
-    decode/resize/frame-sample stage of a media training pipeline."""
+    decode/resize/frame-sample stage of a media training pipeline.
+    Codec-compressed formats are the one stubbed branch
+    (``_codec_decode``: no PIL/ffmpeg in this container)."""
     docs = load(tune(spark), sf_dir, "documents")
     assets = docs.select(
         "doc_id",
@@ -1049,22 +1074,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         _decode_batches,
         "doc_id long, fmt string, width int, height int, n_bytes long,"
-        " brightness int, n_frames int",
+        " brightness int, px_min int, px_max int, dark_frac_fp long,"
+        " n_frames int",
     )
 
 
-ORACLE_MULTIMODAL_DECODE = """
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
+# The oracle replays the byte-domain decode in SQL: the corpus text is
+# pure ASCII, so UTF-8 payload bytes == ascii() codes per character —
+# the same integers numpy reads with frombuffer(uint8).
+ORACLE_MULTIMODAL_DECODE = f"""
+WITH px AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, CAST(i AS INT), 1))) AS v
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+            WHEN d.doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS fmt,
-       CAST((n_chars % 64) + 16 AS INT) AS width,
-       CAST(((doc_id * 7) % 64) + 16 AS INT) AS height,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       CAST((doc_id * 37) % 256 AS INT) AS brightness,
-       CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 24) + 1 ELSE 1 END AS INT)
+       CAST((d.n_chars % 64) + 16 AS INT) AS width,
+       CAST(((d.doc_id * 7) % 64) + 16 AS INT) AS height,
+       CAST(p.n AS BIGINT) AS n_bytes,
+       CAST(COALESCE(list_aggregate(p.v, 'sum'), 0) // greatest(p.n, 1) AS INT)
+         AS brightness,
+       CAST(COALESCE(list_aggregate(p.v, 'min'), 0) AS INT) AS px_min,
+       CAST(COALESCE(list_aggregate(p.v, 'max'), 0) AS INT) AS px_max,
+       CAST(1000000 * len(list_filter(p.v, x -> x < {_DARK_CUTOFF}))
+            // greatest(p.n, 1) AS BIGINT) AS dark_frac_fp,
+       CAST(CASE WHEN d.doc_id % 3 = 2 THEN (d.doc_id % 24) + 1 ELSE 1 END AS INT)
          AS n_frames
-FROM documents
+FROM documents d JOIN px p USING (doc_id)
 """
 
 
