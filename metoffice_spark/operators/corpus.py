@@ -571,3 +571,55 @@ FROM exact e JOIN est s USING (doc_a)
 
 
 QUERIES["q_minhash_est_audit"] = (q_minhash_est_audit, _minhash_audit_oracle())
+
+
+# --- q_sample_reservoir: per-group uniform K-sample --------------------------
+#
+# The distributed analog of per-group reservoir sampling: a uniform
+# K-row sample per group, deterministic across engines and cluster
+# sizes. Classic reservoir state (one pass, mutable array) does not
+# distribute; ranking by a seeded hash of the row key IS the same
+# distribution (every row gets an i.i.d.-uniform 128-bit draw; the K
+# smallest draws are a uniform K-subset) and is embarrassingly
+# parallel: the rank window is bounded by the group partition, so at
+# 100 TB each group sorts its own (already co-located) rows — no
+# global pass, no driver state.
+
+_RES_K = 10
+_RES_SEED = "RS1"
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic K=10 sample per lang: (lang, doc_id,
+    draw rank); the md5-of-key draw makes the sample identical on any
+    cluster size and in the oracle."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{_RES_SEED}|"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _RES_K)
+        .select("lang", "doc_id", "rnk")
+    )
+
+
+ORACLE_SAMPLE_RESERVOIR = f"""
+SELECT lang, doc_id, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_RES_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {_RES_K}
+"""
+
+QUERIES["q_sample_reservoir"] = (q_sample_reservoir, ORACLE_SAMPLE_RESERVOIR)

@@ -106,3 +106,21 @@ def test_minhash_audit_covers_planted_pairs_with_bounded_error(spark, sf_smoke):
         assert 500_000 <= r["exact_fp"] < 1_000_000
         assert r["err_fp"] == abs(r["est_fp"] - r["exact_fp"])
         assert r["err_fp"] <= 400_000
+
+
+def test_reservoir_sample_is_uniform_k_per_group(spark, sf_smoke):
+    """Exactly min(K, group size) rows per lang, ranks dense 1..k, and
+    the draw is reproducible (same sample on a re-run)."""
+    from metoffice_spark.operators.corpus import _RES_K, q_sample_reservoir
+
+    rows = q_sample_reservoir(spark, sf_smoke).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rnk"])
+    for lang, rnks in by_lang.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= _RES_K
+    again = {(r["lang"], r["doc_id"], r["rnk"])
+             for r in q_sample_reservoir(spark, sf_smoke).collect()}
+    assert again == {(r["lang"], r["doc_id"], r["rnk"]) for r in rows}
