@@ -623,3 +623,70 @@ WHERE rnk <= {_RES_K}
 """
 
 QUERIES["q_sample_reservoir"] = (q_sample_reservoir, ORACLE_SAMPLE_RESERVOIR)
+
+
+# --- q_dataset_card: single-scan corpus summary per source -------------------
+#
+# The "dataset card" table every corpus release ships: per source, the
+# size, length, language-spread, token, and duplication metrics — all
+# computed in ONE scan of the documents table. The scale pattern under
+# test is metric fusion: N separate metric queries would be N scans of
+# 100 TB; fused aggregation is one pass with map-side partials
+# (count-distincts plan as Spark's two-phase expand, still one scan).
+# Token totals evaluate the tokenizer expression once per row inside
+# the same projection. Mean lengths are exact integer-division fixed
+# point; no floats anywhere.
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs, distinct langs, char totals/mean, token
+    totals/mean, distinct text digests, and exact duplicate count
+    (docs minus distinct digests) — one scan, one aggregate."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    row = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.expr(f"cast(size({TOKS_SPARK}) as bigint)").alias("nt"),
+        F.md5("text").alias("digest"),
+    )
+    return (
+        row.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("nc").cast("bigint").alias("chars_total"),
+            F.expr("sum(nc) div count(1)").cast("bigint").alias("chars_mean"),
+            F.sum("nt").cast("bigint").alias("tokens_total"),
+            F.expr("sum(nt) div count(1)").cast("bigint").alias("tokens_mean"),
+            F.count_distinct("digest").cast("bigint").alias("n_digests"),
+            (F.count(F.lit(1)) - F.count_distinct("digest"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH row_m AS (
+  SELECT source, lang,
+         CAST(n_chars AS BIGINT) AS nc,
+         CAST(len({TOKS_DUCK}) AS BIGINT) AS nt,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(nc) AS BIGINT) AS chars_total,
+       CAST(sum(nc) // count(*) AS BIGINT) AS chars_mean,
+       CAST(sum(nt) AS BIGINT) AS tokens_total,
+       CAST(sum(nt) // count(*) AS BIGINT) AS tokens_mean,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups
+FROM row_m
+GROUP BY source
+"""
+
+QUERIES["q_dataset_card"] = (q_dataset_card, ORACLE_DATASET_CARD)

@@ -268,3 +268,23 @@ def test_dedup_fuzzy_hot_bucket_guard_in_plan(spark, sf_smoke):
     assert f"<= {_MAX_BUCKET}" in plan or f"{_MAX_BUCKET})" in plan, (
         "bucket-size cap filter not found in plan"
     )
+
+
+def test_lm_bigram_model_join_is_equi_not_nlj(spark, sf_smoke):
+    """The bigram scoring join must stay an equi-join on the bigram
+    key (hash or broadcast); a nested-loop plan would cross the corpus
+    with the model table."""
+    from metoffice_spark.operators.corpus import q_lm_bigram_score
+
+    plan = _plan(q_lm_bigram_score(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dataset_card_is_single_scan(spark, sf_smoke):
+    """All dataset-card metrics must fuse into one scan of documents —
+    N metric queries as N scans is the anti-pattern under test."""
+    from metoffice_spark.operators.corpus import q_dataset_card
+
+    plan = _plan(q_dataset_card(spark, sf_smoke))
+    assert plan.count("Scan parquet") == 1, plan
