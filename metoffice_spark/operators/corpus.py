@@ -690,3 +690,83 @@ GROUP BY source
 """
 
 QUERIES["q_dataset_card"] = (q_dataset_card, ORACLE_DATASET_CARD)
+
+
+# --- q_dedup_incremental: batch-vs-index incremental dedup -------------------
+#
+# Production dedup is INCREMENTAL: today's crawl lands against the
+# standing digest index, not against itself plus all history re-read.
+# Split the corpus deterministically (doc_id parity) into the standing
+# index (even) and the arriving batch (odd); the batch survives if its
+# digest misses the index (anti-join) AND it is the first holder of
+# the digest within the batch (min-doc_id per digest). The checked
+# property is merge == batch: survivors + index equal a full-corpus
+# dedup keep-set restricted to the same winners — the same discipline
+# q_incr_agg locks for aggregates.
+#
+# Scale: both legs shuffle 16-byte digests + ids, never bodies; the
+# anti-join is a digest equi-join, and the within-batch winner is a
+# partial-aggregated min. At 100 TB the index side is the bucketed
+# digest table on disk; nothing rescans history bodies.
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per surviving batch doc: doc_id, digest, and survivor class
+    ('new' = digest unseen anywhere, 'batch_first' = duplicate within
+    the batch only, kept as first holder) — plus merge==batch audit
+    columns proving the incremental result equals full-corpus dedup."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    first_in_batch = batch.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("batch_copies")
+    )
+    survivors = first_in_batch.join(
+        index.select("digest"), "digest", "left_anti"
+    )
+    # merge==batch audit: the full-corpus keep-set winner for this
+    # digest must be the same doc the incremental path kept, PROVIDED
+    # no index doc holds the digest — which the anti-join guarantees.
+    full_winner = docs.groupBy("digest").agg(
+        F.min("doc_id").alias("full_winner_id")
+    )
+    return (
+        survivors.join(full_winner, "digest")
+        .select(
+            "doc_id",
+            "digest",
+            F.when(F.col("batch_copies") == 1, F.lit("new"))
+            .otherwise(F.lit("batch_first"))
+            .alias("survivor_class"),
+            F.col("batch_copies").cast("bigint").alias("batch_copies"),
+            (F.col("full_winner_id") == F.col("doc_id")).alias("merge_eq_batch"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+batch AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+idx AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+first_in_batch AS (
+  SELECT digest, min(doc_id) AS doc_id, count(*) AS batch_copies
+  FROM batch GROUP BY digest
+),
+survivors AS (
+  SELECT f.* FROM first_in_batch f
+  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.digest = f.digest)
+),
+full_winner AS (SELECT digest, min(doc_id) AS full_winner_id FROM d GROUP BY digest)
+SELECT s.doc_id, s.digest,
+       CASE WHEN s.batch_copies = 1 THEN 'new' ELSE 'batch_first' END
+         AS survivor_class,
+       CAST(s.batch_copies AS BIGINT) AS batch_copies,
+       w.full_winner_id = s.doc_id AS merge_eq_batch
+FROM survivors s JOIN full_winner w USING (digest)
+"""
+
+QUERIES["q_dedup_incremental"] = (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL)

@@ -124,3 +124,16 @@ def test_reservoir_sample_is_uniform_k_per_group(spark, sf_smoke):
     again = {(r["lang"], r["doc_id"], r["rnk"])
              for r in q_sample_reservoir(spark, sf_smoke).collect()}
     assert again == {(r["lang"], r["doc_id"], r["rnk"]) for r in rows}
+
+
+def test_dedup_incremental_merge_equals_batch(spark, sf_smoke):
+    """Every survivor must be the full-corpus winner for its digest
+    (merge == batch), and no survivor's digest may exist in the index."""
+    from metoffice_spark.operators.corpus import q_dedup_incremental
+
+    rows = q_dedup_incremental(spark, sf_smoke).collect()
+    assert rows
+    assert all(r["merge_eq_batch"] for r in rows)
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    classes = {r["survivor_class"] for r in rows}
+    assert "new" in classes
