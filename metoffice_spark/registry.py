@@ -7,10 +7,9 @@ projections of this dict. Modules register themselves by exposing a
 Registration ORDER matters: the driver's per-round correctness gate
 checks the first 50 registered qids. ``_PRIORITY`` pins the front of
 the ordering to the operators that most need a hard driver signal this
-round — in round 2 the gate landed on the long-green relational core
-while the entire llm/text/udf/streaming/analytics tail went unchecked
-(VERDICT r02 "What's missing" #1), so round 3 front-loads exactly that
-tail plus the re-fixed q_rollup_hypertable.
+round; the window rotates exactly once per round (see the _PRIORITY
+comment), and new operators register AFTER the window so they never
+silently displace a planned check.
 """
 
 from __future__ import annotations
