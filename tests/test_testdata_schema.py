@@ -121,3 +121,22 @@ def test_events_loader_is_schema_adaptive(spark):
     # Building + executing an aggregation over ts proves the plan resolves.
     n = df.selectExpr("date_trunc('day', ts) AS d").groupBy("d").count().count()
     assert n >= 1
+
+
+def test_loader_tz_safety_under_non_utc_session(spark, sf_smoke):
+    """The events loader casts TIMESTAMP_NTZ to session-TZ timestamp;
+    that is only value-correct because every query builder repins UTC
+    via tune() before loading. Simulate a driver handing a non-UTC
+    session: results must be identical to the UTC build (the verify
+    recipe's TZ probe, locked in-repo)."""
+    from metoffice_spark.operators.rain import q_rain_daily_delta
+
+    baseline = {(r["station_id"], r["obs_id"]): (r["r"], r["dailyrainmm"])
+                for r in q_rain_daily_delta(spark, sf_smoke).collect()}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        probed = {(r["station_id"], r["obs_id"]): (r["r"], r["dailyrainmm"])
+                  for r in q_rain_daily_delta(spark, sf_smoke).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert probed == baseline
