@@ -770,3 +770,76 @@ FROM survivors s JOIN full_winner w USING (digest)
 """
 
 QUERIES["q_dedup_incremental"] = (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL)
+
+
+# --- q_fn_url_suite: URL parsing/normalization functions ---------------------
+#
+# The URL toolkit a web-corpus pipeline runs on every crawl record:
+# scheme/host/path/query-param extraction and a canonical form
+# (lowercased host, fragment and tracking params dropped). The corpus
+# tables carry no URL column, so the suite builds a deterministic URL
+# per document in-query (the planted-data house pattern) — identical
+# literals in both engines. Extraction is regexp_extract with ONE
+# regex text shared across engines (Java∩RE2-safe subset, the
+# q_fn_regex_suite discipline); Spark's parse_url would be faster JVM-
+# side but has no DuckDB twin, so the regex form is the parity
+# surface and the docstring records the swap.
+#
+# Scale: map-only — no shuffle, no UDF; regex evaluates inside
+# whole-stage codegen.
+
+_URL_RE_SCHEME = "^([a-z]+)://"
+_URL_RE_HOST = "^[a-z]+://([^/?#]+)"
+_URL_RE_PATH = "^[a-z]+://[^/?#]+(/[^?#]*)"
+_URL_RE_QPARAM = "[?&]q=([^&#]*)"
+
+
+def q_fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: a synthesized URL, its scheme/host/path/q-param,
+    and the canonical form (no fragment, no utm param, host kept
+    lowercase)."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(
+        "concat('https://', upper(source), '.Example.com/', lang, '/doc/',"
+        " cast(doc_id as string), '?q=', lang, '&utm_source=feed#sec',"
+        " cast(doc_id % 5 as string))"
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    lower_url = F.expr("lower(url)")
+    return d.select(
+        "doc_id",
+        "url",
+        F.regexp_extract(lower_url, _URL_RE_SCHEME, 1).alias("scheme"),
+        F.regexp_extract(lower_url, _URL_RE_HOST, 1).alias("host"),
+        F.regexp_extract(lower_url, _URL_RE_PATH, 1).alias("path"),
+        F.regexp_extract(F.col("url"), _URL_RE_QPARAM, 1).alias("q_param"),
+        F.expr(
+            "concat('https://', "
+            f"regexp_extract(lower(url), '{_URL_RE_HOST}', 1), "
+            f"regexp_extract(lower(url), '{_URL_RE_PATH}', 1), "
+            f"'?q=', regexp_extract(url, '{_URL_RE_QPARAM}', 1))"
+        ).alias("canonical"),
+    )
+
+
+ORACLE_FN_URL_SUITE = f"""
+WITH d AS (
+  SELECT doc_id,
+         'https://' || upper(source) || '.Example.com/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?q=' || lang
+           || '&utm_source=feed#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(lower(url), '{_URL_RE_SCHEME}', 1) AS scheme,
+       regexp_extract(lower(url), '{_URL_RE_HOST}', 1) AS host,
+       regexp_extract(lower(url), '{_URL_RE_PATH}', 1) AS path,
+       regexp_extract(url, '{_URL_RE_QPARAM}', 1) AS q_param,
+       'https://' || regexp_extract(lower(url), '{_URL_RE_HOST}', 1)
+         || regexp_extract(lower(url), '{_URL_RE_PATH}', 1)
+         || '?q=' || regexp_extract(url, '{_URL_RE_QPARAM}', 1) AS canonical
+FROM d
+"""
+
+QUERIES["q_fn_url_suite"] = (q_fn_url_suite, ORACLE_FN_URL_SUITE)
