@@ -384,10 +384,16 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.sum("x").cast("bigint").alias("sx"), F.count(F.lit(1)).alias("cnt"))
     )
+    # Per-dimension sums are signed (embedding components are negative
+    # about half the time), and the house determinism discipline
+    # (curation.py:834) declares Spark `div` (truncate) vs DuckDB `//`
+    # divergent on negative numerators. Divide |sx| (non-negative, so
+    # the engines agree) and reapply the sign: an explicit
+    # truncate-toward-zero identical in both dialects (ADVICE r04).
     cent = sums.groupBy("label").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, sx, cnt)))"
-            ", s -> s.sx div s.cnt)"
+            ", s -> if(s.sx < 0, -((-s.sx) div s.cnt), s.sx div s.cnt))"
         ).alias("c")
     )
     dot = DOT_SPARK.format(a="v", b="c")
@@ -425,7 +431,11 @@ sums AS (
   GROUP BY label, pos
 ),
 cent AS (
-  SELECT label, list(sx // cnt ORDER BY pos) AS c
+  -- sign-split truncating divide: |sx| // cnt is non-negative (engines
+  -- agree), sign reapplied = truncate-toward-zero, matching Spark div.
+  SELECT label,
+         list(CASE WHEN sx < 0 THEN -((-sx) // cnt) ELSE sx // cnt END
+              ORDER BY pos) AS c
   FROM sums GROUP BY label
 ),
 scored AS (

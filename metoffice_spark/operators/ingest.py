@@ -652,9 +652,6 @@ GROUP BY event_type
 # the checked property is that the merged read aggregates exactly like
 # the explicit NULL-padded union.
 
-_MERGE_ROOTS: list[str] = []
-
-
 def q_src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents split deterministically (doc_id parity) into an
     old-schema drop (doc_id, lang, n_chars) and a new-schema drop
@@ -666,18 +663,22 @@ def q_src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     read stays one splittable scan per file. Schema drift bigger than
     add/remove-column (type changes) belongs to a real table format,
     not raw parquet — documented boundary."""
+    import atexit
     import shutil
     import tempfile
     import uuid
 
     spark = tune(spark)
     docs = load(spark, sf_dir, "documents")
+    # Scratch lifecycle (ADVICE r04): the returned DataFrame reads the
+    # drops lazily, so the current root must outlive this builder. Wipe
+    # the whole base at entry (removes every prior run's root, not just
+    # all-but-newest) and reap the final root at interpreter exit — no
+    # module-global state, nothing leaked past process end.
     base = os.path.join(tempfile.gettempdir(), "metoffice_schema_merge")
-    for stale in _MERGE_ROOTS[:-1]:
-        shutil.rmtree(stale, ignore_errors=True)
-    del _MERGE_ROOTS[: max(0, len(_MERGE_ROOTS) - 1)]
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     root = os.path.join(base, uuid.uuid4().hex[:12])
-    _MERGE_ROOTS.append(root)
 
     old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
     new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "n_chars")

@@ -1081,11 +1081,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle replays the byte-domain decode in SQL: the corpus text is
 # pure ASCII, so UTF-8 payload bytes == ascii() codes per character —
-# the same integers numpy reads with frombuffer(uint8).
+# the same integers numpy reads with frombuffer(uint8). That equality
+# only holds for ASCII, so the CTE asserts it per row (ADVICE r04): a
+# datagen change introducing multi-byte characters makes the oracle
+# error() loudly instead of silently diverging from the byte-domain
+# numpy decode.
 ORACLE_MULTIMODAL_DECODE = f"""
 WITH px AS (
   SELECT doc_id,
-         octet_length(CAST(text AS BLOB)) AS n,
+         CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+              THEN error('documents.text is not pure ASCII (doc_id '
+                         || doc_id || '): byte-domain oracle invalid')
+              ELSE octet_length(CAST(text AS BLOB)) END AS n,
          list_transform(range(1, length(text) + 1),
                         i -> ascii(substring(text, CAST(i AS INT), 1))) AS v
   FROM documents

@@ -140,3 +140,19 @@ def test_loader_tz_safety_under_non_utc_session(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert probed == baseline
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_is_pure_ascii(spark, sf_dir):
+    """The q_multimodal_decode oracle equates UTF-8 payload bytes with
+    per-character ascii() codes — valid only while documents.text is
+    pure ASCII (ADVICE r04). Lock the assumption at every scale factor
+    so a datagen change fails here, in-round, not as a silent parity
+    divergence (the oracle itself also error()s, belt-and-braces)."""
+    bad = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("octet_length(encode(text, 'UTF-8')) <> length(text) AS multi")
+        .filter("multi")
+        .count()
+    )
+    assert bad == 0
