@@ -39,6 +39,7 @@ _MODULES = (
     "temporal",
     "curation",
     "corpus",
+    "classify",
 )
 
 # qids registered first, in this order (driver checks the first 50).
