@@ -1,0 +1,473 @@
+"""Behavioral + time-series analytics operators (SURVEY.md §2.18).
+
+Pure EXT — the round-5 wave over ``events`` (plus a changelog-apply
+over ``customer``): the sequence-analytics family that sits beside
+the round-3 funnel/cohort/sessionize trio:
+
+- last-touch marketing attribution (assign each conversion's revenue
+  to the user's most recent prior touch event);
+- first-order Markov transition matrix between event types;
+- lag-k autocorrelation of the daily event-count series per type
+  (the seasonality probe a capacity planner runs);
+- CUSUM mean-shift change-point detection on the same series;
+- changelog apply: materialize an ordered insert/update/delete log
+  into the final snapshot — the write half of CDC, complementing
+  q_cdc_diff's read half.
+
+Determinism follows the repo discipline (llm.py header): money and
+rates are exact integer cents / 1e-6 fixed point, ordered windows
+carry total (ts, event_id) tie-breaks, signed quantities are never
+integer-divided (the div-truncate vs //-floor split), and the one
+IEEE divide in the autocorrelation happens last on exact BIGINT
+sufficient statistics.
+
+Reference tie-in: the rain state machine (MWC:196-280) is exactly a
+"previous relevant event" carry — q_attribution generalizes that
+lookup (the q_join_temporal union-window trick) from rain counters to
+conversion credit; the daily series ops generalize its day-boundary
+windowing (MWC:231-240).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+_CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
+
+
+# --- q_attribution: last-touch conversion attribution ------------------------
+#
+# For every 'purchase', credit its value to the user's most recent
+# PRIOR 'view' or 'click' (the touch channel); purchases with no
+# prior touch credit the 'none' channel. One window over the per-user
+# event stream with the total (ts, event_id) tie-break carries the
+# last touch type via last(ignorenulls) — the rain machine's
+# "previous relevant observation" lookup (MWC:216, 256) with
+# conversion credit instead of counter deltas.
+#
+# Scale: a single shuffle on user_id; state per row is one carried
+# string. The BETWEEN-join formulation would be a per-user range self
+# join (BroadcastNestedLoopJoin at scale) — the union-window shape is
+# the one that survives 100 TB (q_join_temporal precedent).
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per channel ('view' / 'click' / 'none'): attributed conversion
+    count and revenue in exact integer cents."""
+    ev = load(tune(spark), sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+        F.last(
+            F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("last_touch", F.lit("none")).alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH touched AS (
+  SELECT user_id, ts, event_id, event_type, {_CENTS} AS cents,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events
+)
+SELECT coalesce(last_touch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM touched WHERE event_type = 'purchase'
+GROUP BY coalesce(last_touch, 'none')
+"""
+
+QUERIES["q_attribution"] = (q_attribution, ORACLE_ATTRIBUTION)
+
+
+# --- q_markov_transitions: event-type transition matrix ----------------------
+#
+# First-order Markov chain over each user's event stream: count
+# (current_type -> next_type) transitions, and express the row-
+# conditional probability in 1e-6 fixed point (non-negative integer
+# division — numerator and denominator are counts, so no div/floor
+# split). The sequence-model view of user behavior that powers
+# next-event prediction and anomaly scoring.
+#
+# Scale: one shuffle on user_id for the lead() window, then a
+# (cur, next) aggregate with map-side combine — 25 output rows for 5
+# event types no matter the corpus size.
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (cur_type, next_type): transition count and conditional
+    probability (1e-6 fixed point, exact integer division)."""
+    ev = load(tune(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n_trans",
+        F.expr(
+            "cast(1000000 * n_trans div sum(n_trans)"
+            " over (partition by cur_type) as bigint)"
+        ).alias("p_fp"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH pairs AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n_trans,
+       CAST(1000000 * n_trans // sum(n_trans)
+              OVER (PARTITION BY cur_type) AS BIGINT) AS p_fp
+FROM counts
+"""
+
+QUERIES["q_markov_transitions"] = (q_markov_transitions, ORACLE_MARKOV)
+
+
+# --- daily event-count series (shared by autocorr + changepoint) -------------
+#
+# Day buckets come from the observed data only (no grid fill): both
+# operators are defined over the ordered sequence of OBSERVED days,
+# which is deterministic regardless of sparsity; q_ts_gapfill is the
+# operator that repairs gaps when a fixed cadence is required.
+
+_DAILY_SPARK = None  # built inline per query
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+_DAILY_DUCK = """
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+"""
+
+
+# --- q_ts_autocorr: lag-k autocorrelation of the daily series ----------------
+#
+# Pearson correlation between the daily-count series and its lag-1 /
+# lag-2 shifts, per event type: exact BIGINT sufficient statistics
+# (n, Sx, Sy, Sxy, Sxx, Syy) over the lag pairs, one IEEE expression
+# last (the q_cov_stats discipline). The capacity-planning probe for
+# weekly seasonality and burstiness.
+#
+# Scale: the daily aggregate is the only data-sized shuffle; lag
+# pairs and moments are per-type windows over ~days rows.
+
+
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, lag in {1, 2}): pair count, exact moment sums,
+    and the autocorrelation coefficient (IEEE, computed last)."""
+    spark = tune(spark)
+    daily = scoped_persist(_daily(spark, sf_dir))
+    w = Window.partitionBy("event_type").orderBy("day")
+    out = None
+    for lag in (1, 2):
+        pairs = daily.select(
+            "event_type",
+            F.col("cnt").alias("x"),
+            F.lead("cnt", lag).over(w).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        mom = pairs.groupBy("event_type").agg(
+            F.lit(lag).cast("int").alias("lag"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        out = mom if out is None else out.unionByName(mom)
+    return out.withColumn(
+        "acf",
+        F.expr(
+            "cast(n * sxy - sx * sy as double)"
+            " / (sqrt(cast(n * sxx - sx * sx as double))"
+            "    * sqrt(cast(n * syy - sy * sy as double)))"
+        ),
+    )
+
+
+ORACLE_TS_AUTOCORR = f"""
+WITH {_DAILY_DUCK},
+pairs AS (
+  SELECT event_type, lag, x, y FROM (
+    SELECT event_type, 1 AS lag, cnt AS x,
+           lead(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS y
+    FROM daily
+    UNION ALL
+    SELECT event_type, 2 AS lag, cnt AS x,
+           lead(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS y
+    FROM daily)
+  WHERE y IS NOT NULL
+),
+mom AS (
+  SELECT event_type, CAST(lag AS INT) AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n, sx, sy, sxy, sxx, syy,
+       cast(n * sxy - sx * sy as double)
+         / (sqrt(cast(n * sxx - sx * sx as double))
+            * sqrt(cast(n * syy - sy * sy as double))) AS acf
+FROM mom
+"""
+
+QUERIES["q_ts_autocorr"] = (q_ts_autocorr, ORACLE_TS_AUTOCORR)
+
+
+# --- q_ts_changepoint: CUSUM mean-shift detection ----------------------------
+#
+# Classic CUSUM on the daily series per event type: deviations from
+# the series mean accumulate; the day where |cusum| peaks is the
+# change-point candidate, and the peak magnitude is the shift
+# evidence. Everything is exact integer fixed point: mean_fp =
+# 1e6 * total // n_days (non-negative //), dev_fp = 1e6*cnt - mean_fp
+# (signed but only ever summed, never divided), peak day tie-broken
+# earliest.
+#
+# Scale: per-type running sum over ~days rows after the one daily
+# aggregate; state is one BIGINT per row. The monitoring primitive
+# for "did ingest volume shift this week".
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: series length, the CUSUM-peak day (earliest on
+    ties), peak |cusum| (1e-6 fixed point), and shift direction."""
+    spark = tune(spark)
+    daily = _daily(spark, sf_dir)
+    stats = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    joined = daily.join(
+        F.broadcast(stats), daily["event_type"] == stats["et"]
+    ).select(
+        "event_type",
+        "day",
+        "cnt",
+        "n_days",
+        F.expr("cast(1000000 * total div n_days as bigint)").alias("mean_fp"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = joined.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(F.expr("1000000 * cnt - mean_fp")).over(w).alias("cusum_fp"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_fp")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cusum_fp")).cast("bigint").alias("peak_abs_cusum_fp"),
+            F.when(F.col("cusum_fp") >= 0, F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )
+
+
+ORACLE_TS_CHANGEPOINT = f"""
+WITH {_DAILY_DUCK},
+stats AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+cusum AS (
+  SELECT d.event_type, d.day, s.n_days,
+         sum(1000000 * d.cnt - CAST(1000000 * s.total // s.n_days AS BIGINT))
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_fp
+  FROM daily d JOIN stats s USING (event_type)
+),
+picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum_fp) DESC, day ASC) AS rn
+  FROM cusum
+)
+SELECT event_type, n_days, day AS cp_day,
+       CAST(abs(cusum_fp) AS BIGINT) AS peak_abs_cusum_fp,
+       CASE WHEN cusum_fp >= 0 THEN 'up' ELSE 'down' END AS direction
+FROM picked WHERE rn = 1
+"""
+
+QUERIES["q_ts_changepoint"] = (q_ts_changepoint, ORACLE_TS_CHANGEPOINT)
+
+
+# --- q_cdc_apply: materialize a changelog into a snapshot --------------------
+#
+# The write half of change-data-capture (q_cdc_diff computes a
+# changelog; this applies one): a three-version ordered log of
+# insert / update / delete operations over the customer dimension is
+# reduced to the final snapshot by last-writer-wins per key, then
+# summarized per nation. The changelog is synthesized
+# deterministically from the customer table in-query (the planted-
+# data pattern), so the oracle replays the identical log.
+#
+#   v1: INSERT every customer at their base balance;
+#   v2: UPDATE +100.00 for custkey % 7 = 0; DELETE custkey % 13 = 0;
+#   v3: re-INSERT at 0 for custkey % 26 = 0 (delete-then-reinsert),
+#       UPDATE +50.00 for custkey % 5 = 0.
+#
+# Scale: apply = one row_number() per key over the version order (one
+# shuffle on the key), filter op <> 'D' — the standard merge-on-read
+# compaction a lake table runs; balances are exact integer cents.
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation after applying the 3-version changelog: surviving
+    customer count and total balance in exact integer cents."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    v1 = cust.select(
+        "c_custkey", "c_nationkey", F.lit(1).alias("version"),
+        F.lit("I").alias("op"), F.col("cents").alias("bal_cents"),
+    )
+    v2u = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(2).alias("version"),
+        F.lit("U").alias("op"), (F.col("cents") + 10000).alias("bal_cents"),
+    )
+    v2d = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(2).alias("version"),
+        F.lit("D").alias("op"), F.lit(None).cast("bigint").alias("bal_cents"),
+    )
+    v3i = cust.filter(F.col("c_custkey") % 26 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(3).alias("version"),
+        F.lit("I").alias("op"), F.lit(0).cast("bigint").alias("bal_cents"),
+    )
+    v3u = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(3).alias("version"),
+        F.lit("U").alias("op"), (F.col("cents") + 5000).alias("bal_cents"),
+    )
+    log = v1.unionByName(v2u).unionByName(v2d).unionByName(v3i).unionByName(v3u)
+    # Within one version at most one op per key by construction except
+    # v2 (7 and 13 can both divide); deletes win ties (op 'D' < 'I' <
+    # 'U' would be wrong — order by op DESC puts 'U' first; make the
+    # tie explicit: D beats U at equal version, matching a log where
+    # the delete is the later physical record).
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("version").desc(),
+        F.when(F.col("op") == "D", 1).otherwise(0).desc(),
+    )
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return final.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("balance_cents"),
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+log AS (
+  SELECT c_custkey, c_nationkey, 1 AS version, 'I' AS op,
+         cents AS bal_cents FROM cust
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 2, 'U', cents + 10000 FROM cust
+  WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 2, 'D', NULL FROM cust
+  WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 3, 'I', CAST(0 AS BIGINT) FROM cust
+  WHERE c_custkey % 26 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 3, 'U', cents + 5000 FROM cust
+  WHERE c_custkey % 5 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_custkey
+    ORDER BY version DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+  FROM log
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS balance_cents
+FROM ranked WHERE rn = 1 AND op <> 'D'
+GROUP BY c_nationkey
+"""
+
+QUERIES["q_cdc_apply"] = (q_cdc_apply, ORACLE_CDC_APPLY)

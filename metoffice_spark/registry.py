@@ -40,6 +40,7 @@ _MODULES = (
     "curation",
     "corpus",
     "classify",
+    "behavior",
 )
 
 # qids registered first, in this order (driver checks the first 50).
