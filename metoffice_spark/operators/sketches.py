@@ -1,0 +1,341 @@
+"""Mergeable-sketch set operations (SURVEY.md §2.19).
+
+Pure EXT — the round-5 sketch wave over ``events``, extending the
+single-set sketches (q_sketch_distinct KMV, q_sketch_hll,
+q_sketch_cms) to the operations a 100 TB deployment actually runs on
+sketches:
+
+- KMV set algebra: union cardinality, Jaccard, and intersection
+  estimates for pairs of event-type audiences from their bottom-k
+  sketches alone (the theta-sketch workflow: sketch once per
+  segment, answer overlap questions without rescanning);
+- HLL register MERGE audit: per-type register sets max-merged into
+  the global sketch, checked register-by-register against the
+  directly-built global sketch — the partial-aggregate mergeability
+  property (merge == rebuild, the q_incr_agg discipline) that makes
+  distributed sketching correct at all.
+
+Determinism follows the repo discipline: md5-nibble hashing shared
+verbatim between engines (`instr` is dialect-common — relational.py
+_FRAC precedent), counts exact BIGINTs, the est divides IEEE-last
+with identical literal text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.scale import (
+    _HLL_EST_EXPR,
+    _HLL_M,
+    _HLL_RHO_CAP,
+    _nib_duck,
+    _nib_spark,
+    _rho_duck,
+    _rho_spark,
+)
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+
+# --- q_sketch_setops: KMV union / Jaccard / intersection ---------------------
+#
+# Elements are (user_id, day) activity pairs per event type; each
+# type keeps its bottom-k (k=32) of md5-hashed elements. For a pair
+# of types, the bottom-k of the UNION of the two sketches is itself
+# the KMV sketch of the union set (bottom-k is a mergeable
+# aggregate), so:
+#
+#   est_union   = (k-1) / kth_min_of_merged
+#   est_jaccard = |merged bottom-k present in BOTH sketches| / k
+#   est_inter   = est_jaccard * est_union
+#
+# — answered from 2 * k * 16 bytes per pair, never rescanning events.
+#
+# Scale: sketches are per-type bottom-k (partial-aggregatable:
+# each partition keeps its k smallest, merge keeps the k smallest of
+# the union); the pair algebra runs on 2k rows per pair. The exact
+# union/intersection columns audit the estimates and would be dropped
+# at 100 TB.
+
+_KMV_K = 32
+_PAIRS = (("view", "click"), ("view", "purchase"), ("click", "purchase"))
+
+# uniform (0,1) fraction from the first 8 md5 nibbles of the element
+# (relational.py _FRAC, rebased onto a named hash column).
+_SK_FRAC = " + ".join(
+    "(instr('0123456789abcdef', substring(h, {i}, 1)) - 1) / {p}e0".format(
+        i=i + 1, p=16 ** (i + 1)
+    )
+    for i in range(8)
+)
+
+
+def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: KMV union / Jaccard / intersection
+    estimates from the two bottom-32 sketches, with exact audits."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    elems = scoped_persist(
+        ev.select(
+            "event_type",
+            F.expr(
+                "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
+            ).alias("elem"),
+        ).distinct()
+    )
+    hashed = elems.select(
+        "event_type", "elem", F.expr(f"md5(concat('KMV|', elem))").alias("h")
+    ).select("event_type", "elem", F.expr(_SK_FRAC).alias("frac"))
+    w_sk = Window.partitionBy("event_type").orderBy("frac", "elem")
+    sketches = scoped_persist(
+        hashed.withColumn("rn", F.row_number().over(w_sk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "elem", "frac")
+    )
+
+    out = None
+    for a, b in _PAIRS:
+        pair = f"{a}|{b}"
+        marked = (
+            sketches.filter(F.col("event_type").isin(a, b))
+            .groupBy("elem", "frac")
+            .agg(
+                F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
+                    "in_a"
+                ),
+                F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
+                    "in_b"
+                ),
+            )
+        )
+        w_m = Window.orderBy("frac", "elem")
+        bottomk = marked.withColumn("rn", F.row_number().over(w_m)).filter(
+            F.col("rn") <= _KMV_K
+        )
+        est = bottomk.agg(
+            F.max("frac").alias("kth_min"),
+            F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common_k"),
+        )
+        exact = (
+            elems.filter(F.col("event_type").isin(a, b))
+            .groupBy("elem")
+            .agg(
+                F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
+                    "ea"
+                ),
+                F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
+                    "eb"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+                F.sum(F.expr("ea * eb")).cast("bigint").alias("exact_inter"),
+            )
+        )
+        row = est.crossJoin(exact).select(
+            F.lit(pair).alias("pair"),
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "n_common_k",
+            F.expr(f"({_KMV_K} - 1) / kth_min").alias("est_union"),
+            F.expr(
+                f"cast(1000000 * n_common_k div {_KMV_K} as bigint)"
+            ).alias("jaccard_fp"),
+            F.expr(
+                f"(cast(n_common_k as double) / {_KMV_K}e0)"
+                f" * (({_KMV_K} - 1) / kth_min)"
+            ).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _setops_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}|{b}' AS pair, CAST({_KMV_K} AS INT) AS k,
+       e.n_common_k,
+       ({_KMV_K} - 1) / e.kth_min AS est_union,
+       CAST(1000000 * e.n_common_k // {_KMV_K} AS BIGINT) AS jaccard_fp,
+       (cast(e.n_common_k as double) / {_KMV_K}e0)
+         * (({_KMV_K} - 1) / e.kth_min) AS est_inter,
+       x.exact_union, x.exact_inter
+FROM (
+  SELECT max(frac) AS kth_min,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_common_k
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY frac, elem) AS rn
+    FROM (
+      SELECT elem, frac,
+             max(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS in_b
+      FROM sketches WHERE event_type IN ('{a}', '{b}')
+      GROUP BY elem, frac))
+  WHERE rn <= {_KMV_K}
+) e CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(ea * eb) AS BIGINT) AS exact_inter
+  FROM (
+    SELECT elem,
+           max(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ea,
+           max(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS eb
+    FROM elems WHERE event_type IN ('{a}', '{b}')
+    GROUP BY elem)
+) x
+"""
+
+
+ORACLE_SKETCH_SETOPS = f"""
+WITH elems AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
+           AS elem
+  FROM events
+),
+hashed AS (
+  SELECT event_type, elem, md5('KMV|' || elem) AS h FROM elems
+),
+frac AS (
+  SELECT event_type, elem, {_SK_FRAC} AS frac FROM hashed
+),
+sketches AS (
+  SELECT event_type, elem, frac FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY frac, elem) AS rn
+    FROM frac) WHERE rn <= {_KMV_K}
+)
+{" UNION ALL ".join(_setops_pair_sql(a, b) for a, b in _PAIRS)}
+"""
+
+QUERIES["q_sketch_setops"] = (q_sketch_setops, ORACLE_SKETCH_SETOPS)
+
+
+# --- q_sketch_hll_merge: HLL register-merge audit ----------------------------
+#
+# Build one 256-register HLL per event type over user_id, merge the
+# per-type register sets by per-bucket MAX, and check the merged
+# sketch register-by-register against the sketch built directly over
+# all events. max is associative, so n_register_mismatch MUST be 0
+# and the two estimates bitwise equal — the property that lets a
+# cluster sketch per partition / per day / per type and combine,
+# which is the entire point of HLL at 100 TB. Exact global distinct
+# audits the estimate itself.
+
+
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: type count, register mismatches between merged and
+    direct sketches (must be 0), both estimates, exact distinct."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    hashed = scoped_persist(
+        ev.select(
+            "event_type",
+            F.expr("md5(concat('HLL|', cast(user_id as string)))").alias("h"),
+        ).select(
+            "event_type",
+            F.expr(f"{_nib_spark('h', 1)} * 16 + {_nib_spark('h', 2)}").alias(
+                "bucket"
+            ),
+            F.expr(_rho_spark("h")).alias("rho"),
+        )
+    )
+    per_type = hashed.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("m_j").alias("m_merged"))
+    direct = hashed.groupBy("bucket").agg(F.max("rho").alias("m_direct"))
+    allb = spark.range(_HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    regs = (
+        allb.join(F.broadcast(merged), "bucket", "left")
+        .join(F.broadcast(direct), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("m_merged", F.lit(0)).alias("m_merged"),
+            F.coalesce("m_direct", F.lit(0)).alias("m_direct"),
+        )
+    )
+
+    def est_cols(col: str, suffix: str):
+        summed = regs.agg(
+            F.sum(F.when(F.col(col) > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonzero"),
+            F.sum(
+                F.expr(f"cast(pow(2, {_HLL_RHO_CAP} - {col}) as bigint)")
+            ).alias("s_scaled"),
+        )
+        return summed.select(
+            F.expr(_HLL_EST_EXPR).alias(f"est_{suffix}")
+        )
+
+    mism = regs.agg(
+        F.sum(F.when(F.col("m_merged") != F.col("m_direct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_register_mismatch")
+    )
+    ntypes = ev.agg(F.count_distinct("event_type").cast("bigint").alias("n_types"))
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    return (
+        ntypes.crossJoin(mism)
+        .crossJoin(est_cols("m_merged", "merged"))
+        .crossJoin(est_cols("m_direct", "direct"))
+        .crossJoin(exact)
+    )
+
+
+ORACLE_SKETCH_HLL_MERGE = f"""
+WITH hashed AS (
+  SELECT event_type, md5('HLL|' || CAST(user_id AS VARCHAR)) AS h FROM events
+),
+br AS (
+  SELECT event_type,
+         {_nib_duck("h", 1)} * 16 + {_nib_duck("h", 2)} AS bucket,
+         {_rho_duck("h")} AS rho
+  FROM hashed
+),
+per_type AS (
+  SELECT event_type, bucket, max(rho) AS m_j FROM br GROUP BY event_type, bucket
+),
+merged AS (
+  SELECT bucket, max(m_j) AS m_merged FROM per_type GROUP BY bucket
+),
+direct AS (
+  SELECT bucket, max(rho) AS m_direct FROM br GROUP BY bucket
+),
+regs AS (
+  SELECT b.bucket, coalesce(m.m_merged, 0) AS m_merged,
+         coalesce(d.m_direct, 0) AS m_direct
+  FROM (SELECT unnest(range({_HLL_M})) AS bucket) b
+  LEFT JOIN merged m ON b.bucket = m.bucket
+  LEFT JOIN direct d ON b.bucket = d.bucket
+),
+est_m AS (
+  SELECT {_HLL_EST_EXPR} AS est_merged FROM (
+    SELECT CAST(sum(CASE WHEN m_merged > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonzero,
+           CAST(sum(CAST(pow(2, {_HLL_RHO_CAP} - m_merged) AS BIGINT))
+             AS BIGINT) AS s_scaled
+    FROM regs)
+),
+est_d AS (
+  SELECT {_HLL_EST_EXPR} AS est_direct FROM (
+    SELECT CAST(sum(CASE WHEN m_direct > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonzero,
+           CAST(sum(CAST(pow(2, {_HLL_RHO_CAP} - m_direct) AS BIGINT))
+             AS BIGINT) AS s_scaled
+    FROM regs)
+)
+SELECT (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+         AS n_types,
+       (SELECT CAST(sum(CASE WHEN m_merged <> m_direct THEN 1 ELSE 0 END)
+          AS BIGINT) FROM regs) AS n_register_mismatch,
+       est_m.est_merged, est_d.est_direct,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact
+FROM est_m CROSS JOIN est_d
+"""
+
+QUERIES["q_sketch_hll_merge"] = (q_sketch_hll_merge, ORACLE_SKETCH_HLL_MERGE)

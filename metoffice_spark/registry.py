@@ -41,6 +41,7 @@ _MODULES = (
     "corpus",
     "classify",
     "behavior",
+    "sketches",
 )
 
 # qids registered first, in this order (driver checks the first 50).
