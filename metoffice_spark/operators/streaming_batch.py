@@ -621,8 +621,55 @@ JOIN (SELECT * FROM observations WHERE obs_id % 2 = 1) r
 """
 
 
+# --- q_stream_static_join: stream-static enrichment join ---------------------
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each observation micro-batch broadcast-
+    joins the STATIC region dimension (station_id = region key, the
+    q_join_salted mapping) — the stateless enrichment pattern (Kafka
+    stream x dimension table). The replay splits the stream into
+    three micro-batches to prove the static side re-joins per batch;
+    unmatched stations pass through with a NULL name (left join —
+    enrichment must never drop fact rows).
+
+    Scale: zero streaming state — the static side is a broadcast
+    re-resolved per micro-batch, so a dimension refresh lands on the
+    next batch without restarting the query."""
+    from metoffice_spark.io import load
+
+    spark = tune(spark)
+    input_dir, root = _replay(
+        spark,
+        sf_dir,
+        split_preds=[
+            F.col("obs_id") % 3 == 0,
+            F.col("obs_id") % 3 == 1,
+            F.col("obs_id") % 3 == 2,
+        ],
+    )
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("string").alias("station_id"),
+        F.col("r_name").alias("region_name"),
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    enriched = sdf.join(F.broadcast(region), "station_id", "left").select(
+        "station_id", "obs_id", "region_name", "tempc", "windspeed_ms"
+    )
+    out = _run_to_parquet(enriched, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_STATIC_JOIN = f"""{_CTE}
+SELECT o.station_id, o.obs_id, r.r_name AS region_name,
+       o.tempc, o.windspeed_ms
+FROM observations o
+LEFT JOIN region r ON CAST(r.r_regionkey AS VARCHAR) = o.station_id
+"""
+
+
 QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
+    "q_stream_static_join": (q_stream_static_join, ORACLE_STREAM_STATIC_JOIN),
     "q_stream_dedup": (q_stream_dedup, ORACLE_STREAM_DEDUP),
     "q_stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
