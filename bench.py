@@ -45,6 +45,10 @@ HEADLINE = [
     "q_funnel_steps",     # behavioral analytics windows (round 3)
     "q_scd2_build",       # SCD2 gaps-and-islands build (round 4)
     "q_interval_sweep",   # sweep-line interval concurrency (round 4)
+    "q_nb_langid",        # NB classifier train+apply (round 5)
+    "q_dedup_lines",      # span-level (line) dedup (round 5)
+    "q_attribution",      # last-touch attribution window (round 5)
+    "q_sketch_setops",    # KMV sketch set algebra (round 5)
 ]
 
 

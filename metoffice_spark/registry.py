@@ -45,81 +45,31 @@ _MODULES = (
 )
 
 # qids registered first, in this order (driver checks the first 50).
-# Round-4 rotation (VERDICT r03 item 4; exactly ONE rotation per round
-# — the driver checks once at round end, so mid-round rotations burn
-# the window on qids that never get a row): positions 1-47 are the 47
-# qids with ZERO driver correctness rows across r01-r03 (the
-# llm/text/udf/streaming/olap/reshaping tail — VERDICT r03
-# "Driver-window accounting"). Positions 48-50 are re-check slots for
-# the two r03 driver-reds fixed this round whose failure modes differ
-# from the events-loader class (q_tokenize_ids: array-hashing in the
-# driver's checker) plus two events-loader representatives
-# (q_rain_daily_delta, q_sketch_hll) proving the io.py fix against the
-# driver. The remaining r03 events-loader reds share the identical
-# single root cause and are covered by the representatives + the local
-# gate; they rotate into the r05 window.
+# Round-5 rotation (ONE rotation per round — the driver checks once at
+# round end, so mid-round rotations burn the window on qids that never
+# get a row). After r04 every qid had at least one driver row EXCEPT
+# the 10 round-4b corpus/ingest qids (landed after the r04 window was
+# fixed). Priorities: (1) those 10 never-checked qids; (2) the 17 r03
+# driver-reds of the events-loader class — fixed in r04 (io.py
+# schema-adaptive load, commit f00db15), green on the local gate and
+# represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
+# latest driver rows still read FAIL(r03); (3) the 12 round-5 qids
+# (classify/behavior/sketches/stream-static waves), so no new-wave
+# tail accumulates; (4) 11 re-check slots for the oldest stale-green
+# rows (r01).
 _PRIORITY = (
-    # §2.11 LLM dedup/similarity tail — never driver-checked
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embed_cosine",
-    "q_dedup_components",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_embed_quantize",
-    # §2.11 text tail — never driver-checked
-    "q_text_analysis",
-    "q_text_redact",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_vocab",
-    # §2.10 UDF surface — never driver-checked
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf",
-    # §2.9 streaming (batch-replay parity) — never driver-checked
-    "q_stream_ingest",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_stateful",
-    "q_stream_sink",
-    # §2.12 OLAP composites — never driver-checked
-    "q_olap_shipping_priority",
-    "q_olap_local_supplier",
-    "q_olap_returned_items",
-    "q_olap_order_priority",
-    "q_olap_parts_suppliers",
-    # §2.8 reshaping + misc — never driver-checked
-    "q_pivot_unpivot",
-    "q_merge_upsert",
-    "q_join_salted",
-    "q_sketch_distinct",
-    "q_set_bag",
-    "q_sql_ansi",
-    "q_split_train_val",
-    # §2.13 curation quartet — never driver-checked
-    "q_quality_gopher",
-    "q_pack_sequences",
-    "q_contamination_ngram",
-    "q_sample_stratified",
-    # re-check slots: r03 driver-reds fixed this round
-    "q_tokenize_ids",
-    "q_rain_daily_delta",
-    "q_sketch_hll",
-    # --- driver window ends here (50) ---
-    # r03 events-loader reds (same root cause as the representatives
-    # above; local-gate green after the io.py fix) — r05 window first.
+    # (1) round-4b corpus/ingest wave — never driver-checked
+    "q_src_schema_merge",
+    "q_lm_bigram_score",
+    "q_repetition_ngram",
+    "q_rank_rrf_fusion",
+    "q_semdedup_centroid",
+    "q_minhash_est_audit",
+    "q_sample_reservoir",
+    "q_dataset_card",
+    "q_dedup_incremental",
+    "q_fn_url_suite",
+    # (2) r03 events-loader reds, fixed r04, awaiting their own rows
     "q_agg_histogram",
     "q_ts_gapfill",
     "q_ts_interpolate",
@@ -137,11 +87,32 @@ _PRIORITY = (
     "q_cov_stats",
     "q_fn_json_suite",
     "q_rollup_hypertable",
-    # long-green events-path qids whose latest rows are stale (r01/r02)
+    # (3) round-5 waves: classify / behavior / sketches / streaming
+    "q_nb_langid",
+    "q_quality_classifier",
+    "q_dedup_lines",
+    "q_bool_retrieval",
+    "q_attribution",
+    "q_markov_transitions",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_cdc_apply",
+    "q_sketch_setops",
+    "q_sketch_hll_merge",
+    "q_stream_static_join",
+    # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
     "q_join_asof",
     "q_fn_array_map_json",
+    "q_fn_dewpoint",
+    "q_fn_winddir",
+    "q_fn_baro_reduce",
+    "q_rain_rate",
+    "q_join_bucketed",
+    "q_sink_partitioned",
+    "q_src_multiformat",
+    # --- driver window ends here (50) ---
 )
 
 
