@@ -380,7 +380,8 @@ QUERIES["q_ts_changepoint"] = (q_ts_changepoint, ORACLE_TS_CHANGEPOINT)
 #   v1: INSERT every customer at their base balance;
 #   v2: UPDATE +100.00 for custkey % 7 = 0; DELETE custkey % 13 = 0;
 #   v3: re-INSERT at 0 for custkey % 26 = 0 (delete-then-reinsert),
-#       UPDATE +50.00 for custkey % 5 = 0.
+#       UPDATE +50.00 for custkey % 5 = 0 (excluding % 26 keys — one
+#       op per key per version, the changelog well-formedness rule).
 #
 # Scale: apply = one row_number() per key over the version order (one
 # shuffle on the key), filter op <> 'D' — the standard merge-on-read
@@ -412,7 +413,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", F.lit(3).alias("version"),
         F.lit("I").alias("op"), F.lit(0).cast("bigint").alias("bal_cents"),
     )
-    v3u = cust.filter(F.col("c_custkey") % 5 == 0).select(
+    # % 26 is excluded from the v3 update: a key matching both would
+    # carry TWO version-3 records (I and U) whose relative order no
+    # tie-break defines — cross-engine nondeterminism. One op per key
+    # per version is the changelog well-formedness contract.
+    v3u = cust.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 26 != 0)
+    ).select(
         "c_custkey", "c_nationkey", F.lit(3).alias("version"),
         F.lit("U").alias("op"), (F.col("cents") + 5000).alias("bal_cents"),
     )
@@ -456,7 +463,7 @@ log AS (
   WHERE c_custkey % 26 = 0
   UNION ALL
   SELECT c_custkey, c_nationkey, 3, 'U', cents + 5000 FROM cust
-  WHERE c_custkey % 5 = 0
+  WHERE c_custkey % 5 = 0 AND c_custkey % 26 <> 0
 ),
 ranked AS (
   SELECT *, row_number() OVER (

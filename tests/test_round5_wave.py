@@ -1,0 +1,253 @@
+"""Semantic property tests for the round-5 wave: §2.17 classification
+/ retrieval (operators/classify.py), §2.18 behavioral analytics + CDC
+apply (operators/behavior.py), §2.19 sketch set operations
+(operators/sketches.py), and the stream-static join. Bitwise oracle
+parity is covered by tests/test_oracle_parity.py; these check the
+properties the oracles cannot express (internal consistency, bounds,
+merge == rebuild, attribution conservation)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# --- §2.17 classify ----------------------------------------------------------
+
+
+def test_nb_langid_confusion_covers_all_docs(spark, sf_smoke):
+    """Every document lands in exactly one confusion cell, and the
+    diagonal dominates (self-training on separable langs must beat
+    chance by a wide margin)."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.classify import q_nb_langid
+
+    rows = q_nb_langid(spark, sf_smoke).collect()
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    diag = sum(r["n_docs"] for r in rows if r["actual_lang"] == r["pred_lang"])
+    langs = {r["actual_lang"] for r in rows}
+    # strictly better than the uniform-guess baseline
+    assert diag * len(langs) > n_docs
+
+
+def test_quality_classifier_mean_consistency(spark, sf_smoke):
+    """mean_w is exactly score/n (IEEE), keep == (score >= 0), and all
+    documents are scored."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.classify import q_quality_classifier
+
+    rows = q_quality_classifier(spark, sf_smoke).collect()
+    assert len(rows) == load(spark, sf_smoke, "documents").count()
+    for r in rows:
+        assert r["keep"] == (r["score_fp"] >= 0)
+        assert r["mean_w"] == r["score_fp"] / max(r["n_tokens"], 1)
+        # bucket weights are in [-128, 127], so the mean must be too
+        assert -128.0 <= r["mean_w"] <= 127.0
+
+
+def test_dedup_lines_fraction_bounds(spark, sf_smoke):
+    """dup spans never exceed distinct spans, the fixed-point fraction
+    is the exact integer quotient, and keep matches the threshold."""
+    from metoffice_spark.operators.classify import q_dedup_lines
+
+    rows = q_dedup_lines(spark, sf_smoke).collect()
+    assert rows
+    assert any(r["n_spans"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert r["dup_frac_fp"] == (
+            1_000_000 * r["n_dup_spans"] // max(r["n_spans"], 1)
+        )
+        assert r["keep"] == (r["dup_frac_fp"] < 500_000)
+
+
+def test_bool_retrieval_set_algebra(spark, sf_smoke):
+    """AND <= each operand, OR >= each operand, AND-NOT <= positive
+    operand — recomputed exactly from raw membership."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.classify import q_bool_retrieval
+
+    rows = {r["query_id"]: r for r in q_bool_retrieval(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+
+    def has(text, term):
+        import re
+
+        return term in [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    a_and = sum(1 for d in docs if has(d["text"], "join") and has(d["text"], "filter"))
+    a_or = sum(1 for d in docs if has(d["text"], "stream") or has(d["text"], "window"))
+    a_not = sum(1 for d in docs if has(d["text"], "data") and not has(d["text"], "slow"))
+    assert rows["join AND filter"]["n_hits"] == a_and
+    assert rows["stream OR window"]["n_hits"] == a_or
+    assert rows["data AND NOT slow"]["n_hits"] == a_not
+    for r in rows.values():
+        hits = [h for h in r["first_hits"].split("|") if h]
+        assert len(hits) == min(r["n_hits"], 5)
+
+
+# --- §2.18 behavior ----------------------------------------------------------
+
+
+def test_attribution_conserves_purchases(spark, sf_smoke):
+    """Every purchase is attributed exactly once: channel counts and
+    cents sum to the raw purchase totals."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_attribution
+    from pyspark.sql import functions as F
+
+    rows = q_attribution(spark, sf_smoke).collect()
+    ev = load(spark, sf_smoke, "events").filter(F.col("event_type") == "purchase")
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("cents"),
+    ).collect()[0]
+    assert sum(r["n_conversions"] for r in rows) == totals["n"]
+    assert sum(r["revenue_cents"] for r in rows) == totals["cents"]
+    assert {r["channel"] for r in rows} <= {"view", "click", "none"}
+
+
+def test_markov_rows_sum_to_one(spark, sf_smoke):
+    """Transition counts per cur_type sum to the out-degree, and the
+    fixed-point probabilities of a row sum to ~1 (floor loss < n)."""
+    from collections import defaultdict
+
+    from metoffice_spark.operators.behavior import q_markov_transitions
+
+    rows = q_markov_transitions(spark, sf_smoke).collect()
+    assert rows
+    by_cur = defaultdict(list)
+    for r in rows:
+        by_cur[r["cur_type"]].append(r)
+    for cur, rs in by_cur.items():
+        total = sum(r["n_trans"] for r in rs)
+        for r in rs:
+            assert r["p_fp"] == 1_000_000 * r["n_trans"] // total
+        s = sum(r["p_fp"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+def test_autocorr_is_valid_correlation(spark, sf_smoke):
+    """|acf| <= 1 and the moment sums are internally consistent
+    (Cauchy-Schwarz on the exact integers)."""
+    from metoffice_spark.operators.behavior import q_ts_autocorr
+
+    rows = q_ts_autocorr(spark, sf_smoke).collect()
+    assert rows
+    assert {r["lag"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["n"] >= 2
+        cov = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+        vx = r["n"] * r["sxx"] - r["sx"] * r["sx"]
+        vy = r["n"] * r["syy"] - r["sy"] * r["sy"]
+        assert vx >= 0 and vy >= 0
+        assert cov * cov <= vx * vy  # Cauchy-Schwarz, exact ints
+        assert abs(r["acf"]) <= 1.0 + 1e-12
+
+
+def test_changepoint_peak_is_max(spark, sf_smoke):
+    """The reported peak equals the max |cusum| recomputed from the
+    daily series, with the earliest-day tie-break."""
+    from collections import defaultdict
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_ts_changepoint
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in q_ts_changepoint(spark, sf_smoke).collect()}
+    daily = (
+        load(spark, sf_smoke, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["cnt"]))
+    for et, pts in series.items():
+        pts.sort()
+        total = sum(c for _, c in pts)
+        mean_fp = 1_000_000 * total // len(pts)
+        cusum, best = 0, None
+        for day, c in pts:
+            cusum += 1_000_000 * c - mean_fp
+            if best is None or abs(cusum) > best[0]:
+                best = (abs(cusum), day, "up" if cusum >= 0 else "down")
+        got = rows[et]
+        assert got["n_days"] == len(pts)
+        assert got["peak_abs_cusum_fp"] == best[0]
+        assert got["cp_day"] == best[1]
+        assert got["direction"] == best[2]
+
+
+def test_cdc_apply_matches_direct_simulation(spark, sf_smoke):
+    """Replaying the synthesized changelog in plain Python produces
+    the same per-nation survivors and balances."""
+    from collections import defaultdict
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_cdc_apply
+
+    rows = {r["c_nationkey"]: r for r in q_cdc_apply(spark, sf_smoke).collect()}
+    cust = load(spark, sf_smoke, "customer").collect()
+    final = {}
+    for c in cust:
+        k = c["c_custkey"]
+        cents = int((c["c_acctbal"] * 100 + 0.5) // 1)
+        state = ("I", cents)  # v1
+        if k % 13 == 0:  # v2 delete wins over v2 update
+            state = None
+        elif k % 7 == 0:
+            state = ("U", cents + 10000)
+        if k % 26 == 0:
+            state = ("I", 0)  # v3 re-insert
+        elif k % 5 == 0 and state is not None:
+            state = ("U", cents + 5000)
+        elif k % 5 == 0 and state is None:
+            # deleted at v2 and NOT re-inserted: the v3 update still
+            # wins last-writer-wins (it is the latest record)
+            state = ("U", cents + 5000)
+        if state is not None:
+            final[k] = (c["c_nationkey"], state[1])
+    agg = defaultdict(lambda: [0, 0])
+    for nk, cents in final.values():
+        agg[nk][0] += 1
+        agg[nk][1] += cents
+    assert set(agg) == set(rows)
+    for nk, (n, cents) in agg.items():
+        assert rows[nk]["n_customers"] == n
+        assert rows[nk]["balance_cents"] == cents
+
+
+# --- §2.19 sketches ----------------------------------------------------------
+
+
+def test_sketch_setops_estimates_bracket_truth(spark, sf_smoke):
+    """KMV estimates carry the right invariants: common-in-k <= k,
+    jaccard_fp is the exact quotient, est_inter = jaccard * est_union,
+    and exact_inter <= exact_union."""
+    from metoffice_spark.operators.sketches import _KMV_K, q_sketch_setops
+
+    rows = q_sketch_setops(spark, sf_smoke).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["n_common_k"] <= _KMV_K
+        assert r["jaccard_fp"] == 1_000_000 * r["n_common_k"] // _KMV_K
+        assert r["est_union"] > 0
+        expect_inter = (r["n_common_k"] / _KMV_K) * r["est_union"]
+        assert r["est_inter"] == pytest.approx(expect_inter, rel=1e-12)
+        assert 0 <= r["exact_inter"] <= r["exact_union"]
+        # k=32 KMV: generous 3-sigma-ish sanity band vs truth
+        assert r["est_union"] == pytest.approx(r["exact_union"], rel=0.75)
+
+
+def test_hll_merge_equals_rebuild(spark, sf_smoke):
+    """The core mergeability property: zero register mismatches and
+    bitwise-equal estimates."""
+    from metoffice_spark.operators.sketches import q_sketch_hll_merge
+
+    row = q_sketch_hll_merge(spark, sf_smoke).collect()[0]
+    assert row["n_register_mismatch"] == 0
+    assert row["est_merged"] == row["est_direct"]
+    assert row["n_types"] >= 2
+    assert row["n_exact"] >= 1
