@@ -181,9 +181,6 @@ QUERIES["q_markov_transitions"] = (q_markov_transitions, ORACLE_MARKOV)
 # which is deterministic regardless of sparsity; q_ts_gapfill is the
 # operator that repairs gaps when a fixed cadence is required.
 
-_DAILY_SPARK = None  # built inline per query
-
-
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
@@ -296,7 +293,9 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: series length, the CUSUM-peak day (earliest on
     ties), peak |cusum| (1e-6 fixed point), and shift direction."""
     spark = tune(spark)
-    daily = _daily(spark, sf_dir)
+    # persisted: consumed twice (per-type stats + the cusum scan) —
+    # without it the events scan and daily aggregate run twice.
+    daily = scoped_persist(_daily(spark, sf_dir))
     stats = daily.groupBy(F.col("event_type").alias("et")).agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),

@@ -288,3 +288,54 @@ def test_dataset_card_is_single_scan(spark, sf_smoke):
 
     plan = _plan(q_dataset_card(spark, sf_smoke))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_smoke):
+    """Last-touch attribution must be ONE user_id window + the final
+    channel aggregate — exactly two exchanges. A BETWEEN-style
+    purchase x touch self-join (BNLJ) is the scale anti-pattern."""
+    from metoffice_spark.operators.behavior import q_attribution
+
+    plan = _plan(q_attribution(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_nb_langid_model_join_is_hash_equi(spark, sf_smoke):
+    """The (doc, token) x model join must be a hash equi-join on the
+    token key; the only NLJ crosses allowed are the tiny setup
+    scalars (langs / vsize / priors, each <= a few rows)."""
+    from metoffice_spark.operators.classify import q_nb_langid
+
+    plan = _plan(q_nb_langid(spark, sf_smoke))
+    tok_join = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "tok#" in ln
+    ]
+    assert tok_join, plan
+    for ln in tok_join:
+        assert "HashJoin" in ln, f"model join not hash-based: {ln}"
+
+
+def test_dedup_lines_shuffles_digests_not_text(spark, sf_smoke):
+    """Only (doc_id, span-digest) pairs may cross the wire — the
+    document text column must never appear in an Exchange."""
+    from metoffice_spark.operators.classify import q_dedup_lines
+
+    plan = _plan(q_dedup_lines(spark, sf_smoke))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, f"text shuffled: {ln}"
+
+
+def test_changepoint_daily_agg_computed_once(spark, sf_smoke):
+    """The persisted daily series must feed both consumers (stats +
+    cusum) from cache: two InMemoryTableScans in the plan. (Raw "Scan
+    parquet" strings also appear INSIDE the printed InMemoryRelation
+    description, so they cannot be counted directly.)"""
+    from metoffice_spark.operators.behavior import q_ts_changepoint
+
+    plan = _plan(q_ts_changepoint(spark, sf_smoke))
+    assert plan.count("InMemoryTableScan") >= 2, plan
