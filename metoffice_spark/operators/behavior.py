@@ -477,3 +477,56 @@ GROUP BY c_nationkey
 """
 
 QUERIES["q_cdc_apply"] = (q_cdc_apply, ORACLE_CDC_APPLY)
+
+
+# --- q_win_rolling_median: exact rolling median -------------------------------
+#
+# 7-observation trailing EXACT median (lower median on even windows)
+# of the daily count series per event type — the robust-smoothing
+# window the EWMA (q_win_ewma) family cannot express, and the one
+# rolling quantile that is bitwise-deterministic: the frame is
+# collected as an array, sorted, and indexed at (n+1) div 2, all
+# exact integers on both engines.
+#
+# Scale: the frame is a bounded 7 elements per row — collect + sort
+# is O(7 log 7) per row after the one per-type sort; the series
+# itself is post-aggregate (~days rows per type), not event-sized.
+
+
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): the daily count and the trailing
+    7-observation exact median."""
+    spark = tune(spark)
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    with_arr = daily.withColumn("arr", F.collect_list("cnt").over(w))
+    return with_arr.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr(
+            "element_at(array_sort(arr),"
+            " cast((size(arr) + 1) div 2 as int))"
+        ).cast("bigint").alias("med7"),
+    )
+
+
+ORACLE_WIN_ROLLING_MEDIAN = f"""
+WITH {_DAILY_DUCK},
+framed AS (
+  SELECT event_type, day, cnt,
+         list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+  FROM daily
+)
+SELECT event_type, day, cnt,
+       CAST(list_sort(arr)[CAST((len(arr) + 1) // 2 AS INT)] AS BIGINT)
+         AS med7
+FROM framed
+"""
+
+QUERIES["q_win_rolling_median"] = (q_win_rolling_median, ORACLE_WIN_ROLLING_MEDIAN)

@@ -469,3 +469,163 @@ FROM q3
 """
 
 QUERIES["q_bool_retrieval"] = (q_bool_retrieval, ORACLE_BOOL_RETRIEVAL)
+
+
+# --- q_mmr_diversify: maximal-marginal-relevance re-ranking ------------------
+#
+# The diversification pass a retrieval stack runs after scoring
+# (Carbonell & Goldstein MMR): greedily pick k results maximizing
+# relevance MINUS similarity to what is already picked. With
+# lambda = 0.5 the MMR ordering is equivalent to
+#
+#   mmr_i = rel_fp_i - max_{j in picked} sim_fp(i, j)
+#
+# rel_fp = 1e6 * tf // max_tf (non-negative //), sim = exact Jaccard
+# of the two documents' distinct-token sets in 1e-6 fixed point,
+# every argmax tie-broken by doc_id — fully deterministic, so the
+# 5 greedy rounds unroll into one logical plan (the q_kmeans_train
+# iterative discipline: no mid-loop collect) and the oracle is the
+# matching unrolled CTE chain.
+#
+# Scale: candidates are the top-10 of the query's posting lists
+# (bounded by query terms, the q_rank_rrf_fusion candidate pattern);
+# the pairwise Jaccard grid is 10 x 10 rows of token ARRAYS — the
+# greedy loop never touches the corpus again.
+
+_MMR_TERMS = ("join", "stream", "data")
+_MMR_CANDS = 10
+_MMR_K = 5
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 MMR-diversified results: (rnk, doc_id, rel_fp, mmr_fp);
+    round 1 has mmr_fp = rel_fp (nothing picked yet)."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _MMR_TERMS)
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .filter(F.expr(f"tok in ({terms})"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w_top = Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    cands = scoped_persist(
+        tf.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .crossJoin(tf.agg(F.max("tf").alias("max_tf")))
+        .select(
+            "doc_id",
+            F.expr("cast(1000000 * tf div max_tf as bigint)").alias("rel_fp"),
+        )
+    )
+    ctoks = (
+        docs.join(cands.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.expr(f"array_sort(array_distinct({TOKS_SPARK}))").alias("toks"),
+        )
+    )
+    a = ctoks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
+    b = ctoks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
+    sims = scoped_persist(
+        a.crossJoin(b)
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "cast(1000000 * size(array_intersect(ta, tb)) div"
+                " (size(ta) + size(tb) - size(array_intersect(ta, tb)))"
+                " as bigint)"
+            ).alias("sim_fp"),
+        )
+    )
+    picked = (
+        cands.orderBy(F.col("rel_fp").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("rnk"),
+            "doc_id",
+            "rel_fp",
+            F.col("rel_fp").alias("mmr_fp"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        rem = cands.join(picked.select("doc_id"), "doc_id", "left_anti")
+        msim = (
+            sims.join(
+                picked.select(F.col("doc_id").alias("db")), "db", "left_semi"
+            )
+            .groupBy(F.col("da").alias("doc_id"))
+            .agg(F.max("sim_fp").alias("msim"))
+        )
+        scored = rem.join(msim, "doc_id")
+        nxt = (
+            scored.select(
+                F.lit(r).cast("int").alias("rnk"),
+                "doc_id",
+                "rel_fp",
+                (F.col("rel_fp") - F.col("msim")).cast("bigint").alias("mmr_fp"),
+            )
+            .orderBy(F.col("mmr_fp").desc(), F.col("doc_id").asc())
+            .limit(1)
+        )
+        picked = picked.unionByName(nxt)
+    return picked
+
+
+def _mmr_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _MMR_TERMS)
+    rounds = []
+    prev = "p1"
+    for r in range(2, _MMR_K + 1):
+        rounds.append(
+            f"""r{r} AS (
+  SELECT {r} AS rnk, c.doc_id, c.rel_fp,
+         CAST(c.rel_fp - max(s.sim_fp) AS BIGINT) AS mmr_fp
+  FROM cands c
+  JOIN sims s ON s.da = c.doc_id
+  JOIN {prev} p ON s.db = p.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY c.doc_id, c.rel_fp
+  ORDER BY mmr_fp DESC, c.doc_id ASC LIMIT 1
+),
+p{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM r{r})"""
+        )
+        prev = f"p{r}"
+    return f"""
+WITH tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents)
+  WHERE tok IN ({terms})
+  GROUP BY doc_id
+),
+cands AS (
+  SELECT doc_id,
+         CAST(1000000 * tf // (SELECT max(tf) FROM tf) AS BIGINT) AS rel_fp
+  FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rn
+        FROM tf)
+  WHERE rn <= {_MMR_CANDS}
+),
+ctoks AS (
+  SELECT doc_id, list_sort(list_distinct({TOKS_DUCK})) AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM cands)
+),
+sims AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(1000000 * len(list_intersect(a.toks, b.toks))
+              // (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS BIGINT) AS sim_fp
+  FROM ctoks a JOIN ctoks b ON a.doc_id <> b.doc_id
+),
+p1 AS (
+  SELECT 1 AS rnk, doc_id, rel_fp, rel_fp AS mmr_fp
+  FROM cands ORDER BY rel_fp DESC, doc_id ASC LIMIT 1
+),
+{",".join(rounds)}
+SELECT CAST(rnk AS INT) AS rnk, doc_id, rel_fp, mmr_fp FROM {prev}
+"""
+
+
+QUERIES["q_mmr_diversify"] = (q_mmr_diversify, _mmr_oracle())

@@ -42,6 +42,7 @@ _MODULES = (
     "classify",
     "behavior",
     "sketches",
+    "linkage",
 )
 
 # qids registered first, in this order (driver checks the first 50).
@@ -53,10 +54,10 @@ _MODULES = (
 # driver-reds of the events-loader class — fixed in r04 (io.py
 # schema-adaptive load, commit f00db15), green on the local gate and
 # represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 12 round-5 qids
-# (classify/behavior/sketches/stream-static waves), so no new-wave
-# tail accumulates; (4) 11 re-check slots for the oldest stale-green
-# rows (r01).
+# latest driver rows still read FAIL(r03); (3) the 16 round-5 qids
+# (classify/behavior/sketches/linkage/stream-static waves), so no
+# new-wave tail accumulates; (4) 7 re-check slots for the oldest
+# stale-green rows (r01).
 _PRIORITY = (
     # (1) round-4b corpus/ingest wave — never driver-checked
     "q_src_schema_merge",
@@ -100,6 +101,10 @@ _PRIORITY = (
     "q_sketch_setops",
     "q_sketch_hll_merge",
     "q_stream_static_join",
+    "q_mmr_diversify",
+    "q_win_rolling_median",
+    "q_link_editdist",
+    "q_skew_diag",
     # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
@@ -108,11 +113,11 @@ _PRIORITY = (
     "q_fn_dewpoint",
     "q_fn_winddir",
     "q_fn_baro_reduce",
+    # --- driver window ends here (50) ---
     "q_rain_rate",
     "q_join_bucketed",
     "q_sink_partitioned",
     "q_src_multiformat",
-    # --- driver window ends here (50) ---
 )
 
 
