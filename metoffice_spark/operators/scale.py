@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
 from metoffice_spark.operators.relational import _cents, _cents_sql
-from metoffice_spark.session import tune
+from metoffice_spark.session import scoped_persist, tune
 
 QUERIES: dict = {}
 
@@ -780,3 +780,91 @@ FROM summed
 """
 
 QUERIES["q_sketch_hll"] = (q_sketch_hll, ORACLE_SKETCH_HLL)
+
+
+# --- q_graph_triangles: distributed triangle counting ------------------------
+#
+# Global clustering structure of the part-co-purchase graph: nodes =
+# part keys, an edge joins two parts appearing in the same order.
+# Triangle enumeration uses the node-ordering trick (every edge
+# stored once as a < b; wedges join on the MIDDLE node b with
+# a < b < c; the closing (a, c) probe is a semi-ish equi-join), so
+# each triangle is counted exactly once and each triangle closes
+# exactly one ordered wedge — closure_fp = 1e6 * triangles // wedges
+# is the deterministic transitivity measure.
+#
+# Scale: the pair explosion is bounded per order (<= C(items,2) with
+# <= 7 lineitems/order); edges dedup via one (a, b) aggregate; both
+# triangle joins are shuffle equi-joins on a node key — the standard
+# MapReduce triangle-count decomposition (node-iterator++). Degrees
+# and wedge counts come from exact integer aggregates.
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: nodes, edges, ordered wedges, triangles, and the
+    closure fraction (1e-6 fixed point) of the part-co-purchase
+    graph."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = scoped_persist(
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("ea").alias("n")).union(
+        edges.select(F.col("eb").alias("n"))
+    ).distinct()
+    wedges = (
+        edges.select(F.col("ea").alias("wa"), F.col("eb").alias("wb"))
+        .join(
+            edges.select(F.col("ea").alias("wb"), F.col("eb").alias("wc")), "wb"
+        )
+    )
+    tris = wedges.join(
+        edges.select(F.col("ea").alias("wa"), F.col("eb").alias("wc")),
+        ["wa", "wc"],
+    )
+    counts = (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges")))
+        .crossJoin(tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    )
+    return counts.withColumn(
+        "closure_fp",
+        F.expr(
+            "cast(1000000 * n_triangles div greatest(n_wedges, 1) as bigint)"
+        ),
+    )
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT ea AS n FROM pairs UNION ALL SELECT eb AS n FROM pairs)
+),
+wedges AS (
+  SELECT e1.ea AS wa, e1.eb AS wb, e2.eb AS wc
+  FROM pairs e1 JOIN pairs e2 ON e1.eb = e2.ea
+),
+tris AS (
+  SELECT 1 FROM wedges w JOIN pairs e3 ON w.wa = e3.ea AND w.wc = e3.eb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles,
+       CAST(1000000 * (SELECT count(*) FROM tris)
+            // greatest((SELECT count(*) FROM wedges), 1) AS BIGINT)
+         AS closure_fp
+"""
+
+QUERIES["q_graph_triangles"] = (q_graph_triangles, ORACLE_GRAPH_TRIANGLES)

@@ -54,9 +54,9 @@ _MODULES = (
 # driver-reds of the events-loader class — fixed in r04 (io.py
 # schema-adaptive load, commit f00db15), green on the local gate and
 # represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 16 round-5 qids
+# latest driver rows still read FAIL(r03); (3) the 17 round-5 qids
 # (classify/behavior/sketches/linkage/stream-static waves), so no
-# new-wave tail accumulates; (4) 7 re-check slots for the oldest
+# new-wave tail accumulates; (4) 6 re-check slots for the oldest
 # stale-green rows (r01).
 _PRIORITY = (
     # (1) round-4b corpus/ingest wave — never driver-checked
@@ -105,6 +105,7 @@ _PRIORITY = (
     "q_win_rolling_median",
     "q_link_editdist",
     "q_skew_diag",
+    "q_graph_triangles",
     # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
@@ -112,8 +113,8 @@ _PRIORITY = (
     "q_fn_array_map_json",
     "q_fn_dewpoint",
     "q_fn_winddir",
-    "q_fn_baro_reduce",
     # --- driver window ends here (50) ---
+    "q_fn_baro_reduce",
     "q_rain_rate",
     "q_join_bucketed",
     "q_sink_partitioned",
