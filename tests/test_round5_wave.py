@@ -251,3 +251,116 @@ def test_hll_merge_equals_rebuild(spark, sf_smoke):
     assert row["est_merged"] == row["est_direct"]
     assert row["n_types"] >= 2
     assert row["n_exact"] >= 1
+
+
+# --- round 5b ----------------------------------------------------------------
+
+
+def test_mmr_first_pick_is_most_relevant(spark, sf_smoke):
+    """Rank 1 is the relevance argmax (doc_id tie-break), ranks are
+    dense 1..5 over distinct docs, and every later mmr_fp <= its own
+    rel_fp (subtracting a non-negative max-similarity)."""
+    from metoffice_spark.operators.classify import _MMR_K, q_mmr_diversify
+
+    rows = sorted(q_mmr_diversify(spark, sf_smoke).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, _MMR_K + 1))
+    assert len({r["doc_id"] for r in rows}) == _MMR_K
+    assert rows[0]["mmr_fp"] == rows[0]["rel_fp"]
+    best_rel = max(r["rel_fp"] for r in rows)
+    assert rows[0]["rel_fp"] == best_rel
+    for r in rows[1:]:
+        assert r["mmr_fp"] <= r["rel_fp"]
+
+
+def test_rolling_median_window_is_exact(spark, sf_smoke):
+    """med7 equals the lower median of the trailing window recomputed
+    in Python from the daily series."""
+    from collections import defaultdict
+
+    from metoffice_spark.operators.behavior import q_win_rolling_median
+
+    rows = q_win_rolling_median(spark, sf_smoke).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series[r["event_type"]].append(r)
+    for rs in series.values():
+        for i, r in enumerate(rs):
+            frame = sorted(x["cnt"] for x in rs[max(0, i - 6) : i + 1])
+            assert r["med7"] == frame[(len(frame) + 1) // 2 - 1]
+
+
+def test_link_editdist_symmetric_and_bounded(spark, sf_smoke):
+    """Pairs are ordered (name_a < name_b), distances within the
+    cutoff, never zero (distinct names), and the fan-out product
+    matches the counts."""
+    from metoffice_spark.operators.linkage import _LINK_MAXDIST, q_link_editdist
+
+    rows = q_link_editdist(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= _LINK_MAXDIST
+        assert r["n_record_pairs"] == r["n_parts_a"] * r["n_parts_b"]
+
+
+def test_skew_diag_matches_recount(spark, sf_smoke):
+    """Every reported statistic recomputed from the raw per-key
+    counts."""
+    from collections import Counter
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.linkage import q_skew_diag
+
+    row = q_skew_diag(spark, sf_smoke).collect()[0]
+    ev = load(spark, sf_smoke, "events").select("user_id").collect()
+    freq = Counter(r["user_id"] for r in ev)
+    counts = sorted(freq.values())
+    n = len(counts)
+    assert row["n_keys"] == n
+    assert row["total_rows"] == sum(counts)
+    assert row["max_cnt"] == max(counts)
+    assert row["p50_cnt"] == counts[(1 * n + 1) // 2 - 1]
+    assert row["p90_cnt"] == counts[(9 * n + 9) // 10 - 1]
+    assert row["p99_cnt"] == counts[(99 * n + 99) // 100 - 1]
+    hot = min((k for k, v in freq.items() if v == max(counts)))
+    assert row["top_key"] == hot
+    assert row["skew_ratio_fp"] == 1_000_000 * max(counts) * n // sum(counts)
+
+
+def test_triangles_match_networkless_recount(spark, sf_smoke):
+    """Triangle and wedge counts recomputed from the raw edge set in
+    Python; each triangle closes exactly one ordered wedge."""
+    from itertools import combinations
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.scale import q_graph_triangles
+
+    row = q_graph_triangles(spark, sf_smoke).collect()[0]
+    li = load(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey").collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    nodes = {n for e in edges for n in e}
+    wedges = sum(
+        1
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b
+    )
+    tris = sum(
+        1
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b and (a, c) in edges
+    )
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    assert row["closure_fp"] == 1_000_000 * tris // max(wedges, 1)
