@@ -80,14 +80,17 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-applied to its own training corpus."""
     spark = tune(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    toks = (
+    # ONE explode feeds everything: per-(doc, token) partials carry the
+    # lang label, and the corpus model counts are a SECOND-LEVEL
+    # aggregate of those partials (the q_lm_bigram_score two-level
+    # shape) — no second scan + explode of the corpus.
+    tf = scoped_persist(
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = scoped_persist(
-        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_lt"))
+    counts = tf.groupBy("lang", "tok").agg(F.sum("tf").alias("c_lt"))
     langs = counts.groupBy("lang").agg(F.sum("c_lt").alias("c_l"))
     vocab = tf.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))

@@ -97,6 +97,31 @@ def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "elem", "frac")
     )
 
+    # The exact audit runs as ONE pass over the element table for all
+    # three pairs (per-elem membership flags -> one multi-count
+    # aggregate, the q_dq_checks single-scan shape) — at 100 TB the
+    # element set is the big side and must not be re-scanned per pair.
+    types = sorted({t for p in _PAIRS for t in p})
+    flags = elems.groupBy("elem").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"in_{t}")
+            for t in types
+        ]
+    )
+    exact_aggs = []
+    for a, b in _PAIRS:
+        exact_aggs.append(
+            F.sum(F.greatest(F.col(f"in_{a}"), F.col(f"in_{b}")))
+            .cast("bigint")
+            .alias(f"u_{a}_{b}")
+        )
+        exact_aggs.append(
+            F.sum(F.expr(f"in_{a} * in_{b}")).cast("bigint").alias(f"i_{a}_{b}")
+        )
+    # one row; persisted so the three per-pair crossJoins below do not
+    # re-run the flags aggregate
+    exact_all = scoped_persist(flags.agg(*exact_aggs))
+
     out = None
     for a, b in _PAIRS:
         pair = f"{a}|{b}"
@@ -120,21 +145,9 @@ def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frac").alias("kth_min"),
             F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common_k"),
         )
-        exact = (
-            elems.filter(F.col("event_type").isin(a, b))
-            .groupBy("elem")
-            .agg(
-                F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
-                    "ea"
-                ),
-                F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
-                    "eb"
-                ),
-            )
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("exact_union"),
-                F.sum(F.expr("ea * eb")).cast("bigint").alias("exact_inter"),
-            )
+        exact = exact_all.select(
+            F.col(f"u_{a}_{b}").alias("exact_union"),
+            F.col(f"i_{a}_{b}").alias("exact_inter"),
         )
         row = est.crossJoin(exact).select(
             F.lit(pair).alias("pair"),
