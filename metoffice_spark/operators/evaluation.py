@@ -1,0 +1,240 @@
+"""Model / experiment evaluation operators (SURVEY.md §2.21, round
+5c).
+
+The measurement half of the classifier stack (§2.17): once a
+pipeline deploys scored filters, it needs distributed evaluation —
+
+- precision/recall at decile depths of the ranked corpus (the
+  PR-curve a curation team reads before picking a quality-filter
+  threshold), over the hashed-feature classifier's scores with a
+  deterministic proxy label;
+- a two-proportion z-test between deterministic A/B cohorts (the
+  experiment readout), from exact integer conversion counts with the
+  one IEEE expression last.
+
+Determinism: ranks are total (score DESC, doc_id ASC); cumulative
+counts are exact BIGINT running sums; every fixed-point division has
+a non-negative numerator; the z statistic is a single shared IEEE
+expression over exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.classify import _QC_BUCKET, _QC_WEIGHT
+from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+
+# --- q_eval_pr: precision/recall at decile depths ----------------------------
+#
+# Rank every document by the hashed-feature classifier score
+# (q_quality_classifier's model) and report precision/recall/F1 if
+# the filter kept exactly the top d/10 of the corpus, d = 1..10.
+# The proxy ground-truth label is lang = 'en' (fixed, so the
+# evaluation is deterministic and self-contained).
+#
+# Scale: the ranked prefix sums use ONE global total order — right
+# at the driver-table scale here; at 100 TB the same curve comes from
+# a score histogram (q_agg_histogram's equi-width bins) whose
+# cumulative counts approximate the decile cutoffs without a global
+# sort. Documented tradeoff; the exact form is what the oracle can
+# check bitwise.
+
+
+def q_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per decile d=1..10 of the score ranking: depth k, cumulative
+    true positives, precision/recall/F1 in 1e-6 fixed point."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(TOKS_SPARK)).alias("tok"),
+        )
+        .select("doc_id", "lang", F.expr(_QC_BUCKET).alias("bkt"))
+        .select("doc_id", "lang", F.expr(_QC_WEIGHT).cast("bigint").alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("bigint").alias("score_fp"))
+    )
+    labeled = scoped_persist(
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "score_fp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score_fp", F.lit(0)).alias("score_fp"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+    ranked = labeled.select(
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("pos")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_tp"),
+    )
+    totals = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    cuts = deciles.crossJoin(F.broadcast(totals)).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr("cast((decile * n + 9) div 10 as int)").alias("k"),
+    )
+    return (
+        cuts.join(ranked, cuts["k"] == ranked["rn"])
+        .select(
+            "decile",
+            F.col("k").cast("bigint").alias("k"),
+            F.col("cum_tp").alias("tp"),
+            F.expr("cast(1000000 * cum_tp div k as bigint)").alias("precision_fp"),
+            F.expr("cast(1000000 * cum_tp div n_pos as bigint)").alias("recall_fp"),
+            # F1 = 2 tp / (k + n_pos): exact integers, one division
+            F.expr(
+                "cast(1000000 * 2 * cum_tp div (k + n_pos) as bigint)"
+            ).alias("f1_fp"),
+        )
+    )
+
+
+ORACLE_EVAL_PR = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+  FROM (
+    SELECT doc_id, CAST({_QC_WEIGHT} AS BIGINT) AS w
+    FROM (
+      SELECT doc_id, {_QC_BUCKET} AS bkt
+      FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents)))
+  GROUP BY doc_id
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(s.score_fp, 0) AS score_fp,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rn,
+         CAST(sum(pos) OVER (ORDER BY score_fp DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tp
+  FROM labeled
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM labeled
+),
+cuts AS (
+  SELECT d.decile, t.n, t.n_pos,
+         CAST((d.decile * t.n + 9) // 10 AS INT) AS k
+  FROM (SELECT unnest(range(1, 11)) AS decile) d CROSS JOIN totals t
+)
+SELECT CAST(c.decile AS INT) AS decile, CAST(c.k AS BIGINT) AS k,
+       r.cum_tp AS tp,
+       CAST(1000000 * r.cum_tp // c.k AS BIGINT) AS precision_fp,
+       CAST(1000000 * r.cum_tp // c.n_pos AS BIGINT) AS recall_fp,
+       CAST(1000000 * 2 * r.cum_tp // (c.k + c.n_pos) AS BIGINT) AS f1_fp
+FROM cuts c JOIN ranked r ON c.k = r.rn
+"""
+
+QUERIES["q_eval_pr"] = (q_eval_pr, ORACLE_EVAL_PR)
+
+
+# --- q_ab_ztest: two-proportion experiment readout ---------------------------
+#
+# A/B cohorts by event_id parity (deterministic assignment — the
+# q_split_train_val hash-split discipline would be used in
+# production; parity keeps the oracle trivial to audit), conversion =
+# the event is a purchase with value > 100 (a per-UNIT binary metric
+# that stays strictly inside (0,1) at every scale factor; a per-USER
+# metric saturates to p = 1 at the smoke SF's 15 users, which zeroes
+# the pooled-variance denominator). The pooled two-proportion
+# z statistic
+#
+#   z = (pA - pB) / sqrt(p (1 - p) (1/nA + 1/nB)),  p = (xA+xB)/(nA+nB)
+#
+# is computed as ONE shared IEEE expression over the four exact
+# BIGINT counts — both engines see identical text, so the branch on
+# |z| > 1.96 is identical too.
+#
+# Scale: the cohort/conversion flags are a map-only projection and
+# the readout is ONE multi-count aggregate (map-side combine) to a
+# single row — the cheapest possible experiment query.
+
+_Z_EXPR = (
+    "(cast(x_a as double) / cast(n_a as double)"
+    " - cast(x_b as double) / cast(n_b as double))"
+    " / sqrt((cast(x_a + x_b as double) / cast(n_a + n_b as double))"
+    " * (1e0 - cast(x_a + x_b as double) / cast(n_a + n_b as double))"
+    " * (1e0 / cast(n_a as double) + 1e0 / cast(n_b as double)))"
+)
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: cohort sizes, conversions, conversion rates, the
+    pooled z statistic, and the 5%-level significance flag."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    flagged = ev.select(
+        (F.col("event_id") % 2).alias("grp"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 100.0), 1
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    counts = flagged.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    return counts.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("cast(x_a as double) / cast(n_a as double)").alias("p_a"),
+        F.expr("cast(x_b as double) / cast(n_b as double)").alias("p_b"),
+        F.expr(_Z_EXPR).alias("z_stat"),
+        F.expr(f"abs({_Z_EXPR}) > 1.96e0").alias("significant"),
+    )
+
+
+ORACLE_AB_ZTEST = f"""
+WITH flagged AS (
+  SELECT event_id % 2 AS grp,
+         CASE WHEN event_type = 'purchase' AND value > 100.0
+              THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+counts AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM flagged
+)
+SELECT n_a, x_a, n_b, x_b,
+       cast(x_a as double) / cast(n_a as double) AS p_a,
+       cast(x_b as double) / cast(n_b as double) AS p_b,
+       {_Z_EXPR} AS z_stat,
+       abs({_Z_EXPR}) > 1.96e0 AS significant
+FROM counts
+"""
+
+QUERIES["q_ab_ztest"] = (q_ab_ztest, ORACLE_AB_ZTEST)

@@ -43,6 +43,7 @@ _MODULES = (
     "behavior",
     "sketches",
     "linkage",
+    "evaluation",
 )
 
 # qids registered first, in this order (driver checks the first 50).
@@ -54,9 +55,9 @@ _MODULES = (
 # driver-reds of the events-loader class — fixed in r04 (io.py
 # schema-adaptive load, commit f00db15), green on the local gate and
 # represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 17 round-5 qids
+# latest driver rows still read FAIL(r03); (3) the 19 round-5 qids
 # (classify/behavior/sketches/linkage/stream-static waves), so no
-# new-wave tail accumulates; (4) 6 re-check slots for the oldest
+# new-wave tail accumulates; (4) 4 re-check slots for the oldest
 # stale-green rows (r01).
 _PRIORITY = (
     # (1) round-4b corpus/ingest wave — never driver-checked
@@ -106,14 +107,16 @@ _PRIORITY = (
     "q_link_editdist",
     "q_skew_diag",
     "q_graph_triangles",
+    "q_eval_pr",
+    "q_ab_ztest",
     # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
     "q_join_asof",
     "q_fn_array_map_json",
+    # --- driver window ends here (50) ---
     "q_fn_dewpoint",
     "q_fn_winddir",
-    # --- driver window ends here (50) ---
     "q_fn_baro_reduce",
     "q_rain_rate",
     "q_join_bucketed",
