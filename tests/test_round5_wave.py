@@ -364,3 +364,60 @@ def test_triangles_match_networkless_recount(spark, sf_smoke):
     assert row["n_wedges"] == wedges
     assert row["n_triangles"] == tris
     assert row["closure_fp"] == 1_000_000 * tris // max(wedges, 1)
+
+
+# --- §2.21 evaluation --------------------------------------------------------
+
+
+def test_eval_pr_curve_shape(spark, sf_smoke):
+    """Recall is non-decreasing in depth, reaches 1.0 at decile 10
+    (k = n means every positive is captured), tp is non-decreasing,
+    and precision/recall/F1 are the exact integer quotients."""
+    from metoffice_spark.operators.evaluation import q_eval_pr
+
+    rows = sorted(q_eval_pr(spark, sf_smoke).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_pos = None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["k"] > prev["k"]
+        assert cur["tp"] >= prev["tp"]
+        assert cur["recall_fp"] >= prev["recall_fp"]
+    last = rows[-1]
+    assert last["recall_fp"] == 1_000_000  # decile 10 captures all positives
+    for r in rows:
+        assert 0 <= r["tp"] <= r["k"]
+        assert r["precision_fp"] == 1_000_000 * r["tp"] // r["k"]
+
+
+def test_ab_ztest_recount(spark, sf_smoke):
+    """Counts, rates, z and significance recomputed from raw events."""
+    import math
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.evaluation import q_ab_ztest
+
+    row = q_ab_ztest(spark, sf_smoke).collect()[0]
+    ev = load(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    n_a = sum(1 for e in ev if e["event_id"] % 2 == 0)
+    x_a = sum(
+        1
+        for e in ev
+        if e["event_id"] % 2 == 0
+        and e["event_type"] == "purchase"
+        and e["value"] > 100.0
+    )
+    n_b = len(ev) - n_a
+    x_b = sum(
+        1
+        for e in ev
+        if e["event_id"] % 2 == 1
+        and e["event_type"] == "purchase"
+        and e["value"] > 100.0
+    )
+    assert (row["n_a"], row["x_a"], row["n_b"], row["x_b"]) == (n_a, x_a, n_b, x_b)
+    p = (x_a + x_b) / (n_a + n_b)
+    z = (x_a / n_a - x_b / n_b) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert row["z_stat"] == pytest.approx(z, rel=1e-12)
+    assert row["significant"] == (abs(z) > 1.96)
