@@ -1339,3 +1339,99 @@ WHERE scale > 0
 """
 
 QUERIES["q_embed_quantize"] = (q_embed_quantize, ORACLE_EMBED_QUANTIZE)
+
+
+# --- q_multimodal_framesample: video frame sampling ---------------------------
+#
+# The frame-sample stage of a video training pipeline: for each
+# 'video' asset (doc_id % 3 == 2, the q_multimodal_decode format
+# assignment), treat the binary payload as a sequence of fixed
+# 64-byte RAW frames, keep every 3rd full frame (temporal
+# subsampling), and emit ONE ROW PER SAMPLED FRAME with byte-domain
+# features (mean, dark-pixel count) computed by numpy inside
+# ``mapInPandas`` — the fan-out (one input row -> many frame rows)
+# plumbing that distinguishes frame sampling from the row-preserving
+# decode in q_multimodal_decode.
+#
+# Scale: map-only fan-out — frames never shuffle; at 100 TB the
+# sampled-frame stream feeds the feature extractor with stride
+# (=3 here) as the compute/recall knob. Codec-compressed video would
+# go through _codec_decode (stubbed: no ffmpeg in this container);
+# the RAW-frame path is real byte arithmetic, and the oracle replays
+# it over per-character ascii codes (ASCII-locked by the
+# q_multimodal_decode guard).
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 3
+
+
+def _framesample_batches(batches):
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_idx, out_mean, out_dark = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            n_frames = len(buf) // _FRAME_BYTES
+            for f in range(0, n_frames, _FRAME_STRIDE):
+                frame = buf[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES]
+                out_doc.append(int(doc_id))
+                out_idx.append(f)
+                out_mean.append(int(frame.sum()) // _FRAME_BYTES)
+                out_dark.append(int((frame < _DARK_CUTOFF).sum()))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_mean": pd.Series(out_mean, dtype="int32"),
+                "n_dark": pd.Series(out_dark, dtype="int32"),
+            }
+        )
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per sampled 64-byte frame of each video asset:
+    (doc_id, frame_idx, frame_mean, n_dark)."""
+    docs = load(tune(spark), sf_dir, "documents")
+    assets = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return assets.mapInPandas(
+        _framesample_batches,
+        "doc_id long, frame_idx int, frame_mean int, n_dark int",
+    )
+
+
+ORACLE_MULTIMODAL_FRAMESAMPLE = f"""
+WITH vids AS (
+  SELECT doc_id, text,
+         CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+              THEN error('documents.text is not pure ASCII: byte-domain'
+                         ' frame oracle invalid')
+              ELSE octet_length(CAST(text AS BLOB)) END AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id, text, unnest(range(0, greatest(n // {_FRAME_BYTES}, 0)))
+           AS frame_idx
+  FROM vids
+),
+sampled AS (
+  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         list_transform(range(1, {_FRAME_BYTES} + 1),
+           i -> ascii(substring(text,
+                CAST(frame_idx * {_FRAME_BYTES} + i AS INT), 1))) AS px
+  FROM frames WHERE frame_idx % {_FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(list_aggregate(px, 'sum') // {_FRAME_BYTES} AS INT) AS frame_mean,
+       CAST(len(list_filter(px, x -> x < {_DARK_CUTOFF})) AS INT) AS n_dark
+FROM sampled
+"""
+
+QUERIES["q_multimodal_framesample"] = (
+    q_multimodal_framesample,
+    ORACLE_MULTIMODAL_FRAMESAMPLE,
+)
