@@ -1313,3 +1313,134 @@ FROM counts
 """
 
 QUERIES["q_agg_histogram"] = (q_agg_histogram, ORACLE_AGG_HISTOGRAM)
+
+
+# --- q_fn_null_suite: null-semantics function surface -------------------------
+#
+# The null-handling family (EXT beyond the reference's NaN guard,
+# MWC:181-183): nullif / coalesce planting and repair, null-safe
+# equality (Spark `<=>` vs DuckDB `IS NOT DISTINCT FROM` — different
+# SYNTAX, same three-valued-logic escape hatch), and the null-skipping
+# aggregate rules (count(col) vs count(*), sum over nulls) that every
+# engine pair must agree on before any other query can be trusted.
+# Scale: map-only projection + one grouped aggregate.
+
+
+def q_fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: row count, non-null counts/sums of a planted
+    nullable column, and null-safe equality tallies."""
+    spark = tune(spark)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("nullif(c_custkey % 7, 0)").alias("nv"),
+        F.expr("nullif(c_custkey % 14, 0)").alias("nv2"),
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "nv",
+            F.coalesce("nv", F.lit(-1)).alias("nv_filled"),
+            F.expr("nv <=> nv2").alias("ns_eq"),
+            F.expr("case when nv is null then 'missing' else 'present' end").alias(
+                "presence"
+            ),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("nv").cast("bigint").alias("n_nonnull"),
+            F.sum("nv").cast("bigint").alias("sum_nv"),
+            F.sum("nv_filled").cast("bigint").alias("sum_filled"),
+            F.sum(F.when(F.col("ns_eq"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_eq"),
+            F.sum(F.when(F.col("presence") == "missing", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )
+
+
+ORACLE_FN_NULL_SUITE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         nullif(c_custkey % 7, 0) AS nv,
+         nullif(c_custkey % 14, 0) AS nv2
+  FROM customer
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(nv) AS BIGINT) AS n_nonnull,
+       CAST(sum(nv) AS BIGINT) AS sum_nv,
+       CAST(sum(coalesce(nv, -1)) AS BIGINT) AS sum_filled,
+       CAST(sum(CASE WHEN nv IS NOT DISTINCT FROM nv2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM c GROUP BY c_nationkey
+"""
+
+QUERIES["q_fn_null_suite"] = (q_fn_null_suite, ORACLE_FN_NULL_SUITE)
+
+
+# --- q_fn_datetime_suite: calendar/date function surface ----------------------
+#
+# The datetime family beyond q_fn_date_fmt/q_fn_epoch2ts:
+# year/quarter/month/day parts, month truncation, last-day, +30-day
+# deadline arithmetic, day-difference vs a fixed epoch, and an
+# ENGINE-PROOF day-of-week ((epoch_days + 4) % 7, 0 = Sunday) —
+# Spark's dayofweek() and DuckDB's dow() disagree on numbering, so
+# the portable form is explicit integer arithmetic on epoch days
+# (the same reasoning as the reference's day-of-month comparison
+# quirk, MWC:206-208). Map-only; sampled by key to keep the result
+# row-bounded.
+
+
+def q_fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sampled order: calendar parts, truncations, date
+    arithmetic, and the portable day-of-week."""
+    spark = tune(spark)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", F.to_date("o_orderdate").alias("d"))
+    )
+    return o.select(
+        "o_orderkey",
+        "d",
+        F.year("d").cast("int").alias("yr"),
+        F.quarter("d").cast("int").alias("qtr"),
+        F.month("d").cast("int").alias("mon"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+        F.to_date(F.date_trunc("month", F.col("d"))).alias("month_start"),
+        F.last_day("d").alias("month_end"),
+        F.date_add(F.col("d"), 30).alias("deadline"),
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("epoch_days"),
+        F.expr(
+            "cast((datediff(d, date'1970-01-01') + 4) % 7 as int)"
+        ).alias("dow_portable"),
+    )
+
+
+ORACLE_FN_DATETIME_SUITE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey, d,
+       CAST(year(d) AS INT) AS yr,
+       CAST(quarter(d) AS INT) AS qtr,
+       CAST(month(d) AS INT) AS mon,
+       CAST(day(d) AS INT) AS dom,
+       CAST(date_trunc('month', d) AS DATE) AS month_start,
+       last_day(d) AS month_end,
+       d + 30 AS deadline,
+       CAST(date_diff('day', DATE '1970-01-01', d) AS INT) AS epoch_days,
+       CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS INT)
+         AS dow_portable
+FROM o
+"""
+
+QUERIES["q_fn_datetime_suite"] = (q_fn_datetime_suite, ORACLE_FN_DATETIME_SUITE)

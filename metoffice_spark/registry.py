@@ -55,9 +55,9 @@ _MODULES = (
 # driver-reds of the events-loader class — fixed in r04 (io.py
 # schema-adaptive load, commit f00db15), green on the local gate and
 # represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 20 round-5 qids
+# latest driver rows still read FAIL(r03); (3) the 22 round-5 qids
 # (classify/behavior/sketches/linkage/stream-static waves), so no
-# new-wave tail accumulates; (4) 3 re-check slots for the oldest
+# new-wave tail accumulates; (4) 2 re-check slots for the oldest
 # stale-green rows (r01).
 _PRIORITY = (
     # (1) round-4b corpus/ingest wave — never driver-checked
@@ -110,11 +110,13 @@ _PRIORITY = (
     "q_eval_pr",
     "q_ab_ztest",
     "q_multimodal_framesample",
+    "q_fn_null_suite",
+    "q_fn_datetime_suite",
     # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
-    "q_join_asof",
     # --- driver window ends here (50) ---
+    "q_join_asof",
     "q_fn_array_map_json",
     "q_fn_dewpoint",
     "q_fn_winddir",
