@@ -621,6 +621,101 @@ JOIN (SELECT * FROM observations WHERE obs_id % 2 = 1) r
 """
 
 
+# --- q_stream_cagg: streaming continuous aggregate (materialized view) -------
+
+def q_stream_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate — the streaming face of
+    q_rollup_hypertable's finest level: per (station, 15-minute
+    bucket) counts/sums maintained INCREMENTALLY in update mode
+    across three replay micro-batches. Each batch's foreachBatch
+    appends the re-emitted (updated) rows with the batch id; the
+    materialized view is the LATEST emission per key (argmax batch
+    via row_number), checked against the batch 15-minute rollup —
+    update-mode re-emission + last-writer-wins upsert is exactly how
+    a streaming pipeline maintains a rollup table a BI dashboard
+    reads.
+
+    Scale: state is (station, window)-keyed aggregates in the state
+    store; the sink-side dedup is the merge-on-read compaction of
+    q_cdc_apply. No watermark: every window stays updatable (the
+    final emission includes all data), which is the right trade for
+    a small always-hot rollup; a production variant adds one to
+    bound state."""
+    spark = tune(spark)
+    input_dir, root = _replay(
+        spark,
+        sf_dir,
+        split_preds=[
+            F.col("obs_id") % 3 == 0,
+            F.col("obs_id") % 3 == 1,
+            F.col("obs_id") % 3 == 2,
+        ],
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    agg = (
+        sdf.groupBy(
+            F.window("ts", "15 minutes").alias("w"), F.col("station_id")
+        )
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.floor(F.col("tempc") * 1000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("tempc_fp_sum"),
+        )
+        .select(
+            "station_id",
+            F.col("w.start").alias("bucket_start"),
+            "n_obs",
+            "tempc_fp_sum",
+        )
+    )
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
+    shutil.rmtree(input_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _COMPLETED_ROOTS.append(root)
+    from pyspark.sql import Window as W
+
+    sunk = spark.read.parquet(out)
+    w_last = W.partitionBy("station_id", "bucket_start").orderBy(
+        F.col("bid").desc()
+    )
+    return (
+        sunk.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("station_id", "bucket_start", "n_obs", "tempc_fp_sum")
+    )
+
+
+ORACLE_STREAM_CAGG = f"""{_CTE}
+SELECT station_id,
+       time_bucket(INTERVAL '15 minutes', ts,
+                   TIMESTAMP '1970-01-01 00:00:00') AS bucket_start,
+       count(*) AS n_obs,
+       CAST(sum(CAST(floor(tempc * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS tempc_fp_sum
+FROM observations
+GROUP BY 1, 2
+"""
+
+
 # --- q_stream_static_join: stream-static enrichment join ---------------------
 
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +765,7 @@ LEFT JOIN region r ON CAST(r.r_regionkey AS VARCHAR) = o.station_id
 QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
     "q_stream_static_join": (q_stream_static_join, ORACLE_STREAM_STATIC_JOIN),
+    "q_stream_cagg": (q_stream_cagg, ORACLE_STREAM_CAGG),
     "q_stream_dedup": (q_stream_dedup, ORACLE_STREAM_DEDUP),
     "q_stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
