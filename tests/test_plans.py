@@ -339,3 +339,34 @@ def test_changepoint_daily_agg_computed_once(spark, sf_smoke):
 
     plan = _plan(q_ts_changepoint(spark, sf_smoke))
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_triangles_joins_are_hash_equi(spark, sf_smoke):
+    """Wedge and closing joins must be hash equi-joins on node keys —
+    a nested-loop plan would cross the edge set with itself."""
+    from metoffice_spark.operators.scale import q_graph_triangles
+
+    plan = _plan(q_graph_triangles(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # the edge table is cached once and re-read by every consumer
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_eval_pr_single_ranked_pass(spark, sf_smoke):
+    """The PR curve must rank once (one window over the labeled set)
+    and probe decile cutoffs against it — no per-decile re-sorts."""
+    from metoffice_spark.operators.evaluation import q_eval_pr
+
+    plan = _plan(q_eval_pr(spark, sf_smoke))
+    # one ranking window (row_number + running sum share one sort)
+    assert plan.count("Window [") <= 1, plan
+
+
+def test_framesample_is_map_only(spark, sf_smoke):
+    """Frame sampling must be a shuffle-free fan-out: scan ->
+    mapInPandas, no exchanges."""
+    from metoffice_spark.operators.llm import q_multimodal_framesample
+
+    plan = _plan(q_multimodal_framesample(spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
