@@ -868,3 +868,76 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 """
 
 QUERIES["q_graph_triangles"] = (q_graph_triangles, ORACLE_GRAPH_TRIANGLES)
+
+
+# --- q_hierarchy_expand: bounded transitive closure (recursive query) --------
+#
+# The recursive-CTE family Spark lacks natively: walk a parent
+# hierarchy (parent(k) = k div 10; keys below 10 are roots — a
+# synthetic org-chart/BOM shape over customer keys) to the root,
+# reporting each key's root ancestor and depth. Implemented as
+# LEVEL-SYNCHRONOUS expansion: L unrolled left joins of the frontier
+# against the (child, parent) edge table — the distributed evaluation
+# strategy for hierarchical queries (each level = one equi-join, the
+# q_kmeans_train unrolled-iteration discipline). The DuckDB oracle is
+# the real WITH RECURSIVE, so the unrolled plan is checked against
+# actual recursive semantics.
+#
+# Scale: L = ceil(log10(max key)) levels; each level joins frontier
+# x edges on the child key (broadcast here, shuffle equi-join at
+# 100 TB) and rows that reached a root pass through untouched. The
+# `reached_root` audit column proves L covered the deepest chain —
+# a too-shallow unroll fails the gate instead of silently truncating.
+
+_HIER_LEVELS = 6  # covers keys < 10^7 (sf0.1 max custkey ~ 1.5e4)
+
+
+def q_hierarchy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer key: its hierarchy root, depth, and the
+    reached-root audit flag."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    edges = scoped_persist(
+        cust.filter(F.col("c_custkey") >= 10).select(
+            F.col("c_custkey").alias("child"),
+            F.expr("c_custkey div 10").alias("parent"),
+        )
+    )
+    walk = cust.select(
+        "c_custkey",
+        F.col("c_custkey").alias("cur"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    for _ in range(_HIER_LEVELS):
+        walk = (
+            walk.join(
+                F.broadcast(edges), walk["cur"] == edges["child"], "left"
+            )
+            .select(
+                "c_custkey",
+                F.coalesce("parent", "cur").alias("cur"),
+                (F.col("depth") + F.when(F.col("parent").isNotNull(), 1).otherwise(0))
+                .cast("int")
+                .alias("depth"),
+            )
+        )
+    return walk.select(
+        "c_custkey",
+        F.col("cur").cast("bigint").alias("root_key"),
+        "depth",
+        (F.col("cur") < 10).alias("reached_root"),
+    )
+
+
+ORACLE_HIERARCHY_EXPAND = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT c_custkey, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+)
+SELECT c_custkey, CAST(cur AS BIGINT) AS root_key, CAST(depth AS INT) AS depth,
+       cur < 10 AS reached_root
+FROM walk WHERE cur < 10
+"""
+
+QUERIES["q_hierarchy_expand"] = (q_hierarchy_expand, ORACLE_HIERARCHY_EXPAND)

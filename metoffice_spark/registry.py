@@ -55,7 +55,7 @@ _MODULES = (
 # driver-reds of the events-loader class — fixed in r04 (io.py
 # schema-adaptive load, commit f00db15), green on the local gate and
 # represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 23 round-5 qids
+# latest driver rows still read FAIL(r03); (3) the 24 round-5 qids
 # (classify/behavior/sketches/linkage/stream-static waves), so no
 # new-wave tail accumulates. The oldest stale-green r01 rows queue
 # just past the window (they are exercised by bench/entry each round).
@@ -113,6 +113,7 @@ _PRIORITY = (
     "q_fn_null_suite",
     "q_fn_datetime_suite",
     "q_stream_cagg",
+    "q_hierarchy_expand",
     # (4) stale r01-green re-checks (oldest driver rows in the repo)
     "q_sink_http_form",
     "q_win_lag",
