@@ -88,7 +88,6 @@ _PRIORITY = (
     "q_win_ewma",
     "q_cov_stats",
     "q_fn_json_suite",
-    "q_rollup_hypertable",
     # (3) round-5 waves: classify / behavior / sketches / streaming
     "q_nb_langid",
     "q_quality_classifier",
