@@ -113,10 +113,15 @@ _PRIORITY = (
     "q_fn_datetime_suite",
     "q_stream_cagg",
     "q_hierarchy_expand",
-    # (4) stale r01-green re-checks (oldest driver rows in the repo)
+    # --- driver window ends here (50) ---
+    # (4) re-checks queue just past the window, all exercised every
+    # round by bench/entry anyway. q_rollup_hypertable (an events-
+    # loader-class r03 red whose shared root cause was proven fixed by
+    # the r04 representative rows) leads; then the oldest stale-green
+    # r01 rows.
+    "q_rollup_hypertable",
     "q_sink_http_form",
     "q_win_lag",
-    # --- driver window ends here (50) ---
     "q_join_asof",
     "q_fn_array_map_json",
     "q_fn_dewpoint",
