@@ -530,3 +530,61 @@ FROM framed
 """
 
 QUERIES["q_win_rolling_median"] = (q_win_rolling_median, ORACLE_WIN_ROLLING_MEDIAN)
+
+
+# --- q_ts_seasonal_profile: hour-of-week seasonality matrix -------------------
+#
+# The seasonality profile a capacity planner or anomaly detector
+# conditions on: activity by (day-of-week, hour-of-day) cell, with
+# each cell's share of total traffic in 1e-6 fixed point. Day-of-week
+# uses the PORTABLE (epoch_days + 4) % 7 form (0 = Sunday) — Spark
+# dayofweek() and DuckDB dow() number days differently
+# (q_fn_datetime_suite documents the split).
+#
+# Scale: map-only projection to (dow, hour) + one aggregate with
+# map-side combine — at most 168 rows out regardless of input size;
+# the total is a broadcast scalar.
+
+
+def q_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (dow 0=Sunday, hour): event count, value cents, and the
+    cell's 1e-6 fixed-point share of all events."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr(
+            "cast((datediff(to_date(ts), date'1970-01-01') + 4) % 7 as int)"
+        ).alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.expr(_CENTS).alias("cents"),
+    ).groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hr",
+        "n_events",
+        "cents_total",
+        F.expr("cast(1000000 * n_events div n_total as bigint)").alias("share_fp"),
+    )
+
+
+ORACLE_TS_SEASONAL_PROFILE = """
+WITH cells AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents_total
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hr, n_events, cents_total,
+       CAST(1000000 * n_events // (SELECT count(*) FROM events) AS BIGINT)
+         AS share_fp
+FROM cells
+"""
+
+QUERIES["q_ts_seasonal_profile"] = (q_ts_seasonal_profile, ORACLE_TS_SEASONAL_PROFILE)
