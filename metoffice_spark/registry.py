@@ -44,6 +44,7 @@ _MODULES = (
     "sketches",
     "linkage",
     "evaluation",
+    "mlalgebra",
 )
 
 # qids registered first, in this order (driver checks the first 50).
