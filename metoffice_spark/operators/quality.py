@@ -218,3 +218,111 @@ FROM diff GROUP BY op
 """
 
 QUERIES["q_cdc_diff"] = (q_cdc_diff, ORACLE_CDC_DIFF)
+
+
+# --- q_stats_collect: optimizer statistics + selectivity audit ---------------
+#
+# The ANALYZE-TABLE family: per-"file" (8 hash partitions of
+# lineitem standing in for parquet files) min/max/count statistics
+# over l_quantity and l_shipdate, then a data-skipping audit for the
+# predicate (l_quantity < 10 AND l_shipdate >= 1995-07-01): which
+# files COULD be skipped on stats alone (their [min,max] range
+# misses the predicate) and the stats-estimated vs actual matching
+# rows. This is the metadata a CBO and a file-pruning scan both
+# consume — expressed as an oracle-checked query so the stats
+# pipeline itself is under the gate (the q_layout_zorder skipping
+# metric's sibling for value ranges).
+#
+# Scale: stats are a per-partition aggregate with map-side combine
+# (8 rows out); the estimate is arithmetic over those 8 rows; only
+# the actual-count audit rescans (and would be dropped at 100 TB —
+# the whole point of stats is not rescanning). Uniformity estimate =
+# file_rows * overlap_fraction in exact 1e-6 fixed point.
+
+_SC_QLIT = 10_000_000  # l_quantity < 10 in 1e-6 fixed point
+_SC_DLIT = "DATE '1995-07-01'"
+
+
+def q_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per synthetic file (l_orderkey % 8): row count, quantity and
+    shipdate ranges, the could-skip flag for the audit predicate, the
+    uniformity-estimated matching rows (1e-6 fixed point), and the
+    actual matching rows."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).cast("int").alias("pid"),
+        F.expr("cast(floor(l_quantity * 1000000 + 0.5) as bigint)").alias("q_fp"),
+        F.to_date("l_shipdate").alias("sd"),
+        (
+            (F.col("l_quantity") < 10)
+            & (F.to_date("l_shipdate") >= F.lit("1995-07-01").cast("date"))
+        ).alias("hit"),
+    )
+    stats = li.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("q_fp").alias("q_min_fp"),
+        F.max("q_fp").alias("q_max_fp"),
+        F.min("sd").alias("sd_min"),
+        F.max("sd").alias("sd_max"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_actual"),
+    )
+    return stats.select(
+        "pid",
+        "n_rows",
+        "q_min_fp",
+        "q_max_fp",
+        "sd_min",
+        "sd_max",
+        # skip iff the file's range cannot contain a matching row
+        (
+            (F.col("q_min_fp") >= F.lit(_SC_QLIT))
+            | (F.col("sd_max") < F.lit("1995-07-01").cast("date"))
+        ).alias("could_skip"),
+        # uniformity estimate: n * frac(q) * frac(sd), each fraction
+        # an exact 1e-6 integer ratio clamped to [0, 1e6]
+        F.expr(
+            f"""cast(
+              n_rows
+              * least(greatest(cast({_SC_QLIT} - q_min_fp as bigint), 0)
+                      div greatest((q_max_fp - q_min_fp) div 1000000 + 1, 1), 1000000)
+              div 1000000
+              * least(greatest(cast(datediff(sd_max, date'1995-07-01') as bigint)
+                               + 1, 0) * 1000000
+                      div greatest(cast(datediff(sd_max, sd_min) as bigint) + 1, 1),
+                      1000000)
+              as bigint)""",
+        ).alias("n_est_fp"),
+        "n_actual",
+    )
+
+
+ORACLE_STATS_COLLECT = f"""
+WITH li AS (
+  SELECT CAST(l_orderkey % 8 AS INT) AS pid,
+         CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS q_fp,
+         CAST(l_shipdate AS DATE) AS sd,
+         (l_quantity < 10 AND CAST(l_shipdate AS DATE) >= {_SC_DLIT}) AS hit
+  FROM lineitem
+),
+stats AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+         min(q_fp) AS q_min_fp, max(q_fp) AS q_max_fp,
+         min(sd) AS sd_min, max(sd) AS sd_max,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_actual
+  FROM li GROUP BY pid
+)
+SELECT pid, n_rows, q_min_fp, q_max_fp, sd_min, sd_max,
+       (q_min_fp >= {_SC_QLIT} OR sd_max < {_SC_DLIT}) AS could_skip,
+       CAST(
+         n_rows
+         * least(greatest(CAST({_SC_QLIT} - q_min_fp AS BIGINT), 0)
+                 // greatest((q_max_fp - q_min_fp) // 1000000 + 1, 1), 1000000)
+         // 1000000
+         * least(greatest(date_diff('day', {_SC_DLIT}, sd_max) + 1, 0) * 1000000
+                 // greatest(date_diff('day', sd_min, sd_max) + 1, 1), 1000000)
+         AS BIGINT) AS n_est_fp,
+       n_actual
+FROM stats
+"""
+
+QUERIES["q_stats_collect"] = (q_stats_collect, ORACLE_STATS_COLLECT)
