@@ -421,3 +421,70 @@ def test_ab_ztest_recount(spark, sf_smoke):
     z = (x_a / n_a - x_b / n_b) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
     assert row["z_stat"] == pytest.approx(z, rel=1e-12)
     assert row["significant"] == (abs(z) > 1.96)
+
+
+# --- round 5c tail -----------------------------------------------------------
+
+
+def test_hierarchy_expand_matches_arithmetic(spark, sf_smoke):
+    """Depth and root recomputed by direct pointer-chasing; every row
+    must have reached a root within the unrolled levels."""
+    from metoffice_spark.operators.scale import q_hierarchy_expand
+
+    rows = q_hierarchy_expand(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        k, depth = r["c_custkey"], 0
+        while k >= 10:
+            k //= 10
+            depth += 1
+        assert r["reached_root"] is True
+        assert r["root_key"] == k
+        assert r["depth"] == depth
+
+
+def test_pca_power_vector_properties(spark, sf_smoke):
+    """64 dims, the normalized vector peaks at exactly +/-1000, and
+    the Rayleigh estimate is positive (Gram matrices are PSD)."""
+    from metoffice_spark.operators.mlalgebra import q_pca_power
+
+    rows = q_pca_power(spark, sf_smoke).collect()
+    assert len(rows) == 64
+    mags = [abs(r["v_fp"]) for r in rows]
+    assert max(mags) == 1000  # renormalized each round
+    assert all(m <= 1000 for m in mags)
+    assert rows[0]["eigval_est"] > 0
+    assert len({r["eigval_est"] for r in rows}) == 1  # broadcast scalar
+
+
+def test_seasonal_profile_shares_sum(spark, sf_smoke):
+    """Cells cover all events; shares are the exact quotients and sum
+    to ~1e6 (floor loss < number of cells); dow/hr in range."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_ts_seasonal_profile
+
+    rows = q_ts_seasonal_profile(spark, sf_smoke).collect()
+    n_total = load(spark, sf_smoke, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    assert len(rows) <= 168
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hr"] <= 23
+        assert r["share_fp"] == 1_000_000 * r["n_events"] // n_total
+    s = sum(r["share_fp"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_stats_collect_skip_flags_are_safe(spark, sf_smoke):
+    """A file flagged could-skip must contain ZERO actual matches
+    (skipping must never lose rows), and rows/actuals recount."""
+    from metoffice_spark.operators.quality import q_stats_collect
+
+    rows = q_stats_collect(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_actual"] <= r["n_rows"]
+        if r["could_skip"]:
+            assert r["n_actual"] == 0
+        assert r["q_min_fp"] <= r["q_max_fp"]
+        assert r["sd_min"] <= r["sd_max"]
+        assert r["n_est_fp"] >= 0
