@@ -182,3 +182,105 @@ CROSS JOIN (SELECT user_id, cnt FROM ranked WHERE hot_rn = 1) hot
 """
 
 QUERIES["q_skew_diag"] = (q_skew_diag, ORACLE_SKEW_DIAG)
+
+
+# --- q_join_spatial: grid-blocked 2-D containment join -----------------------
+#
+# The spatial-join family (point-in-rectangle) via GRID BLOCKING —
+# the 2-D generalization of q_join_range_binned: points key to their
+# grid cell (one cell per point), query rectangles expand to every
+# cell they overlap, candidates meet in an EQUI-join on the cell id,
+# and an exact containment filter ([lo, hi) half-open, so borders
+# are unambiguous) finishes row-locally. Point space: x = event
+# value in [0, 200), y = event_id % 100; three planted query
+# rectangles.
+#
+# Scale: the cell equi-join is the entire trick — a naive theta join
+# (point BETWEEN rect bounds) plans as BroadcastNestedLoopJoin and
+# crosses points x rects; the grid keys both sides so Catalyst hash-
+# joins them, and rectangle fan-out is bounded by cells-per-rect.
+# Cell size (50 x 25) is the selectivity/fan-out knob.
+
+_SP_RECTS = (
+    (1, 0, 50, 0, 25),
+    (2, 100, 200, 50, 100),
+    (3, 25, 75, 10, 30),
+)
+
+
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query rectangle: contained-point count and value cents
+    (empty rectangles report zeros)."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("value").alias("x"),
+        (F.col("event_id") % 100).cast("double").alias("y"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr("cast(floor(value / 50) as int)").alias("cx"),
+        F.expr("cast(floor((event_id % 100) / 25) as int)").alias("cy"),
+    )
+    rows = ", ".join(f"({r},{a},{b},{c},{d})" for r, a, b, c, d in _SP_RECTS)
+    rects = spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(rid, xlo, xhi, ylo, yhi)"
+    )
+    rect_cells = rects.select(
+        "rid",
+        "xlo",
+        "xhi",
+        "ylo",
+        "yhi",
+        F.explode(
+            F.expr("sequence(xlo div 50, (xhi - 1) div 50)")
+        ).alias("cx"),
+    ).select(
+        "rid",
+        "xlo",
+        "xhi",
+        "ylo",
+        "yhi",
+        "cx",
+        F.explode(
+            F.expr("sequence(ylo div 25, (yhi - 1) div 25)")
+        ).alias("cy"),
+    )
+    matched = points.join(F.broadcast(rect_cells), ["cx", "cy"]).filter(
+        "x >= xlo AND x < xhi AND y >= ylo AND y < yhi"
+    )
+    per_rect = matched.groupBy("rid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )
+    return (
+        rects.select("rid")
+        .join(per_rect, "rid", "left")
+        .select(
+            F.col("rid").cast("int").alias("rid"),
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            F.coalesce("cents_total", F.lit(0)).cast("bigint").alias("cents_total"),
+        )
+    )
+
+
+ORACLE_JOIN_SPATIAL = f"""
+WITH points AS (
+  SELECT value AS x, CAST(event_id % 100 AS DOUBLE) AS y,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+rects(rid, xlo, xhi, ylo, yhi) AS (
+  VALUES {", ".join(f"({r},{a},{b},{c},{d})" for r, a, b, c, d in _SP_RECTS)}
+),
+matched AS (
+  SELECT r.rid, p.cents
+  FROM points p JOIN rects r
+    ON p.x >= r.xlo AND p.x < r.xhi AND p.y >= r.ylo AND p.y < r.yhi
+)
+SELECT CAST(r.rid AS INT) AS rid,
+       CAST(coalesce(count(m.cents), 0) AS BIGINT) AS n_points,
+       CAST(coalesce(sum(m.cents), 0) AS BIGINT) AS cents_total
+FROM rects r LEFT JOIN matched m ON r.rid = m.rid
+GROUP BY r.rid
+"""
+
+QUERIES["q_join_spatial"] = (q_join_spatial, ORACLE_JOIN_SPATIAL)
