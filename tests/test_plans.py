@@ -370,3 +370,17 @@ def test_framesample_is_map_only(spark, sf_smoke):
     plan = _plan(q_multimodal_framesample(spark, sf_smoke))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_spatial_join_is_hash_equi_on_cells(spark, sf_smoke):
+    """The candidate join must be a hash equi-join on the grid cell —
+    the naive containment theta join plans as BNLJ and crosses
+    points x rects."""
+    from metoffice_spark.operators.linkage import q_join_spatial
+
+    plan = _plan(q_join_spatial(spark, sf_smoke))
+    cell_joins = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln and "cx" in ln
+    ]
+    assert cell_joins, plan
+    assert "CartesianProduct" not in plan
