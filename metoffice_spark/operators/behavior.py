@@ -588,3 +588,103 @@ FROM cells
 """
 
 QUERIES["q_ts_seasonal_profile"] = (q_ts_seasonal_profile, ORACLE_TS_SEASONAL_PROFILE)
+
+
+# --- q_behavior_e2e: sessionize -> funnel -> attribute (composite) -----------
+#
+# The behavioral counterpart of q_pipeline_e2e's composability proof:
+# gap-sessionization (30-min inactivity, the q_sessionize_batch
+# technique and tie discipline), a purchase filter per session, and
+# within-session last-touch attribution (the q_attribution carry) all
+# declared as ONE logical plan — Catalyst sees the whole chain and
+# every window shares the single (user, ts, event_id) shuffle+sort.
+# Output: per channel, converting-session count and attributed
+# revenue in exact integer cents.
+#
+# Scale: exactly one event-sized exchange (user_id); session ids,
+# touch carries, and per-session aggregates all reuse its sort; the
+# channel rollup aggregates (user, sid)-sized rows with map-side
+# combine.
+
+_BE_GAP_MIN = 30
+
+
+def q_behavior_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per touch channel: converting sessions and attributed revenue
+    (cents), from one sessionize->attribute plan."""
+    ev = load(tune(spark), sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(order_w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            gap.isNull()
+            | (F.col("ts").cast("long") - gap.cast("long") > _BE_GAP_MIN * 60),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess_w = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = sess.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+            ignorenulls=True,
+        ).over(sess_w),
+    )
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "sid",
+        F.coalesce("last_touch", F.lit("none")).alias("channel"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    per_session = purchases.groupBy("user_id", "sid", "channel").agg(
+        F.sum("cents").alias("cents")
+    )
+    return per_session.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+ORACLE_BEHAVIOR_E2E = f"""
+WITH marked AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {_BE_GAP_MIN * 60}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+  FROM marked
+),
+touched AS (
+  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click')
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS last_touch
+  FROM sess
+),
+per_session AS (
+  SELECT user_id, sid, coalesce(last_touch, 'none') AS channel,
+         sum({_CENTS}) AS cents
+  FROM touched WHERE event_type = 'purchase'
+  GROUP BY user_id, sid, coalesce(last_touch, 'none')
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM per_session GROUP BY channel
+"""
+
+QUERIES["q_behavior_e2e"] = (q_behavior_e2e, ORACLE_BEHAVIOR_E2E)

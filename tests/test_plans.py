@@ -384,3 +384,12 @@ def test_spatial_join_is_hash_equi_on_cells(spark, sf_smoke):
     ]
     assert cell_joins, plan
     assert "CartesianProduct" not in plan
+
+
+def test_behavior_e2e_single_event_shuffle(spark, sf_smoke):
+    """Sessionize -> touch-carry -> per-session agg must all reuse ONE
+    user_id exchange; only the final channel rollup adds a second."""
+    from metoffice_spark.operators.behavior import q_behavior_e2e
+
+    plan = _plan(q_behavior_e2e(spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
