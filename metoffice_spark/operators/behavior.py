@@ -688,3 +688,67 @@ FROM per_session GROUP BY channel
 """
 
 QUERIES["q_behavior_e2e"] = (q_behavior_e2e, ORACLE_BEHAVIOR_E2E)
+
+
+# --- q_pattern_match: row-pattern recognition (MATCH_RECOGNIZE family) --------
+#
+# Sequence-pattern matching over each user's ordered event stream —
+# the MATCH_RECOGNIZE operator class, re-expressed portably: the
+# per-user stream collapses to a STRING of event initials (total
+# (ts, event_id) order carried inside the sorted struct array), and
+# the row pattern becomes a regex over that string ('vc*p' = a view,
+# any clicks, then a purchase), counted non-overlapping left-to-right
+# greedy — identical semantics in the Java∩RE2 subset both engines
+# share (q_fn_regex_suite discipline).
+#
+# Scale: the sequence string is bounded by a user's OWN event count
+# (one groupBy user_id with map-side combine); the regex is row-local.
+# A production variant shards ultra-long users by session first
+# (q_sessionize_batch) — documented lever, same plan shape.
+
+_PM_PATTERN = "vc*p"
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: event-sequence length, non-overlapping 'vc*p' match
+    count, and the converted flag."""
+    ev = load(tune(spark), sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.expr("substring(event_type, 1, 1)").alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(s)), x -> x.ch), '')"
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.expr(f"cast(regexp_count(seq, '{_PM_PATTERN}') as bigint)").alias(
+            "n_matches"
+        ),
+    ).withColumn("converted", F.col("n_matches") > 0)
+
+
+ORACLE_PATTERN_MATCH = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{_PM_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       len(regexp_extract_all(seq, '{_PM_PATTERN}')) > 0 AS converted
+FROM seqs
+"""
+
+QUERIES["q_pattern_match"] = (q_pattern_match, ORACLE_PATTERN_MATCH)
