@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
-from metoffice_spark.session import tune
+from metoffice_spark.session import scoped_persist, tune
 
 
 def _rev_cents(price: str = "l_extendedprice", disc: str = "l_discount"):
@@ -575,3 +575,102 @@ GROUP BY user_id, sid
 """
 
 QUERIES["q_sessionize_batch"] = (q_sessionize_batch, ORACLE_SESSIONIZE_BATCH)
+
+
+# --- q_percentile_cont: interpolated percentiles ------------------------------
+#
+# The PERCENTILE_CONT companion to q_percentile_exact's
+# PERCENTILE_DISC: linear interpolation at rank h = (n-1)p + 1.
+# Everything stays an exact integer: with p = num/den,
+#   lo  = 1 + (n-1)·num div den          (1-based lower rank)
+#   rem = ((n-1)·num) mod den            (exact rational remainder)
+#   cont_fp = v_lo + rem·(v_hi - v_lo) div den
+# where v are 1e-3 fixed-point values sorted ascending — v_hi ≥ v_lo,
+# so every numerator is non-negative and both engines truncate
+# identically. No IEEE anywhere: the interpolation itself is exact.
+#
+# Scale: same shape as percentile_disc — one shuffle on event_type,
+# rank window bounded per type; the lo/hi picks are two filter probes
+# of the ranked set per percentile.
+
+_PCTC = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, percentile): n, the lo/hi bracket values, and
+    the exact interpolated value (1e-3 fixed point)."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    ranked = scoped_persist(
+        ev.select(
+            "event_type",
+            "v_fp",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
+    )
+    out = None
+    for label, num, den in _PCTC:
+        lo = ranked.filter(
+            F.expr(f"rn = 1 + (n - 1) * {num} div {den}")
+        ).select(
+            "event_type",
+            F.lit(label).alias("pct"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("v_fp").alias("v_lo"),
+            F.expr(f"((n - 1) * {num}) % {den}").cast("bigint").alias("rem"),
+        )
+        hi = ranked.filter(
+            F.expr(
+                f"rn = least(2 + (n - 1) * {num} div {den}, n)"
+            )
+        ).select(
+            F.col("event_type").alias("et2"), F.col("v_fp").alias("v_hi")
+        )
+        row = lo.join(hi, lo["event_type"] == hi["et2"]).select(
+            "event_type",
+            "pct",
+            "n",
+            "v_lo",
+            "v_hi",
+            F.expr(f"cast(v_lo + rem * (v_hi - v_lo) div {den} as bigint)").alias(
+                "cont_fp"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _pctc_oracle() -> str:
+    parts = []
+    for label, num, den in _PCTC:
+        parts.append(
+            f"""SELECT r.event_type, '{label}' AS pct,
+       CAST(r.n AS BIGINT) AS n, r.v_fp AS v_lo, h.v_fp AS v_hi,
+       CAST(r.v_fp + ((r.n - 1) * {num}) % {den} * (h.v_fp - r.v_fp) // {den}
+         AS BIGINT) AS cont_fp
+FROM ranked r JOIN ranked h
+  ON h.event_type = r.event_type
+ AND h.rn = least(2 + (r.n - 1) * {num} // {den}, r.n)
+WHERE r.rn = 1 + (r.n - 1) * {num} // {den}"""
+        )
+    return f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 1000 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["q_percentile_cont"] = (q_percentile_cont, _pctc_oracle())
