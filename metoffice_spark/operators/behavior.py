@@ -752,3 +752,58 @@ FROM seqs
 """
 
 QUERIES["q_pattern_match"] = (q_pattern_match, ORACLE_PATTERN_MATCH)
+
+
+# --- q_win_range_interval: time-based RANGE frame -----------------------------
+#
+# The time-based sliding aggregate per row — RANGE frames over EVENT
+# TIME (trailing 1 hour), as opposed to q_win_frame's ROWS frames
+# over positions: for every event, how many events and how much value
+# its user generated in the preceding hour INCLUDING itself. The
+# frame is declared over integer epoch seconds (RANGE BETWEEN 3599
+# PRECEDING AND CURRENT ROW), which both engines implement with
+# identical closed-interval semantics; rows at equal timestamps are
+# frame PEERS in both (RANGE, not ROWS — ties enter together, which
+# is why no event_id tie-break belongs in this ORDER BY).
+#
+# Scale: one shuffle on user_id; the running frame is maintained by
+# a sliding two-pointer over each user's sorted stream — state is
+# O(window contents), never the whole partition. Epoch seconds are
+# FLOORED explicitly on both sides: Spark's timestamp->long cast
+# truncates while DuckDB's double->bigint cast rounds half-away —
+# an off-by-one frame shift on ~half the rows if left implicit.
+
+
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's trailing-1-hour event count and value
+    cents (event-time RANGE frame, self inclusive)."""
+    ev = load(tune(spark), sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("epoch_s").cast("bigint").alias("epoch_s"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_trailing_1h"),
+    )
+
+
+ORACLE_WIN_RANGE_INTERVAL = f"""
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum({_CENTS}) OVER w AS BIGINT) AS cents_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["q_win_range_interval"] = (q_win_range_interval, ORACLE_WIN_RANGE_INTERVAL)

@@ -352,3 +352,69 @@ FROM est_m CROSS JOIN est_d
 """
 
 QUERIES["q_sketch_hll_merge"] = (q_sketch_hll_merge, ORACLE_SKETCH_HLL_MERGE)
+
+
+# --- q_agg_bitmap_distinct: bitmap-OR exact distinct --------------------------
+#
+# The groupBitmap family (ClickHouse/roaring): distinct counting by
+# OR-ing fixed-width bitmaps instead of shuffling raw keys. Keys map
+# to (word = key div 32, bit = key mod 32 — shifts stay below DuckDB's
+# 63-bit left-shift overflow guard); per (group, word) the
+# aggregate is a single BIT_OR (associative + commutative = fully
+# map-side combinable); the distinct count is the popcount sum. For
+# a bounded dense key domain this moves ONE BIGINT per 32 keys per
+# group across the wire — the cheapest exact-distinct there is, and
+# the bitmaps themselves union/intersect across groups for audience
+# algebra (q_sketch_setops' exact sibling). Audited against
+# count(DISTINCT) from the raw rows.
+#
+# Scale note: dense bitmaps fit bounded domains (user ids here);
+# sparse/huge domains take roaring-style containers or fall back to
+# q_agg_distinct_twophase. Documented boundary.
+
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: distinct users via bitmap popcount, words
+    used, and the count(DISTINCT) audit."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("cast(user_id div 32 as int)").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
+            .alias("bit"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    counts = words.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.expr("bit_count(word)")).cast("bigint").alias("n_distinct_bitmap"),
+    )
+    audit = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_distinct_exact")
+    )
+    return counts.join(audit, counts["event_type"] == audit["et"]).select(
+        "event_type", "n_words", "n_distinct_bitmap", "n_distinct_exact"
+    )
+
+
+ORACLE_AGG_BITMAP = """
+WITH words AS (
+  SELECT event_type, CAST(user_id // 32 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS word
+  FROM events GROUP BY event_type, CAST(user_id // 32 AS INT)
+),
+counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_bitmap
+  FROM words GROUP BY event_type
+)
+SELECT c.event_type, c.n_words, c.n_distinct_bitmap,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+        WHERE e.event_type = c.event_type) AS n_distinct_exact
+FROM counts c
+"""
+
+QUERIES["q_agg_bitmap_distinct"] = (q_agg_bitmap_distinct, ORACLE_AGG_BITMAP)
