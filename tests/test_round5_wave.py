@@ -488,3 +488,94 @@ def test_stats_collect_skip_flags_are_safe(spark, sf_smoke):
         assert r["q_min_fp"] <= r["q_max_fp"]
         assert r["sd_min"] <= r["sd_max"]
         assert r["n_est_fp"] >= 0
+
+
+# --- round 5d ----------------------------------------------------------------
+
+
+def test_pattern_match_recount(spark, sf_smoke):
+    """Sequence strings and greedy non-overlapping match counts
+    recomputed in Python regex over the ordered event stream."""
+    import re
+    from collections import defaultdict
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import _PM_PATTERN, q_pattern_match
+
+    rows = {r["user_id"]: r for r in q_pattern_match(spark, sf_smoke).collect()}
+    ev = load(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    streams = defaultdict(list)
+    for e in ev:
+        streams[e["user_id"]].append((e["ts"], e["event_id"], e["event_type"][0]))
+    for uid, evs in streams.items():
+        seq = "".join(ch for _, _, ch in sorted(evs))
+        got = rows[uid]
+        assert got["seq_len"] == len(seq)
+        assert got["n_matches"] == len(re.findall(_PM_PATTERN, seq))
+        assert got["converted"] == (got["n_matches"] > 0)
+
+
+def test_percentile_cont_brackets(spark, sf_smoke):
+    """The interpolated value lies in [v_lo, v_hi], v_lo <= v_hi, and
+    the exact integer interpolation reproduces in Python."""
+    from metoffice_spark.operators.behavior import _CENTS  # noqa: F401
+    from metoffice_spark.operators.analytics import _PCTC, q_percentile_cont
+
+    rows = q_percentile_cont(spark, sf_smoke).collect()
+    assert len(rows) == 5 * len(_PCTC)  # 5 event types x 3 percentiles
+    dens = {label: den for label, _, den in _PCTC}
+    nums = {label: num for label, num, _ in _PCTC}
+    for r in rows:
+        assert r["v_lo"] <= r["v_hi"]
+        assert r["v_lo"] <= r["cont_fp"] <= r["v_hi"]
+        rem = (r["n"] - 1) * nums[r["pct"]] % dens[r["pct"]]
+        assert r["cont_fp"] == r["v_lo"] + rem * (r["v_hi"] - r["v_lo"]) // dens[
+            r["pct"]
+        ]
+
+
+def test_win_range_interval_recount(spark, sf_smoke):
+    """Trailing-1h counts recomputed over floored epoch seconds with
+    peer-inclusive RANGE semantics."""
+    from collections import defaultdict
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_win_range_interval
+
+    rows = q_win_range_interval(spark, sf_smoke).collect()
+    ev = load(spark, sf_smoke, "events").select("user_id", "ts", "event_id").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append(int(e["ts"].timestamp()))
+    by_key = {(r["user_id"], r["event_id"]): r for r in rows}
+    for e in ev:
+        secs = per_user[e["user_id"]]
+        t = int(e["ts"].timestamp())
+        expect = sum(1 for s in secs if t - 3599 <= s <= t)
+        assert by_key[(e["user_id"], e["event_id"])]["n_trailing_1h"] == expect
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_smoke):
+    """The popcount sum must EQUAL the exact distinct count for every
+    group (bitmaps are exact, not estimates)."""
+    from metoffice_spark.operators.sketches import q_agg_bitmap_distinct
+
+    rows = q_agg_bitmap_distinct(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["n_distinct_bitmap"] == r["n_distinct_exact"]
+        assert r["n_words"] >= 1
+
+
+def test_pseudonymize_profile_holds(spark, sf_smoke):
+    """Every bucket's raw and tokenized customer counts match and the
+    mapping is injective."""
+    from metoffice_spark.operators.quality import q_pseudonymize
+
+    rows = q_pseudonymize(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["profile_match"] is True
+        assert r["n_keys"] == r["n_pseudonyms"]
