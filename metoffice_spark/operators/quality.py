@@ -416,3 +416,73 @@ CROSS JOIN inj i
 """
 
 QUERIES["q_pseudonymize"] = (q_pseudonymize, ORACLE_PSEUDONYMIZE)
+
+
+# --- q_dp_release: calibrated-noise aggregate release ------------------------
+#
+# The DP-release operator shape (Snowflake/BigQuery differential
+# privacy aggregates): a count released with Laplace(b = 1/epsilon)
+# noise via inverse-CDF sampling,
+#
+#   u ~ (0,1),  noise = -b * sgn(u - 0.5) * ln(1 - 2|u - 0.5|)
+#
+# Here u is an md5-derived fraction SEEDED from the group key, which
+# makes the run reproducible and oracle-checkable — production DP
+# must draw u from a secret RNG (deterministic noise provides no
+# privacy); this operator tests the release pipeline's shape, noise
+# calibration, and budget accounting, not the privacy guarantee.
+# Documented boundary. ln/IEEE last on the md5-exact fraction (the
+# _HLL_EST_EXPR precedent), floored to 1e-6 fixed point.
+#
+# Scale: map-side-combined counts + a per-group noise expression —
+# release cost is the aggregate itself.
+
+_DP_EPS_FP = 1_000_000  # epsilon = 1.0 (b = 1/eps = 1.0)
+# (0,1) fraction from 8 md5 nibbles of the group key (relational.py
+# _FRAC, seeded by group)
+_DP_FRAC = " + ".join(
+    "(instr('0123456789abcdef', substring(md5(concat('DP|', event_type)), {i}, 1))"
+    " - 1) / {p}e0".format(i=i + 1, p=16 ** (i + 1))
+    for i in range(8)
+)
+_DP_NOISE = (
+    f"(case when ({_DP_FRAC}) >= 0.5e0 then -1e0 else 1e0 end)"
+    f" * -ln(1e0 - 2e0 * abs(({_DP_FRAC}) - 0.5e0))"
+)
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: true count, the seeded Laplace noise (1e-6
+    fixed point), and the released noisy count."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return counts.select(
+        "event_type",
+        "n_true",
+        F.expr(f"cast(floor(1000000e0 * ({_DP_NOISE})) as bigint)").alias(
+            "noise_fp"
+        ),
+    ).withColumn(
+        "n_released_fp",
+        F.expr("cast(1000000 * n_true + noise_fp as bigint)"),
+    ).withColumn("eps_fp", F.lit(_DP_EPS_FP).cast("bigint"))
+
+
+ORACLE_DP_RELEASE = f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_true,
+       CAST(floor(1000000e0 * ({_DP_NOISE})) AS BIGINT) AS noise_fp,
+       CAST(1000000 * n_true
+            + CAST(floor(1000000e0 * ({_DP_NOISE})) AS BIGINT) AS BIGINT)
+         AS n_released_fp,
+       CAST({_DP_EPS_FP} AS BIGINT) AS eps_fp
+FROM counts
+"""
+
+QUERIES["q_dp_release"] = (q_dp_release, ORACLE_DP_RELEASE)
