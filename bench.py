@@ -49,6 +49,7 @@ HEADLINE = [
     "q_dedup_lines",      # span-level (line) dedup (round 5)
     "q_attribution",      # last-touch attribution window (round 5)
     "q_sketch_setops",    # KMV sketch set algebra (round 5)
+    "q_behavior_e2e",     # sessionize→attribute composite (round 5)
 ]
 
 
