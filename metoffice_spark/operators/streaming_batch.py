@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from metoffice_spark.io import load
 from metoffice_spark.obs import OBS_PER_HOUR, observations, oracle_cte
 from metoffice_spark.parity import fixed_str
 from metoffice_spark.session import tune
@@ -621,6 +622,97 @@ JOIN (SELECT * FROM observations WHERE obs_id % 2 = 1) r
 """
 
 
+# --- q_stream_cep: cross-batch pattern detection (CEP) -----------------------
+
+_CEP_WINDOW_US = 3600 * 1_000_000  # view -> purchase within 1 hour
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _cep_machine(key, pdf_iter, state: GroupState):
+    """Per-user CEP state machine: carry the most recent view's epoch
+    (microseconds) across micro-batches; every purchase within the
+    1-hour window of that view emits a match row."""
+    (last_view_us,) = state.get if state.exists else (-1,)
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    rows = []
+    for r in pdf.itertuples():
+        t_us = r.ts.value // 1000
+        if r.event_type == "view":
+            last_view_us = t_us
+        elif r.event_type == "purchase" and last_view_us >= 0:
+            lag = t_us - last_view_us
+            if lag <= _CEP_WINDOW_US:
+                rows.append((key[0], r.event_id, lag))
+    state.update((last_view_us,))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "purchase_event_id", "lag_us"]
+    )
+
+
+def q_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex event processing on the event stream: detect
+    'purchase within 1 hour of the user's most recent view', with the
+    pending-view state carried across THREE time-ordered micro-batches
+    by ``applyInPandasWithState`` — the detection genuinely spans
+    batch boundaries (a view in batch 1 can match a purchase in batch
+    2), which is what distinguishes CEP state from windowed
+    aggregation. Oracle = the batch union-window carry.
+
+    Scale: state is one BIGINT per user in the state store (sharded
+    by user like the shuffle); the pattern here is fixed — a
+    production CEP layers an NFA over the same carry."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events")
+    root = _run_root()
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    # three TIME-ORDERED batches (calendar split: the events corpus
+    # spans 2024-01-01..30 at every SF) so per-user event order is
+    # preserved across the replay, as a real log/Kafka source would.
+    splits = [
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    ]
+    for i, part in enumerate(splits):
+        _write_file(
+            part, os.path.join(input_dir, f"{i:04d}.parquet"), 1_000_000 + i * 1000
+        )
+    sdf = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    matched = sdf.groupBy("user_id").applyInPandasWithState(
+        _cep_machine,
+        "user_id long, purchase_event_id long, lag_us long",
+        "last_view_us long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_parquet(matched, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_CEP = f"""
+WITH carried AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_ts
+  FROM events
+)
+SELECT user_id, event_id AS purchase_event_id,
+       CAST(date_diff('microsecond', v_ts, ts) AS BIGINT) AS lag_us
+FROM carried
+WHERE event_type = 'purchase' AND v_ts IS NOT NULL
+  AND date_diff('microsecond', v_ts, ts) <= {_CEP_WINDOW_US}
+"""
+
+
 # --- q_stream_cagg: streaming continuous aggregate (materialized view) -------
 
 def q_stream_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +858,7 @@ QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
     "q_stream_static_join": (q_stream_static_join, ORACLE_STREAM_STATIC_JOIN),
     "q_stream_cagg": (q_stream_cagg, ORACLE_STREAM_CAGG),
+    "q_stream_cep": (q_stream_cep, ORACLE_STREAM_CEP),
     "q_stream_dedup": (q_stream_dedup, ORACLE_STREAM_DEDUP),
     "q_stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "q_stream_tumbling": (q_stream_tumbling, ORACLE_STREAM_TUMBLING),
