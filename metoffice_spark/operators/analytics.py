@@ -674,3 +674,105 @@ WITH ranked AS (
 
 
 QUERIES["q_percentile_cont"] = (q_percentile_cont, _pctc_oracle())
+
+
+# --- q_collab_filter: co-purchase affinity (market-basket lift) ---------------
+#
+# The recommendation primitive over the same co-occurrence graph as
+# q_graph_triangles: for every part pair appearing in >= 2 orders,
+# support counts and LIFT in 1e-6 fixed point,
+#
+#   lift = P(a,b) / (P(a) P(b)) = co_cnt * n_orders / (cnt_a * cnt_b)
+#
+# — all-integer numerators (counts), one fixed-point division. Top-5
+# recommendations per anchor part by (lift, co_cnt, partner) total
+# order. This is the "customers who bought X also bought Y" query.
+#
+# Scale: pair explosion bounded per order (<= C(7,2)); per-part and
+# per-pair counts aggregate with map-side combine; the per-anchor
+# top-5 is a window bounded by the anchor's partner count (the
+# q_topk_twophase salting applies if one part dominates).
+
+
+def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor part: its top-5 co-purchase partners by lift
+    (1e-6 fixed point), with support counts."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = scoped_persist(li.distinct())
+    part_cnt = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()  # setup scalar
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(part_cnt.withColumnRenamed("l_partkey", "pa")
+                        .withColumnRenamed("cnt", "cnt_a")), "pa")
+        .join(
+            F.broadcast(part_cnt.withColumnRenamed("l_partkey", "pb")
+                        .withColumnRenamed("cnt", "cnt_b")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                f"cast(1000000 * co_cnt * {n_orders} div (cnt_a * cnt_b) as bigint)"
+            ).alias("lift_fp"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(
+        F.col("lift_fp").desc(), F.col("co_cnt").desc(), F.col("pb").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "pa", F.col("rnk").cast("int").alias("rnk"), "pb", "co_cnt", "lift_fp"
+        )
+    )
+
+
+ORACLE_COLLAB_FILTER = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_cnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM baskets
+  GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS co_cnt
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+scored AS (
+  SELECT p.pa, p.pb, p.co_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         CAST(1000000 * p.co_cnt
+              * (SELECT count(DISTINCT l_orderkey) FROM baskets)
+              // (ca.cnt * cb.cnt) AS BIGINT) AS lift_fp
+  FROM pairs p
+  JOIN part_cnt ca ON ca.l_partkey = p.pa
+  JOIN part_cnt cb ON cb.l_partkey = p.pb
+)
+SELECT pa, CAST(rnk AS INT) AS rnk, pb, co_cnt, lift_fp FROM (
+  SELECT *, row_number() OVER (PARTITION BY pa
+                               ORDER BY lift_fp DESC, co_cnt DESC, pb ASC) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+QUERIES["q_collab_filter"] = (q_collab_filter, ORACLE_COLLAB_FILTER)
