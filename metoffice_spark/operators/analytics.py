@@ -776,3 +776,107 @@ WHERE rnk <= 5
 """
 
 QUERIES["q_collab_filter"] = (q_collab_filter, ORACLE_COLLAB_FILTER)
+
+
+# --- q_winsorize: robust (winsorized) aggregates ------------------------------
+#
+# The ML-preprocessing robustification pass: per event type, clip
+# values to the exact [p05, p95] rank-index cutoffs
+# (percentile_disc picks, the q_percentile_exact idiom) and report
+# the clipped-count and winsorized mean alongside the raw mean —
+# the outlier-robust statistics a feature pipeline feeds a model
+# instead of raw means. All counts/sums exact BIGINTs over 1e-3
+# fixed-point values; the two means are IEEE-last divides.
+#
+# Scale: one shuffle on event_type for the rank window; cutoffs are
+# 2 rows per type broadcast back onto the scan for a map-only clip.
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: n, p05/p95 cutoffs (1e-3 fp), clipped-low/high
+    counts, raw mean, winsorized mean."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = ranked.filter(F.expr("rn = (5 * n + 99) div 100")).select(
+        F.col("event_type").alias("et_lo"), F.col("v_fp").alias("p05_fp")
+    )
+    hi = ranked.filter(F.expr("rn = (95 * n + 99) div 100")).select(
+        F.col("event_type").alias("et_hi"), F.col("v_fp").alias("p95_fp")
+    )
+    cut = F.broadcast(lo.join(hi, lo["et_lo"] == hi["et_hi"]).select(
+        F.col("et_lo").alias("et"), "p05_fp", "p95_fp"
+    ))
+    clipped = ev.join(cut, ev["event_type"] == cut["et"]).select(
+        "event_type",
+        "v_fp",
+        "p05_fp",
+        "p95_fp",
+        F.expr("greatest(least(v_fp, p95_fp), p05_fp)").alias("w_fp"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("p05_fp").cast("bigint").alias("p05_fp"),
+        F.min("p95_fp").cast("bigint").alias("p95_fp"),
+        F.sum(F.when(F.col("v_fp") < F.col("p05_fp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("v_fp") > F.col("p95_fp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_hi"),
+        F.expr("cast(sum(v_fp) as double) / cast(count(1) as double)").alias(
+            "mean_raw_fp"
+        ),
+        F.expr("cast(sum(w_fp) as double) / cast(count(1) as double)").alias(
+            "mean_winsor_fp"
+        ),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v_fp,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_fp, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+cut AS (
+  SELECT l.event_type, l.v_fp AS p05_fp, h.v_fp AS p95_fp
+  FROM (SELECT event_type, v_fp FROM ranked
+        WHERE rn = (5 * n + 99) // 100) l
+  JOIN (SELECT event_type, v_fp FROM ranked
+        WHERE rn = (95 * n + 99) // 100) h USING (event_type)
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(c.p05_fp) AS BIGINT) AS p05_fp,
+       CAST(min(c.p95_fp) AS BIGINT) AS p95_fp,
+       CAST(sum(CASE WHEN e.v_fp < c.p05_fp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN e.v_fp > c.p95_fp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       cast(sum(e.v_fp) as double) / cast(count(*) as double) AS mean_raw_fp,
+       cast(sum(greatest(least(e.v_fp, c.p95_fp), c.p05_fp)) as double)
+         / cast(count(*) as double) AS mean_winsor_fp
+FROM ev e JOIN cut c USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["q_winsorize"] = (q_winsorize, ORACLE_WINSORIZE)
