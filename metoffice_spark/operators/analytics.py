@@ -880,3 +880,99 @@ GROUP BY e.event_type
 """
 
 QUERIES["q_winsorize"] = (q_winsorize, ORACLE_WINSORIZE)
+
+
+# --- q_metric_decompose: period-over-period metric decomposition --------------
+#
+# The "why did the topline move" query: revenue delta between the
+# first and second half of the month (calendar split at day 16),
+# decomposed per event type into a VOLUME effect (count change at
+# the old average value) and the residual RATE/MIX effect. Exactness
+# discipline: everything is 1e-6-scaled integer cents; the volume
+# effect (n2-n1)·c1 div n1 carries a SIGNED numerator, so it uses the
+# sign-split truncating division (the q_semdedup_centroid idiom);
+# the rate effect is defined as the residual delta_fp - volume_fp,
+# which makes the decomposition sum EXACTLY to the total by
+# construction — no float drift can break the reconciliation.
+#
+# Scale: two filtered aggregates of one scan (map-side combined),
+# joined per type — a dashboard query shape that stays cheap at any
+# corpus size.
+
+
+def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: period counts/cents, total delta (1e-6 fp),
+    volume effect, residual rate/mix effect; volume + rate == delta
+    exactly."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        )
+    )
+
+    def period(pred, suffix):
+        return ev.filter(pred).groupBy(
+            F.col("event_type").alias(f"et{suffix}")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n{suffix}"),
+            F.sum("cents").cast("bigint").alias(f"c{suffix}"),
+        )
+
+    p1 = period(F.col("d") < F.lit("2024-01-16").cast("date"), "1")
+    p2 = period(F.col("d") >= F.lit("2024-01-16").cast("date"), "2")
+    joined = p1.join(p2, p1["et1"] == p2["et2"]).select(
+        F.col("et1").alias("event_type"), "n1", "c1", "n2", "c2"
+    )
+    return joined.select(
+        "event_type",
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.expr("cast(1000000 * (c2 - c1) as bigint)").alias("delta_fp"),
+        F.expr(
+            "cast(if((n2 - n1) * c1 < 0,"
+            " -((-((n2 - n1) * c1)) * 1000000 div n1),"
+            " (n2 - n1) * c1 * 1000000 div n1) as bigint)"
+        ).alias("volume_fp"),
+    ).withColumn(
+        "rate_fp", F.expr("cast(delta_fp - volume_fp as bigint)")
+    )
+
+
+ORACLE_METRIC_DECOMPOSE = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+p1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(cents) AS BIGINT) AS c1
+  FROM ev WHERE d < DATE '2024-01-16' GROUP BY event_type
+),
+p2 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n2,
+         CAST(sum(cents) AS BIGINT) AS c2
+  FROM ev WHERE d >= DATE '2024-01-16' GROUP BY event_type
+),
+joined AS (
+  SELECT p1.event_type, n1, c1, n2, c2 FROM p1 JOIN p2 USING (event_type)
+)
+SELECT event_type, n1, c1, n2, c2,
+       CAST(1000000 * (c2 - c1) AS BIGINT) AS delta_fp,
+       CAST(CASE WHEN (n2 - n1) * c1 < 0
+                 THEN -((-((n2 - n1) * c1)) * 1000000 // n1)
+                 ELSE (n2 - n1) * c1 * 1000000 // n1 END AS BIGINT)
+         AS volume_fp,
+       CAST(1000000 * (c2 - c1)
+            - CASE WHEN (n2 - n1) * c1 < 0
+                   THEN -((-((n2 - n1) * c1)) * 1000000 // n1)
+                   ELSE (n2 - n1) * c1 * 1000000 // n1 END AS BIGINT) AS rate_fp
+FROM joined
+"""
+
+QUERIES["q_metric_decompose"] = (q_metric_decompose, ORACLE_METRIC_DECOMPOSE)
