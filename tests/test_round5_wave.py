@@ -579,3 +579,82 @@ def test_pseudonymize_profile_holds(spark, sf_smoke):
     for r in rows:
         assert r["profile_match"] is True
         assert r["n_keys"] == r["n_pseudonyms"]
+
+
+def test_collab_filter_ranked_and_bounded(spark, sf_smoke):
+    """Per-anchor rank is dense 1..k<=5 with non-increasing lift, and
+    lift is the exact integer quotient of its support counts."""
+    from collections import defaultdict
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.analytics import q_collab_filter
+
+    rows = q_collab_filter(spark, sf_smoke).collect()
+    assert rows
+    baskets = (
+        load(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    n_orders = len({b["l_orderkey"] for b in baskets})
+    from collections import Counter
+
+    part_cnt = Counter(b["l_partkey"] for b in baskets)
+    per_anchor = defaultdict(list)
+    for r in rows:
+        per_anchor[r["pa"]].append(r)
+        assert r["co_cnt"] >= 2
+        assert r["lift_fp"] == 1_000_000 * r["co_cnt"] * n_orders // (
+            part_cnt[r["pa"]] * part_cnt[r["pb"]]
+        )
+    for rs in per_anchor.values():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        lifts = [r["lift_fp"] for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_winsorize_bounds_and_counts(spark, sf_smoke):
+    """Winsorized mean lies within [p05, p95], clipped counts are
+    consistent, and clipping reduces (or keeps) spread."""
+    from metoffice_spark.operators.analytics import q_winsorize
+
+    rows = q_winsorize(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["p05_fp"] <= r["p95_fp"]
+        assert r["p05_fp"] <= r["mean_winsor_fp"] <= r["p95_fp"]
+        assert 0 <= r["n_clipped_lo"] < r["n"]
+        assert 0 <= r["n_clipped_hi"] < r["n"]
+
+
+def test_metric_decompose_reconciles_exactly(spark, sf_smoke):
+    """volume + rate == delta bitwise for every type, and the period
+    splits cover the full corpus."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.analytics import q_metric_decompose
+
+    rows = q_metric_decompose(spark, sf_smoke).collect()
+    assert rows
+    total_rows = load(spark, sf_smoke, "events").count()
+    assert sum(r["n1"] + r["n2"] for r in rows) == total_rows
+    for r in rows:
+        assert r["volume_fp"] + r["rate_fp"] == r["delta_fp"]
+        assert r["delta_fp"] == 1_000_000 * (r["c2"] - r["c1"])
+
+
+def test_dp_release_noise_is_seeded_and_calibrated(spark, sf_smoke):
+    """Identical across runs (seeded), release = count + noise, and
+    |noise| stays within a loose Laplace tail bound for b=1."""
+    from metoffice_spark.operators.quality import q_dp_release
+
+    a = {r["event_type"]: r for r in q_dp_release(spark, sf_smoke).collect()}
+    b = {r["event_type"]: r for r in q_dp_release(spark, sf_smoke).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["noise_fp"] == b[k]["noise_fp"]
+        assert a[k]["n_released_fp"] == 1_000_000 * a[k]["n_true"] + a[k]["noise_fp"]
+        # Laplace(b=1): |noise| < 30 with prob 1 - 2e-14; md5 fractions
+        # cannot hit the extreme tail closer than ~1e-10
+        assert abs(a[k]["noise_fp"]) < 30_000_000
