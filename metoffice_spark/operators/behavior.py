@@ -807,3 +807,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 QUERIES["q_win_range_interval"] = (q_win_range_interval, ORACLE_WIN_RANGE_INTERVAL)
+
+
+# --- q_ohlc_bars: open-high-low-close bar aggregation -------------------------
+#
+# The finance/telemetry bar query: per (event_type, day), the FIRST
+# value (open), max (high), min (low), LAST value (close), and volume
+# — open/close are argmin/argmax-by-time picks expressed as min/max
+# over (ts, event_id, value) STRUCTS, whose lexicographic order makes
+# the pick deterministic under ties and keeps the aggregate a plain
+# partial-combinable min/max (no window, no sort — the struct trick
+# is what makes first/last-by-time scale like any other aggregate).
+# Values as exact 1e-3 fixed point.
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): open/high/low/close (1e-3 fp) and
+    event volume."""
+    ev = load(tune(spark), sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+    )
+    return ev.groupBy("event_type", "day").agg(
+        F.expr("min(struct(ts, event_id, v_fp)).v_fp").alias("open_fp"),
+        F.max("v_fp").alias("high_fp"),
+        F.min("v_fp").alias("low_fp"),
+        F.expr("max(struct(ts, event_id, v_fp)).v_fp").alias("close_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+
+
+ORACLE_OHLC_BARS = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
+  FROM events
+)
+SELECT event_type, day,
+       CAST((min(struct_pack(ts := ts, e := event_id, v := v_fp))).v
+         AS BIGINT) AS open_fp,
+       CAST(max(v_fp) AS BIGINT) AS high_fp,
+       CAST(min(v_fp) AS BIGINT) AS low_fp,
+       CAST((max(struct_pack(ts := ts, e := event_id, v := v_fp))).v
+         AS BIGINT) AS close_fp,
+       CAST(count(*) AS BIGINT) AS volume
+FROM ev GROUP BY event_type, day
+"""
+
+QUERIES["q_ohlc_bars"] = (q_ohlc_bars, ORACLE_OHLC_BARS)
