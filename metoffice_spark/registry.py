@@ -52,14 +52,16 @@ _MODULES = (
 # round end, so mid-round rotations burn the window on qids that never
 # get a row). After r04 every qid had at least one driver row EXCEPT
 # the 10 round-4b corpus/ingest qids (landed after the r04 window was
-# fixed). Priorities: (1) those 10 never-checked qids; (2) the 17 r03
-# driver-reds of the events-loader class — fixed in r04 (io.py
-# schema-adaptive load, commit f00db15), green on the local gate and
-# represented in r04 by q_rain_daily_delta/q_sketch_hll, but their own
-# latest driver rows still read FAIL(r03); (3) the 24 round-5 qids
-# (classify/behavior/sketches/linkage/stream-static waves), so no
-# new-wave tail accumulates. The oldest stale-green r01 rows queue
-# just past the window (they are exercised by bench/entry each round).
+# fixed). Priorities: (1) those 10 never-checked qids; (2) FOUR
+# representatives of the 16 r03 driver-reds of the events-loader
+# class — the class shares ONE root cause, fixed in r04 (io.py
+# schema-adaptive load, commit f00db15), already proven against the
+# driver by q_rain_daily_delta/q_sketch_hll going green in r04; four
+# more module-diverse representatives beat re-checking all 16 while
+# 16 brand-new round-5 qids would sit rowless; (3) 36 round-5 qids
+# (classify/behavior/sketches/linkage/evaluation/streaming waves).
+# The remaining 12 events-loader reds and the oldest stale-green r01
+# rows queue just past the window.
 _PRIORITY = (
     # (1) round-4b corpus/ingest wave — never driver-checked
     "q_src_schema_merge",
@@ -72,23 +74,11 @@ _PRIORITY = (
     "q_dataset_card",
     "q_dedup_incremental",
     "q_fn_url_suite",
-    # (2) r03 events-loader reds, fixed r04, awaiting their own rows
+    # (2) r03 events-loader-red representatives (module-diverse)
     "q_agg_histogram",
     "q_ts_gapfill",
-    "q_ts_interpolate",
     "q_sketch_cms",
-    "q_percentile_exact",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_sessionize_batch",
-    "q_agg_distinct_twophase",
-    "q_anomaly_zscore",
-    "q_sink_compact",
     "q_scd2_build",
-    "q_join_temporal",
-    "q_win_ewma",
-    "q_cov_stats",
-    "q_fn_json_suite",
     # (3) round-5 waves: classify / behavior / sketches / streaming
     "q_nb_langid",
     "q_quality_classifier",
@@ -114,7 +104,38 @@ _PRIORITY = (
     "q_fn_datetime_suite",
     "q_stream_cagg",
     "q_hierarchy_expand",
+    "q_ts_seasonal_profile",
+    "q_pca_power",
+    "q_stats_collect",
+    "q_join_spatial",
+    "q_behavior_e2e",
+    "q_pattern_match",
+    "q_percentile_cont",
+    "q_win_range_interval",
+    "q_agg_bitmap_distinct",
+    "q_pseudonymize",
+    "q_dp_release",
+    "q_stream_cep",
     # --- driver window ends here (50) ---
+    # newest round-5 qids queue first for the r06 rotation
+    "q_collab_filter",
+    "q_winsorize",
+    "q_metric_decompose",
+    "q_ohlc_bars",
+    # remaining r03 events-loader reds (same proven root cause as the
+    # four representatives above; local-gate green)
+    "q_ts_interpolate",
+    "q_percentile_exact",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_sessionize_batch",
+    "q_agg_distinct_twophase",
+    "q_anomaly_zscore",
+    "q_sink_compact",
+    "q_join_temporal",
+    "q_win_ewma",
+    "q_cov_stats",
+    "q_fn_json_suite",
     # (4) re-checks queue just past the window, all exercised every
     # round by bench/entry anyway. q_rollup_hypertable (an events-
     # loader-class r03 red whose shared root cause was proven fixed by
