@@ -858,3 +858,113 @@ FROM ev GROUP BY event_type, day
 """
 
 QUERIES["q_ohlc_bars"] = (q_ohlc_bars, ORACLE_OHLC_BARS)
+
+
+# --- q_time_travel: versioned snapshot reads over the changelog ---------------
+#
+# Snapshot-AS-OF-version reads (Delta/Iceberg time travel) over the
+# same synthesized 3-version changelog as q_cdc_apply: the snapshot
+# at version V is last-writer-wins over log records with
+# version <= V. One plan materializes the per-nation summary of the
+# snapshot AS OF every version 1..3 — reading history from an
+# append-only log with no stored snapshots, which is exactly how
+# merge-on-read time travel works.
+#
+# Scale: one row_number per (key, as-of version) over the
+# version-filtered log; the as-of fan-out is bounded by the number
+# of versions requested, not table size.
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (as_of_version, nation): surviving customers and balance
+    cents of the snapshot at that version."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    v1 = cust.select(
+        "c_custkey", "c_nationkey", F.lit(1).alias("version"),
+        F.lit("I").alias("op"), F.col("cents").alias("bal_cents"),
+    )
+    v2u = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(2).alias("version"),
+        F.lit("U").alias("op"), (F.col("cents") + 10000).alias("bal_cents"),
+    )
+    v2d = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(2).alias("version"),
+        F.lit("D").alias("op"), F.lit(None).cast("bigint").alias("bal_cents"),
+    )
+    v3i = cust.filter(F.col("c_custkey") % 26 == 0).select(
+        "c_custkey", "c_nationkey", F.lit(3).alias("version"),
+        F.lit("I").alias("op"), F.lit(0).cast("bigint").alias("bal_cents"),
+    )
+    v3u = cust.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 26 != 0)
+    ).select(
+        "c_custkey", "c_nationkey", F.lit(3).alias("version"),
+        F.lit("U").alias("op"), (F.col("cents") + 5000).alias("bal_cents"),
+    )
+    log = scoped_persist(
+        v1.unionByName(v2u).unionByName(v2d).unionByName(v3i).unionByName(v3u)
+    )
+    asof = spark.createDataFrame([(1,), (2,), (3,)], "as_of_version int")
+    fan = log.crossJoin(F.broadcast(asof)).filter(
+        F.col("version") <= F.col("as_of_version")
+    )
+    w = Window.partitionBy("as_of_version", "c_custkey").orderBy(
+        F.col("version").desc(),
+        F.when(F.col("op") == "D", 1).otherwise(0).desc(),
+    )
+    final = (
+        fan.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return final.groupBy("as_of_version", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("balance_cents"),
+    )
+
+
+ORACLE_TIME_TRAVEL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+log AS (
+  SELECT c_custkey, c_nationkey, 1 AS version, 'I' AS op,
+         cents AS bal_cents FROM cust
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 2, 'U', cents + 10000 FROM cust
+  WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 2, 'D', NULL FROM cust
+  WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 3, 'I', CAST(0 AS BIGINT) FROM cust
+  WHERE c_custkey % 26 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 3, 'U', cents + 5000 FROM cust
+  WHERE c_custkey % 5 = 0 AND c_custkey % 26 <> 0
+),
+fan AS (
+  SELECT l.*, v.as_of_version
+  FROM log l CROSS JOIN (VALUES (1), (2), (3)) v(as_of_version)
+  WHERE l.version <= v.as_of_version
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY as_of_version, c_custkey
+    ORDER BY version DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+  FROM fan
+)
+SELECT CAST(as_of_version AS INT) AS as_of_version, c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS balance_cents
+FROM ranked WHERE rn = 1 AND op <> 'D'
+GROUP BY as_of_version, c_nationkey
+"""
+
+QUERIES["q_time_travel"] = (q_time_travel, ORACLE_TIME_TRAVEL)

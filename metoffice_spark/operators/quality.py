@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
-from metoffice_spark.session import tune
+from metoffice_spark.session import scoped_persist, tune
 
 QUERIES: dict = {}
 
@@ -486,3 +486,145 @@ FROM counts
 """
 
 QUERIES["q_dp_release"] = (q_dp_release, ORACLE_DP_RELEASE)
+
+
+# --- q_bloom_file_index: per-file Bloom filters for point lookups -------------
+#
+# The point-lookup sibling of q_stats_collect's range skipping (and
+# of q_join_bloom's join pre-filter): each of 8 synthetic files
+# (l_orderkey % 8 partitions) builds a 1024-bit Bloom filter over its
+# l_partkey set — 32 BIGINT words aggregated by BIT_OR (fully
+# map-side combinable, the q_agg_bitmap_distinct discipline) with
+# k = 3 md5-derived bit positions per key. Five probe keys then ask:
+# which files must be scanned? Output per (probe, file): the bloom
+# verdict, the ground truth, and the false-positive flag — bloom
+# says "maybe" only when wrong, never misses (audited: no
+# false-negative row can exist by construction of the check).
+#
+# Scale: the index is 8 x 32 words regardless of fact rows; probes
+# test bits with pure expressions. This is how a lake maintains
+# file-level point-lookup indexes without a real table format.
+
+_BF_BITS = 1024  # 32 words x 32 bits (shifts stay < 63)
+_BF_PROBES = (3, 17, 171, 1003, 4242)
+
+
+def _bf_positions(key_expr: str) -> list[str]:
+    # k = 3 positions from 3-nibble md5 slices (0..4095) mod 1024
+    return [
+        f"((instr('0123456789abcdef', substring(md5(concat('BF{i}|', "
+        f"cast({key_expr} as string))), 1, 1)) - 1) * 256"
+        f" + (instr('0123456789abcdef', substring(md5(concat('BF{i}|', "
+        f"cast({key_expr} as string))), 2, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring(md5(concat('BF{i}|', "
+        f"cast({key_expr} as string))), 3, 1)) - 1)) % {_BF_BITS}"
+        for i in range(3)
+    ]
+
+
+def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (probe_key, file): bloom maybe-contains verdict, actual
+    membership, and the false-positive flag."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).cast("int").alias("pid"), "l_partkey"
+    )
+    pos = _bf_positions("l_partkey")
+    bits = None
+    for p in pos:
+        part = li.select(
+            "pid",
+            F.expr(f"cast(({p}) div 32 as int)").alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(({p}) % 32 as int))")
+            .alias("bit"),
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    index = scoped_persist(
+        bits.groupBy("pid", "word_idx").agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    probes = spark.createDataFrame([(k,) for k in _BF_PROBES], "probe_key bigint")
+    ppos = _bf_positions("probe_key")
+    checks = None
+    for p in ppos:
+        c = probes.select(
+            "probe_key",
+            F.expr(f"cast(({p}) div 32 as int)").alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(({p}) % 32 as int))")
+            .alias("need"),
+        )
+        checks = c if checks is None else checks.unionByName(c)
+    hit = (
+        checks.join(F.broadcast(index), "word_idx")
+        .select(
+            "probe_key",
+            "pid",
+            ((F.col("word").bitwiseAND(F.col("need"))) != 0).alias("bit_set"),
+        )
+        .groupBy("probe_key", "pid")
+        .agg((F.sum(F.when(F.col("bit_set"), 1).otherwise(0)) == 3).alias(
+            "bloom_maybe"
+        ))
+    )
+    actual = (
+        li.distinct()
+        .withColumnRenamed("l_partkey", "probe_key")
+        .withColumn("present", F.lit(True))
+        .distinct()
+    )
+    return (
+        hit.join(actual, ["probe_key", "pid"], "left")
+        .select(
+            "probe_key",
+            "pid",
+            "bloom_maybe",
+            F.coalesce("present", F.lit(False)).alias("actually_present"),
+            (F.col("bloom_maybe") & ~F.coalesce("present", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+def _bf_positions_sql(key_expr: str) -> list[str]:
+    return _bf_positions(key_expr)  # instr/md5/substring are dialect-common
+
+
+ORACLE_BLOOM_FILE_INDEX = f"""
+WITH li AS (
+  SELECT CAST(l_orderkey % 8 AS INT) AS pid, l_partkey FROM lineitem
+),
+bits AS (
+  {" UNION ALL ".join(
+      f'''SELECT pid, CAST(({p}) // 32 AS INT) AS word_idx,
+          CAST(1 AS BIGINT) << CAST(({p}) % 32 AS INT) AS bit FROM li'''
+      for p in _bf_positions("l_partkey")
+  )}
+),
+idx AS (
+  SELECT pid, word_idx, bit_or(bit) AS word FROM bits GROUP BY pid, word_idx
+),
+probes(probe_key) AS (VALUES {", ".join(f"({k})" for k in _BF_PROBES)}),
+checks AS (
+  {" UNION ALL ".join(
+      f'''SELECT probe_key, CAST(({p}) // 32 AS INT) AS word_idx,
+          CAST(1 AS BIGINT) << CAST(({p}) % 32 AS INT) AS need FROM probes'''
+      for p in _bf_positions("probe_key")
+  )}
+),
+hit AS (
+  SELECT c.probe_key, i.pid,
+         sum(CASE WHEN (i.word & c.need) <> 0 THEN 1 ELSE 0 END) = 3
+           AS bloom_maybe
+  FROM checks c JOIN idx i USING (word_idx)
+  GROUP BY c.probe_key, i.pid
+),
+actual AS (
+  SELECT DISTINCT l_partkey AS probe_key, pid, TRUE AS present FROM li
+)
+SELECT h.probe_key, h.pid, h.bloom_maybe,
+       coalesce(a.present, FALSE) AS actually_present,
+       h.bloom_maybe AND NOT coalesce(a.present, FALSE) AS false_positive
+FROM hit h LEFT JOIN actual a ON a.probe_key = h.probe_key AND a.pid = h.pid
+"""
+
+QUERIES["q_bloom_file_index"] = (q_bloom_file_index, ORACLE_BLOOM_FILE_INDEX)
