@@ -17,7 +17,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
@@ -628,3 +628,108 @@ FROM hit h LEFT JOIN actual a ON a.probe_key = h.probe_key AND a.pid = h.pid
 """
 
 QUERIES["q_bloom_file_index"] = (q_bloom_file_index, ORACLE_BLOOM_FILE_INDEX)
+
+
+# --- q_profile_columns: single-scan column profiling --------------------------
+#
+# The data-catalog profiling report (pandas-profiling / dbt docs /
+# Glue crawler shape): for a set of lineitem columns, one row each of
+# (non-null count, distinct count, min, max, modal value + its
+# frequency), all column values canonicalized to strings so one
+# result schema fits every column type. The null/distinct/min/max
+# block fuses into ONE scan (the q_dq_checks single-multi-aggregate
+# discipline; distincts use Spark's two-phase expand); the modal
+# values come from one (column, value) counting pass with a
+# rank-window tie-broken (count DESC, value ASC) — the q_mode_agg
+# discipline per profiled column.
+#
+# Scale: 2 scans total for ANY number of profiled columns (stats +
+# modes), never a scan per column; the mode aggregate carries
+# (column, value) pairs with map-side combine.
+
+_PROFILE_COLS = ("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One profiling row per column: counts, range, and modal value."""
+    spark = tune(spark)
+    li = scoped_persist(
+        load(spark, sf_dir, "lineitem").select(
+            *[
+                F.col(c).cast("string").alias(c)
+                for c in _PROFILE_COLS
+            ]
+        )
+    )
+    stat_aggs = []
+    for c in _PROFILE_COLS:
+        stat_aggs += [
+            F.count(c).cast("bigint").alias(f"nn_{c}"),
+            F.count_distinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    stats = li.agg(*stat_aggs)
+    long = None
+    for c in _PROFILE_COLS:
+        part = li.select(F.lit(c).alias("col_name"), F.col(c).alias("val"))
+        long = part if long is None else long.unionByName(part)
+    counts = long.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("mode_val"),
+                F.col("cnt").alias("mode_cnt"))
+    )
+    rows = None
+    for c in _PROFILE_COLS:
+        r = stats.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_val"),
+            F.col(f"mx_{c}").alias("max_val"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.join(modes, "col_name")
+
+
+def _profile_oracle() -> str:
+    stat_rows = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+        CAST(count({c}) AS BIGINT) AS n_nonnull,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        min(CAST({c} AS VARCHAR)) AS min_val,
+        max(CAST({c} AS VARCHAR)) AS max_val
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    long_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH stats AS ({stat_rows}),
+long AS ({long_rows}),
+counts AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM long GROUP BY col_name, val
+),
+modes AS (
+  SELECT col_name, val AS mode_val, cnt AS mode_cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY col_name
+                                 ORDER BY cnt DESC, val ASC) AS rn
+    FROM counts) WHERE rn = 1
+)
+SELECT s.col_name, s.n_nonnull, s.n_distinct, s.min_val, s.max_val,
+       m.mode_val, m.mode_cnt
+FROM stats s JOIN modes m USING (col_name)
+"""
+
+
+QUERIES["q_profile_columns"] = (q_profile_columns, _profile_oracle())
