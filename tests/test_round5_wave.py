@@ -658,3 +658,61 @@ def test_dp_release_noise_is_seeded_and_calibrated(spark, sf_smoke):
         # Laplace(b=1): |noise| < 30 with prob 1 - 2e-14; md5 fractions
         # cannot hit the extreme tail closer than ~1e-10
         assert abs(a[k]["noise_fp"]) < 30_000_000
+
+
+def test_bloom_file_index_never_misses(spark, sf_smoke):
+    """A present (probe, file) pair must always be bloom-maybe (no
+    false negatives), and false_positive is exactly maybe-and-absent."""
+    from metoffice_spark.operators.quality import q_bloom_file_index
+
+    rows = q_bloom_file_index(spark, sf_smoke).collect()
+    assert rows
+    assert any(r["actually_present"] for r in rows)
+    for r in rows:
+        if r["actually_present"]:
+            assert r["bloom_maybe"] is True
+        assert r["false_positive"] == (r["bloom_maybe"] and not r["actually_present"])
+
+
+def test_time_travel_versions_nest(spark, sf_smoke):
+    """AS OF 3 equals q_cdc_apply's final snapshot; deletions shrink
+    version 2 relative to version 1."""
+    from collections import defaultdict
+
+    from metoffice_spark.operators.behavior import q_cdc_apply, q_time_travel
+
+    rows = q_time_travel(spark, sf_smoke).collect()
+    per_v = defaultdict(dict)
+    for r in rows:
+        per_v[r["as_of_version"]][r["c_nationkey"]] = (
+            r["n_customers"], r["balance_cents"]
+        )
+    final = {
+        r["c_nationkey"]: (r["n_customers"], r["balance_cents"])
+        for r in q_cdc_apply(spark, sf_smoke).collect()
+    }
+    assert per_v[3] == final
+    assert sum(n for n, _ in per_v[2].values()) <= sum(
+        n for n, _ in per_v[1].values()
+    )
+
+
+def test_profile_columns_recount(spark, sf_smoke):
+    """Profile rows recomputed from raw values (as strings)."""
+    from collections import Counter
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.quality import _PROFILE_COLS, q_profile_columns
+
+    rows = {r["col_name"]: r for r in q_profile_columns(spark, sf_smoke).collect()}
+    assert set(rows) == set(_PROFILE_COLS)
+    li = load(spark, sf_smoke, "lineitem").select(*_PROFILE_COLS).collect()
+    for c in _PROFILE_COLS:
+        vals = [str(x[c]) for x in li if x[c] is not None]
+        cnt = Counter(vals)
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = rows[c]
+        assert r["n_nonnull"] == len(vals)
+        assert r["n_distinct"] == len(cnt)
+        assert r["min_val"] == min(vals) and r["max_val"] == max(vals)
+        assert (r["mode_val"], r["mode_cnt"]) == best
