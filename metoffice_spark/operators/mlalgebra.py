@@ -24,7 +24,7 @@ instead of an explode join; documented boundary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
@@ -166,3 +166,127 @@ FROM {prev} p CROSS JOIN ray r
 
 
 QUERIES["q_pca_power"] = (q_pca_power, _pca_oracle())
+
+
+# --- q_knn_classify: k-nearest-neighbor label prediction ----------------------
+#
+# The kNN classifier over the embedding corpus with leave-one-out
+# evaluation on a deterministic query sample (vec_id % 25 == 0):
+# each query's 5 nearest neighbors (exact integer cosine, excluding
+# itself) vote on its label; majority with (votes DESC, label ASC)
+# tie-break. Output per query: predicted vs actual label and the
+# top-1 neighbor — the classifier eval that tells a curation team
+# whether embedding space separates their taxonomy.
+#
+# Scale: the query side is a small deterministic sample broadcast
+# against the corpus (the q_sim_search shape); at 100 TB the
+# candidate generation swaps to the IVF/LSH/PQ paths — same voting
+# plan on top. Cosine parity via the fixed-point DOT/NORM2 helpers;
+# one IEEE divide per (query, candidate), ranks totally tie-broken.
+
+from metoffice_spark.operators.llm import (  # noqa: E402
+    DOT_DUCK,
+    DOT_SPARK,
+    NORM2_DUCK,
+    NORM2_SPARK,
+)
+
+_KNN_K = 5
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sampled query vector: actual label, kNN-majority predicted
+    label, winning vote count, and the nearest neighbor id."""
+    spark = tune(spark)
+    emb = scoped_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.expr(_ivec_spark("embedding")).alias("v")
+        )
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("actual_label"),
+        F.col("v").alias("qv"),
+    )
+    dot = DOT_SPARK.format(a="qv", b="v")
+    n2q = NORM2_SPARK.format(v="qv")
+    n2c = NORM2_SPARK.format(v="v")
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "actual_label",
+            "vec_id",
+            "label",
+            F.expr(
+                f"cast({dot} as double) / (sqrt(cast({n2q} as double))"
+                f" * sqrt(cast({n2c} as double)))"
+            ).alias("cos"),
+        )
+    )
+    w_nn = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w_nn)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = topk.groupBy("q_id", "actual_label", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = votes.withColumn("vr", F.row_number().over(w_vote)).filter(
+        F.col("vr") == 1
+    )
+    nn1 = topk.filter(F.col("rn") == 1).select(
+        F.col("q_id").alias("q2"), F.col("vec_id").alias("nn_vec_id")
+    )
+    return pred.join(nn1, pred["q_id"] == nn1["q2"]).select(
+        "q_id",
+        "actual_label",
+        F.col("label").alias("pred_label"),
+        "n_votes",
+        "nn_vec_id",
+    )
+
+
+ORACLE_KNN_CLASSIFY = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_ivec_duck('embedding')} AS v FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS q_id, label AS actual_label, v AS qv
+  FROM emb WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT q.q_id, q.actual_label, e.vec_id, e.label,
+         CAST({DOT_DUCK.format(a='q.qv', b='e.v')} AS DOUBLE)
+           / (sqrt(CAST({NORM2_DUCK.format(v='q.qv')} AS DOUBLE))
+              * sqrt(CAST({NORM2_DUCK.format(v='e.v')} AS DOUBLE))) AS cos
+  FROM qs q JOIN emb e ON e.vec_id <> q.q_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {_KNN_K}
+),
+votes AS (
+  SELECT q_id, actual_label, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY q_id, actual_label, label
+),
+pred AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY n_votes DESC, label ASC) AS vr
+    FROM votes) WHERE vr = 1
+),
+nn1 AS (
+  SELECT q_id, vec_id AS nn_vec_id FROM topk WHERE rn = 1
+)
+SELECT p.q_id, p.actual_label, p.label AS pred_label, p.n_votes, n.nn_vec_id
+FROM pred p JOIN nn1 n USING (q_id)
+"""
+
+QUERIES["q_knn_classify"] = (q_knn_classify, ORACLE_KNN_CLASSIFY)
