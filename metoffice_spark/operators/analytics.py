@@ -976,3 +976,60 @@ FROM joined
 """
 
 QUERIES["q_metric_decompose"] = (q_metric_decompose, ORACLE_METRIC_DECOMPOSE)
+
+
+# --- q_olap_disjunctive: Q19-shaped OR-of-ANDs predicate query ----------------
+#
+# TPC-H Q19's defining feature re-expressed on the driver schema: a
+# revenue sum under a DISJUNCTION of conjunctive brand/size/quantity
+# bands — the predicate shape that exercises Catalyst's predicate
+# normalization: the common join key condition must still push into
+# the scans/join even though the bands only apply post-join, and
+# CNF extraction should surface the shared p_size/l_quantity range
+# bounds. Revenue in exact integer cents
+# (price·(100 - disc%) // 100 per row, all-integer).
+
+
+def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: matching lineitem count and discounted revenue cents
+    under three OR'd brand/size/quantity bands."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+            " * cast(100 - floor(l_discount * 100 + 0.5) as bigint) div 100"
+        ).alias("rev_cents"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    bands = (
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 1 AND 15)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30"
+        " AND l_quantity BETWEEN 10 AND 30)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
+        " AND l_quantity BETWEEN 20 AND 45)"
+    )
+    return joined.filter(F.expr(bands)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+ORACLE_OLAP_DISJUNCTIVE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT) // 100)
+         AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 45)
+"""
+
+QUERIES["q_olap_disjunctive"] = (q_olap_disjunctive, ORACLE_OLAP_DISJUNCTIVE)
