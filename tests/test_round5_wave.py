@@ -716,3 +716,52 @@ def test_profile_columns_recount(spark, sf_smoke):
         assert r["n_distinct"] == len(cnt)
         assert r["min_val"] == min(vals) and r["max_val"] == max(vals)
         assert (r["mode_val"], r["mode_cnt"]) == best
+
+
+def test_knn_classify_separable_labels(spark, sf_smoke):
+    """Every sampled query classified; majority accuracy beats the
+    uniform-label baseline (embeddings cluster by label); vote count
+    within [1, k]."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.mlalgebra import _KNN_K, q_knn_classify
+
+    rows = q_knn_classify(spark, sf_smoke).collect()
+    n_queries = (
+        load(spark, sf_smoke, "embeddings").filter("vec_id % 25 = 0").count()
+    )
+    assert len(rows) == n_queries
+    n_labels = load(spark, sf_smoke, "embeddings").select("label").distinct().count()
+    correct = sum(1 for r in rows if r["pred_label"] == r["actual_label"])
+    assert correct * n_labels > len(rows)  # beats chance
+    for r in rows:
+        assert 1 <= r["n_votes"] <= _KNN_K
+
+
+def test_olap_disjunctive_recount(spark, sf_smoke):
+    """Band membership and revenue recomputed row-by-row in Python."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.analytics import q_olap_disjunctive
+
+    row = q_olap_disjunctive(spark, sf_smoke).collect()[0]
+    part = {
+        p["p_partkey"]: (p["p_brand"], p["p_size"])
+        for p in load(spark, sf_smoke, "part").collect()
+    }
+    n, rev = 0, 0
+    for li in load(spark, sf_smoke, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect():
+        brand, size = part[li["l_partkey"]]
+        q = li["l_quantity"]
+        hit = (
+            (brand == "Brand#1" and 1 <= size <= 15 and 1 <= q <= 15)
+            or (brand == "Brand#2" and 10 <= size <= 30 and 10 <= q <= 30)
+            or (brand == "Brand#3" and 20 <= size <= 50 and 20 <= q <= 45)
+        )
+        if hit:
+            n += 1
+            price = int(li["l_extendedprice"] * 100 + 0.5)
+            disc = int(li["l_discount"] * 100 + 0.5)
+            rev += price * (100 - disc) // 100
+    assert row["n_lines"] == n
+    assert row["revenue_cents"] == rev
