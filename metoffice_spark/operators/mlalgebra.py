@@ -242,7 +242,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn1 = topk.filter(F.col("rn") == 1).select(
         F.col("q_id").alias("q2"), F.col("vec_id").alias("nn_vec_id")
     )
-    return pred.join(nn1, pred["q_id"] == nn1["q2"]).select(
+    return pred.join(F.broadcast(nn1), pred["q_id"] == nn1["q2"]).select(
         "q_id",
         "actual_label",
         F.col("label").alias("pred_label"),

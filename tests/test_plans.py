@@ -393,3 +393,29 @@ def test_behavior_e2e_single_event_shuffle(spark, sf_smoke):
 
     plan = _plan(q_behavior_e2e(spark, sf_smoke))
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_collab_filter_broadcasts_counts_no_cartesian(spark, sf_smoke):
+    """Per-part counts must broadcast onto the pair aggregate; no
+    cartesian product anywhere in the basket self-join."""
+    from metoffice_spark.operators.analytics import q_collab_filter
+
+    plan = _plan(q_collab_filter(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_knn_broadcasts_query_side(spark, sf_smoke):
+    """The query sample must broadcast against the corpus (the
+    q_sim_search discipline): at most one hash exchange (the top-k /
+    vote windows), never a corpus-wide shuffle join."""
+    from metoffice_spark.operators.mlalgebra import q_knn_classify
+
+    plan = _plan(q_knn_classify(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    sj = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert not sj, sj
