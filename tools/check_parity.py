@@ -1,6 +1,11 @@
 """CLI for the local oracle-parity gate.
 
     PYTHONPATH=. python tools/check_parity.py [sf_dir] [qid ...]
+    PYTHONPATH=. python tools/check_parity.py [sf_dir] --window
+
+--window checks exactly the driver's correctness window (the first
+50 registered qids) — the fastest faithful preflight of what the
+round driver will check.
 """
 
 from __future__ import annotations
@@ -13,7 +18,11 @@ from metoffice_spark.session import get_spark
 
 if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    if args == ["--window"]:
+        only = set(list(_collect())[:50])
+    else:
+        only = set(args)
     spark = get_spark("parity-check")
     con = connect_oracle(sf_dir)
 
