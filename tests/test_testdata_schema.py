@@ -188,3 +188,32 @@ def test_survey_qid_inventory_matches_registry():
     assert not unregistered, f"SURVEY names unregistered qids: {sorted(unregistered)}"
     undocumented = registered - mentioned
     assert not undocumented, f"registered but absent from SURVEY: {sorted(undocumented)}"
+
+
+def test_round5_time_ops_tz_safety(spark, sf_smoke):
+    """Round-5 operators that bucket by calendar fields (hour-of-week
+    profile, OHLC days, trailing range frames) must repin UTC via
+    tune() — simulate a driver handing a non-UTC session and require
+    identical results (the q_rain_daily_delta TZ-probe discipline)."""
+    from metoffice_spark.operators.behavior import (
+        q_ohlc_bars,
+        q_ts_seasonal_profile,
+        q_win_range_interval,
+    )
+
+    def snap():
+        a = {(r["dow"], r["hr"]): r["n_events"]
+             for r in q_ts_seasonal_profile(spark, sf_smoke).collect()}
+        b = {(r["event_type"], r["day"]): (r["open_fp"], r["close_fp"])
+             for r in q_ohlc_bars(spark, sf_smoke).collect()}
+        c = {(r["user_id"], r["event_id"]): r["n_trailing_1h"]
+             for r in q_win_range_interval(spark, sf_smoke).collect()}
+        return a, b, c
+
+    baseline = snap()
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        probed = snap()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert probed == baseline
