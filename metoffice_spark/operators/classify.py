@@ -632,3 +632,99 @@ SELECT CAST(rnk AS INT) AS rnk, doc_id, rel_fp, mmr_fp FROM {prev}
 
 
 QUERIES["q_mmr_diversify"] = (q_mmr_diversify, _mmr_oracle())
+
+
+# --- q_pref_pairs: preference-pair construction (DPO/RLHF data prep) ----------
+#
+# Build (chosen, rejected) document pairs per (source, lang) group:
+# the group's highest-scoring document under the hashed-feature
+# quality model (q_quality_classifier's score) versus its lowest,
+# with the exact score margin — the preference-data construction
+# step of a DPO/RLHF pipeline, where "prompt group" here is the
+# (source, lang) stratum. Ties break on doc_id (chosen: lowest id
+# among max-score; rejected: lowest id among min-score); groups with
+# a single document or zero margin drop (a pair needs a strict
+# preference).
+#
+# Scale: scoring is the map-only classifier pass; argmax/argmin are
+# min/max over (score, doc_id)-ordered STRUCTS (the q_ohlc_bars
+# partial-combinable trick — no window, no sort).
+
+
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): chosen/rejected doc ids and the exact
+    score margin (strictly positive)."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok_w = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .select("doc_id", F.expr(_QC_BUCKET).alias("bkt"))
+        .select("doc_id", F.expr(_QC_WEIGHT).cast("bigint").alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score_fp"))
+    )
+    scored = (
+        docs.select("doc_id", "source", "lang")
+        .join(tok_w, "doc_id", "left")
+        .withColumn("score_fp", F.coalesce("score_fp", F.lit(0)))
+    )
+    # argmax: maximize score then minimize doc_id -> order by
+    # (score, -doc_id) struct max would flip id direction; use
+    # (score, negated id) for chosen and plain min for rejected.
+    pairs = scored.groupBy("source", "lang").agg(
+        F.expr(
+            "max(struct(score_fp, -doc_id))"
+        ).alias("mx"),
+        F.expr("min(struct(score_fp, doc_id))").alias("mn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        pairs.select(
+            "source",
+            "lang",
+            "n_docs",
+            F.expr("-mx.col2").cast("bigint").alias("chosen_doc"),
+            F.col("mx.score_fp").alias("chosen_score_fp"),
+            F.col("mn.doc_id").cast("bigint").alias("rejected_doc"),
+            F.col("mn.score_fp").alias("rejected_score_fp"),
+        )
+        .withColumn(
+            "margin_fp",
+            (F.col("chosen_score_fp") - F.col("rejected_score_fp")).cast("bigint"),
+        )
+        .filter(F.col("margin_fp") > 0)
+    )
+
+
+ORACLE_PREF_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id, CAST({_QC_WEIGHT} AS BIGINT) AS w
+  FROM (SELECT doc_id, {_QC_BUCKET} AS bkt FROM tok)
+),
+scored AS (
+  SELECT d.doc_id, d.source, d.lang,
+         coalesce(s.score_fp, 0) AS score_fp
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+             FROM w GROUP BY doc_id) s USING (doc_id)
+),
+pairs AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         (max(struct_pack(score_fp := score_fp, nid := -doc_id))) AS mx,
+         (min(struct_pack(score_fp := score_fp, doc_id := doc_id))) AS mn
+  FROM scored GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       CAST(-(mx.nid) AS BIGINT) AS chosen_doc,
+       CAST(mx.score_fp AS BIGINT) AS chosen_score_fp,
+       CAST(mn.doc_id AS BIGINT) AS rejected_doc,
+       CAST(mn.score_fp AS BIGINT) AS rejected_score_fp,
+       CAST(mx.score_fp - mn.score_fp AS BIGINT) AS margin_fp
+FROM pairs
+WHERE mx.score_fp - mn.score_fp > 0
+"""
+
+QUERIES["q_pref_pairs"] = (q_pref_pairs, ORACLE_PREF_PAIRS)
