@@ -673,7 +673,7 @@ def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (score, negated id) for chosen and plain min for rejected.
     pairs = scored.groupBy("source", "lang").agg(
         F.expr(
-            "max(struct(score_fp, -doc_id))"
+            "max(struct(score_fp, -doc_id as nid))"
         ).alias("mx"),
         F.expr("min(struct(score_fp, doc_id))").alias("mn"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -683,7 +683,7 @@ def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "n_docs",
-            F.expr("-mx.col2").cast("bigint").alias("chosen_doc"),
+            F.expr("-mx.nid").cast("bigint").alias("chosen_doc"),
             F.col("mx.score_fp").alias("chosen_score_fp"),
             F.col("mn.doc_id").cast("bigint").alias("rejected_doc"),
             F.col("mn.score_fp").alias("rejected_score_fp"),
