@@ -1036,3 +1036,146 @@ FROM anchors a JOIN documents d ON a.neg_doc_id = d.doc_id
 """
 
 QUERIES["q_negative_sample"] = (q_negative_sample, ORACLE_NEGATIVE_SAMPLE)
+
+
+# --- q_batch_length_buckets: length-bucketed batch packing --------------------
+#
+# The training-efficiency staple: order documents by token length
+# (descending, doc_id tie-break), cut into fixed-size batches of 16,
+# and account the PADDING WASTE each batch pays (every sequence pads
+# to the batch max). Length-sorted batching is what keeps that waste
+# small versus random batching — this query measures it exactly:
+# per batch, the max/min length, total padding tokens, and the
+# utilization in 1e-6 fixed point (all-integer: lengths and counts).
+#
+# Scale: the global length sort is per-STRATUM (lang) in production
+# (the q_pack_sequences lever) — here the corpus-wide sort is the
+# oracle-checkable form; everything after is per-batch arithmetic.
+
+_BLB_BATCH = 16
+
+
+def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per batch of 16 length-sorted docs: size, max/min token
+    length, padding tokens, and utilization (1e-6 fp)."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({TOKS_SPARK})").cast("bigint").alias("n_toks"),
+    )
+    w = Window.orderBy(F.col("n_toks").desc(), F.col("doc_id").asc())
+    batched = docs.select(
+        "doc_id",
+        "n_toks",
+        F.expr(
+            f"cast((row_number() over (order by n_toks desc, doc_id asc) - 1)"
+            f" div {_BLB_BATCH} as int)"
+        ).alias("batch_id"),
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_toks").cast("bigint").alias("max_len"),
+        F.min("n_toks").cast("bigint").alias("min_len"),
+        F.expr("cast(count(1) * max(n_toks) - sum(n_toks) as bigint)").alias(
+            "pad_tokens"
+        ),
+        F.expr(
+            "cast(1000000 * sum(n_toks) div (count(1) * max(n_toks)) as bigint)"
+        ).alias("util_fp"),
+    )
+
+
+ORACLE_BATCH_LENGTH_BUCKETS = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(len({TOKS_DUCK}) AS BIGINT) AS n_toks FROM documents
+),
+batched AS (
+  SELECT doc_id, n_toks,
+         CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id ASC) - 1)
+              // {_BLB_BATCH} AS INT) AS batch_id
+  FROM docs
+)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_toks) AS BIGINT) AS max_len,
+       CAST(min(n_toks) AS BIGINT) AS min_len,
+       CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_tokens,
+       CAST(1000000 * sum(n_toks) // (count(*) * max(n_toks)) AS BIGINT)
+         AS util_fp
+FROM batched GROUP BY batch_id
+"""
+
+QUERIES["q_batch_length_buckets"] = (
+    q_batch_length_buckets,
+    ORACLE_BATCH_LENGTH_BUCKETS,
+)
+
+
+# --- q_mix_temperature: temperature-scaled corpus mixing ----------------------
+#
+# The multilingual mixing knob (alpha-temperature sampling,
+# mBERT/XLM-R style) at alpha = 1/2: target share per language is
+# proportional to floor(sqrt(count)) — sqrt is IEEE-correctly-rounded
+# on exact integers, so the floor is bitwise cross-engine. Output per
+# lang: count, sqrt weight, target share and the per-document keep
+# rate that realizes it against the majority language, all exact
+# 1e-6 fixed point (non-negative integer divisions only).
+#
+# Scale: per-lang counts (map-side combine) + arithmetic on L rows.
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per lang: doc count, sqrt-temperature weight, target mixture
+    share (1e-6 fp), and the realized keep rate vs the
+    largest-weight language."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    weighted = counts.withColumn(
+        "w", F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)")
+    )
+    tot = weighted.agg(F.sum("w").cast("bigint").alias("w_total"))
+    anchor = weighted.agg(
+        F.expr("max(struct(w, n_docs)).n_docs").alias("anchor_n"),
+        F.expr("max(struct(w, n_docs)).w").alias("anchor_w"),
+    )
+    return weighted.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(anchor)
+    ).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr("cast(1000000 * w div w_total as bigint)").alias("share_fp"),
+        F.expr(
+            "cast(least(1000000 * w * anchor_n div (anchor_w * n_docs),"
+            " 1000000) as bigint)"
+        ).alias("keep_rate_fp"),
+    )
+
+
+ORACLE_MIX_TEMPERATURE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS w_total FROM weighted
+),
+anchor AS (
+  SELECT (max(struct_pack(w := w, n_docs := n_docs))).n_docs AS anchor_n,
+         (max(struct_pack(w := w, n_docs := n_docs))).w AS anchor_w
+  FROM weighted
+)
+SELECT wd.lang, wd.n_docs, wd.w,
+       CAST(1000000 * wd.w // t.w_total AS BIGINT) AS share_fp,
+       CAST(least(1000000 * wd.w * a.anchor_n // (a.anchor_w * wd.n_docs),
+                  1000000) AS BIGINT) AS keep_rate_fp
+FROM weighted wd CROSS JOIN tot t CROSS JOIN anchor a
+"""
+
+QUERIES["q_mix_temperature"] = (q_mix_temperature, ORACLE_MIX_TEMPERATURE)
