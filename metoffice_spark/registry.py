@@ -45,6 +45,7 @@ _MODULES = (
     "linkage",
     "evaluation",
     "mlalgebra",
+    "subqueries",
 )
 
 # qids registered first, in this order (driver checks the first 50).

@@ -419,3 +419,48 @@ def test_knn_broadcasts_query_side(spark, sf_smoke):
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
     ]
     assert not sj, sj
+
+
+def test_subquery_decorrelation_shapes(spark, sf_smoke):
+    """The round-5d subquery wave must DECORRELATE: EXISTS -> left-semi,
+    NOT EXISTS -> left-anti, correlated scalar aggregates -> equi-joins.
+    A per-row re-execution (nested-loop over the fact) is the failure
+    mode these shapes exist to rule out."""
+    from metoffice_spark.operators.subqueries import (
+        q_olap_avg_balance,
+        q_olap_exists,
+        q_olap_having_in,
+        q_olap_scalar_subquery,
+    )
+
+    plan = _plan(q_olap_exists(spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(q_olap_having_in(spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+    plan = _plan(q_olap_scalar_subquery(spark, sf_smoke))
+    # both correlated scalar subqueries become partkey equi-joins
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(q_olap_avg_balance(spark, sf_smoke))
+    assert "LeftAnti" in plan, plan
+    # the single sanctioned BNLJ: the 1-row global-average broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_top_supplier_single_lineitem_scan(spark, sf_smoke):
+    """Q15 via window-max must scan lineitem ONCE (the two-scan
+    scalar-subquery form is the plan this test forbids)."""
+    from metoffice_spark.operators.subqueries import q_olap_top_supplier
+
+    plan = _plan(q_olap_top_supplier(spark, sf_smoke))
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, scans
