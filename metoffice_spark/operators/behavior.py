@@ -968,3 +968,134 @@ GROUP BY as_of_version, c_nationkey
 """
 
 QUERIES["q_time_travel"] = (q_time_travel, ORACLE_TIME_TRAVEL)
+
+
+# --- q_mad_outlier: median-absolute-deviation robust outliers ---------------
+#
+# The robust counterpart to q_anomaly_zscore: a handful of extreme
+# values can drag a mean/stddev gate far enough to miss themselves,
+# while the median/MAD pair is immune to anything short of 50%
+# contamination. Per event type: lower median of the value, MAD
+# (lower median of |x - median|), and the count/share of points
+# beyond 3 MADs.
+#
+# Determinism: values in 1e-2 fixed point (cents); both medians are
+# rank-index selections on a TOTAL order (v, event_id) — the
+# q_percentile_exact idiom — with the non-negative index (n+1) div 2,
+# so both engines pick the identical row; deviations are non-negative
+# BIGINTs; the share is the one IEEE division.
+#
+# Scale: two shuffles, both keyed on event_type (sort by value, then
+# by deviation); the per-type medians are tiny aggregates that
+# BROADCAST back. At 100 TB the exact rank selection becomes the
+# equi-width-histogram cumulative-count median (q_agg_histogram's
+# bins) — same output contract, no global per-type sort; the exact
+# form is what the oracle checks bitwise.
+
+
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: n, median, MAD, and points beyond 3 MADs
+    (count + share)."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    w_v = w_type.orderBy("v_fp", "event_id")
+    med = (
+        ev.select(
+            "event_type",
+            "v_fp",
+            F.row_number().over(w_v).alias("rn"),
+            F.count(F.lit(1)).over(w_type).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("v_fp").alias("med_fp"), "n")
+    )
+    dev = scoped_persist(
+        ev.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "event_id",
+            "n",
+            "med_fp",
+            F.abs(F.col("v_fp") - F.col("med_fp")).alias("dev"),
+        )
+    )
+    w_d = w_type.orderBy("dev", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "dev",
+            F.row_number().over(w_d).alias("rn"),
+            "n",
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad_fp"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            (F.max("med_fp") / F.lit(100.0)).alias("median"),
+            (F.max("mad_fp") / F.lit(100.0)).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_fp"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_share",
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+        )
+        .select("event_type", "n", "median", "mad", "n_outliers", "outlier_share")
+    )
+
+
+ORACLE_MAD_OUTLIER = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v_fp,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_fp, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, v_fp AS med_fp, n FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, e.event_id, m.n, m.med_fp,
+         abs(e.v_fp - m.med_fp) AS dev
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+),
+ranked2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dev AS mad_fp FROM ranked2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(max(d.n) AS BIGINT) AS n,
+       max(d.med_fp) / 100.0 AS median,
+       max(m.mad_fp) / 100.0 AS mad,
+       CAST(sum(CASE WHEN d.dev > 3 * m.mad_fp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(sum(CASE WHEN d.dev > 3 * m.mad_fp THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(max(d.n) AS DOUBLE) AS outlier_share
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+QUERIES["q_mad_outlier"] = (q_mad_outlier, ORACLE_MAD_OUTLIER)

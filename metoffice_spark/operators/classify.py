@@ -35,7 +35,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
-from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK
+from metoffice_spark.operators.llm import (
+    _SPAN,
+    _SPANS_DUCK,
+    TOKS_DUCK,
+    TOKS_SPARK,
+    _spans_spark,
+)
 from metoffice_spark.session import scoped_persist, tune
 
 QUERIES: dict = {}
@@ -296,24 +302,6 @@ QUERIES["q_quality_classifier"] = (q_quality_classifier, ORACLE_QUALITY_CLASSIFI
 # map-side combine and joins back on the digest key. This is exactly
 # the q_dedup_exact digest discipline applied at sub-document grain.
 
-_SPAN = 8
-
-
-def _spans_spark() -> str:
-    t = TOKS_SPARK
-    return (
-        f"case when size({t}) < {_SPAN} then array()"
-        f" else transform(sequence(1, size({t}) div {_SPAN}),"
-        f" i -> md5(concat_ws(' ', slice({t}, (i - 1) * {_SPAN} + 1, {_SPAN}))))"
-        f" end"
-    )
-
-
-_SPANS_DUCK = (
-    f"list_transform(range(0, greatest(len({TOKS_DUCK}) // {_SPAN}, 0)),"
-    f" i -> md5(array_to_string(({TOKS_DUCK})"
-    f"[i * {_SPAN} + 1 : i * {_SPAN} + {_SPAN}], ' ')))"
-)
 
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:

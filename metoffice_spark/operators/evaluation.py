@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
 from metoffice_spark.operators.classify import _QC_BUCKET, _QC_WEIGHT
+from metoffice_spark.operators.corpus import _BIGRAMS_DUCK
 from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK
 from metoffice_spark.session import scoped_persist, tune
 
@@ -238,3 +239,186 @@ FROM counts
 """
 
 QUERIES["q_ab_ztest"] = (q_ab_ztest, ORACLE_AB_ZTEST)
+
+
+# --- q_eval_rouge: n-gram overlap scoring between document pairs ------------
+#
+# ROUGE-1 / ROUGE-2 between each document and the NEXT document of
+# the same source (the deterministic self-contained pairing; in a
+# real eval job the pair table is (reference, model_output)). The
+# summarization-eval metric a training pipeline runs distributed:
+# multiset n-gram overlap, precision against the candidate length,
+# recall against the reference length, F1.
+#
+# Determinism: overlaps are exact BIGINT sums of min(count_a,
+# count_b); precision/recall/F1 in 1e-6 fixed point with
+# non-negative numerators throughout (p, r, and p+r are >= 0, so
+# div == // between engines); the emitted doubles are fp/1e6 — an
+# exact double scaling of integers < 2^53.
+#
+# Scale: token counts aggregate per (doc, token) with map-side
+# combine (never raw token streams on the wire); the pair overlap is
+# an equi-join on (doc, token) — each doc sits in at most 2 pairs,
+# so the fan-out is bounded at 2x the token-count table, and the
+# join never materializes a cross product.
+
+
+def _rouge_counts(docs: DataFrame, ngram_expr: str):
+    return (
+        docs.select("doc_id", F.explode(F.expr(ngram_expr)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def _rouge_side(pairs: DataFrame, counts: DataFrame, tag: str) -> DataFrame:
+    """Overlap + lengths for one n-gram order."""
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("cb")
+    )
+    ov = (
+        pairs.join(ca, "doc_a")
+        .join(cb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias(f"ov{tag}"))
+    )
+    lens = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias(f"len{tag}")
+    )
+    return ov, lens
+
+
+def q_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc_a, doc_b) same-source adjacent pair: unigram/bigram
+    overlaps, lengths, and ROUGE-1 / ROUGE-2 F1 (1e-6 fixed point,
+    emitted as doubles)."""
+    from metoffice_spark.operators.corpus import _bigrams_spark
+
+    spark = tune(spark)
+    docs = scoped_persist(load(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(w_src).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    uni = scoped_persist(_rouge_counts(docs, TOKS_SPARK))
+    bi = scoped_persist(_rouge_counts(docs, _bigrams_spark()))
+    ov1, len1 = _rouge_side(pairs, uni, "1")
+    ov2, len2 = _rouge_side(pairs, bi, "2")
+
+    la1 = len1.select(F.col("doc_id").alias("doc_a"), F.col("len1").alias("na1"))
+    lb1 = len1.select(F.col("doc_id").alias("doc_b"), F.col("len1").alias("nb1"))
+    la2 = len2.select(F.col("doc_id").alias("doc_a"), F.col("len2").alias("na2"))
+    lb2 = len2.select(F.col("doc_id").alias("doc_b"), F.col("len2").alias("nb2"))
+
+    def f1(ov: str, na: str, nb: str):
+        p = F.expr(f"1000000 * {ov} div {nb}")
+        r = F.expr(f"1000000 * {ov} div {na}")
+        return F.when(p + r > 0, (2 * p * r) / (p + r)).otherwise(F.lit(0))
+
+    out = (
+        pairs.join(la1, "doc_a", "left")
+        .join(lb1, "doc_b", "left")
+        .join(la2, "doc_a", "left")
+        .join(lb2, "doc_b", "left")
+        .join(ov1, ["doc_a", "doc_b"], "left")
+        .join(ov2, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("ov1", F.lit(0)).cast("bigint").alias("ov1"),
+            F.coalesce("na1", F.lit(0)).cast("bigint").alias("na1"),
+            F.coalesce("nb1", F.lit(0)).cast("bigint").alias("nb1"),
+            F.coalesce("ov2", F.lit(0)).cast("bigint").alias("ov2"),
+            F.coalesce("na2", F.lit(0)).cast("bigint").alias("na2"),
+            F.coalesce("nb2", F.lit(0)).cast("bigint").alias("nb2"),
+        )
+        .withColumn(
+            "rouge1_f",
+            F.floor(f1("ov1", "na1", "nb1")).cast("bigint") / F.lit(1e6),
+        )
+        .withColumn(
+            "rouge2_f",
+            F.when(
+                (F.col("na2") > 0) & (F.col("nb2") > 0),
+                F.floor(f1("ov2", "na2", "nb2")).cast("bigint"),
+            ).otherwise(F.lit(0))
+            / F.lit(1e6),
+        )
+    )
+    return out
+
+
+ORACLE_EVAL_ROUGE = f"""
+WITH pr AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_id AS doc_a,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_b
+    FROM documents)
+  WHERE doc_b IS NOT NULL
+),
+uni AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS g FROM documents)
+  GROUP BY doc_id, g
+),
+bi AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS g FROM documents)
+  GROUP BY doc_id, g
+),
+len1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM uni GROUP BY doc_id),
+len2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM bi GROUP BY doc_id),
+o1 AS (
+  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+  FROM pr p
+  JOIN uni a ON a.doc_id = p.doc_a
+  JOIN uni b ON b.doc_id = p.doc_b AND b.g = a.g
+  GROUP BY p.doc_a, p.doc_b
+),
+o2 AS (
+  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+  FROM pr p
+  JOIN bi a ON a.doc_id = p.doc_a
+  JOIN bi b ON b.doc_id = p.doc_b AND b.g = a.g
+  GROUP BY p.doc_a, p.doc_b
+),
+base AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(COALESCE(x1.ov, 0) AS BIGINT) AS ov1,
+         CAST(COALESCE(la1.len, 0) AS BIGINT) AS na1,
+         CAST(COALESCE(lb1.len, 0) AS BIGINT) AS nb1,
+         CAST(COALESCE(x2.ov, 0) AS BIGINT) AS ov2,
+         CAST(COALESCE(la2.len, 0) AS BIGINT) AS na2,
+         CAST(COALESCE(lb2.len, 0) AS BIGINT) AS nb2
+  FROM pr p
+  LEFT JOIN len1 la1 ON la1.doc_id = p.doc_a
+  LEFT JOIN len1 lb1 ON lb1.doc_id = p.doc_b
+  LEFT JOIN len2 la2 ON la2.doc_id = p.doc_a
+  LEFT JOIN len2 lb2 ON lb2.doc_id = p.doc_b
+  LEFT JOIN o1 x1 ON x1.doc_a = p.doc_a AND x1.doc_b = p.doc_b
+  LEFT JOIN o2 x2 ON x2.doc_a = p.doc_a AND x2.doc_b = p.doc_b
+),
+fp AS (
+  SELECT *,
+         CASE WHEN nb1 > 0 THEN (1000000 * ov1) // nb1 END AS pf1,
+         CASE WHEN na1 > 0 THEN (1000000 * ov1) // na1 END AS rf1,
+         CASE WHEN nb2 > 0 THEN (1000000 * ov2) // nb2 END AS pf2,
+         CASE WHEN na2 > 0 THEN (1000000 * ov2) // na2 END AS rf2
+  FROM base
+)
+SELECT doc_a, doc_b, ov1, na1, nb1, ov2, na2, nb2,
+       CAST(CASE WHEN pf1 + rf1 > 0 THEN (2 * pf1 * rf1) // (pf1 + rf1)
+                 ELSE 0 END AS BIGINT) / 1e6 AS rouge1_f,
+       CAST(CASE WHEN pf2 + rf2 > 0 THEN (2 * pf2 * rf2) // (pf2 + rf2)
+                 ELSE 0 END AS BIGINT) / 1e6 AS rouge2_f
+FROM fp
+"""
+
+QUERIES["q_eval_rouge"] = (q_eval_rouge, ORACLE_EVAL_ROUGE)

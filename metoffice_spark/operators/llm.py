@@ -1435,3 +1435,182 @@ QUERIES["q_multimodal_framesample"] = (
     q_multimodal_framesample,
     ORACLE_MULTIMODAL_FRAMESAMPLE,
 )
+
+
+# 8-token disjoint span digests (the CCNet line-dedup grain; shared by
+# q_dedup_lines in classify.py and q_dedup_containment below).
+_SPAN = 8
+
+
+def _spans_spark() -> str:
+    t = TOKS_SPARK
+    return (
+        f"case when size({t}) < {_SPAN} then array()"
+        f" else transform(sequence(1, size({t}) div {_SPAN}),"
+        f" i -> md5(concat_ws(' ', slice({t}, (i - 1) * {_SPAN} + 1, {_SPAN}))))"
+        f" end"
+    )
+
+
+_SPANS_DUCK = (
+    f"list_transform(range(0, greatest(len({TOKS_DUCK}) // {_SPAN}, 0)),"
+    f" i -> md5(array_to_string(({TOKS_DUCK})"
+    f"[i * {_SPAN} + 1 : i * {_SPAN} + {_SPAN}], ' ')))"
+)
+
+
+# --- q_dedup_containment: asymmetric (subset) near-dup detection -------------
+#
+# Symmetric Jaccard misses SUBSET duplication: a short document fully
+# contained in a longer one has Jaccard |A|/|B| (arbitrarily low)
+# but containment C(A->B) = |A n B| / |A| = 1. MinHash-LSH recalls
+# by Jaccard, so a Jaccard-banded candidate stage would miss exactly
+# the pairs this operator exists to find. Candidates instead come
+# from SHARED RARE 8-token SPANS (the q_dedup_lines digest grain): a
+# containment pair by construction shares every span of the smaller
+# doc, so any one rare span recalls it.
+#
+# Scale: the span self-join shuffles 16-byte digests only, with a
+# document-frequency cutoff dropping boilerplate spans (the
+# q_dedup_ngram_jaccard skew lever — a span in >64 docs generates
+# O(n^2) candidate pairs and near-zero precision); verification
+# fetches the two docs' distinct-shingle sets (array_intersect,
+# row-local) for the few candidates only. Fixed point: containment
+# in 1e-6 with non-negative numerators, div == // between engines.
+
+_CONT_DF_CUTOFF = 64
+_CONT_THR_FP = 500000  # report pairs with max-direction containment >= 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing a rare 8-token span, verified by exact
+    directional shingle containment; flags subset-duplicates that
+    symmetric Jaccard (< 0.6) would keep.
+
+    The corpus plants token-aligned EXCERPTS (first 24 tokens of
+    every 20th long document) — true subset pairs with containment
+    ~1 but low Jaccard, the case a Jaccard-only dedup ships to
+    training twice."""
+    docs = load(tune(spark), sf_dir, "documents").select("doc_id", "text")
+    excerpts = (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter((F.col("doc_id") % 20 == 0) & (F.size("toks") >= 48))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", F.slice("toks", 1, 24)).alias("text"),
+        )
+    )
+    corpus = _spread(docs.unionByName(excerpts), "doc_id")
+    doc_spans = scoped_persist(
+        corpus.select("doc_id", F.explode(F.expr(_spans_spark())).alias("sp"))
+        .distinct()
+    )
+    rare = doc_spans.join(
+        doc_spans.groupBy("sp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= _CONT_DF_CUTOFF),
+        "sp",
+    ).select("doc_id", "sp")
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sp") == F.col("b.sp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingled = scoped_persist(
+        corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"),
+        )
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+        .withColumn("cont_ab_fp", F.expr("1000000 * inter div n_a"))
+        .withColumn("cont_ba_fp", F.expr("1000000 * inter div n_b"))
+        .filter(
+            (F.col("cont_ab_fp") >= _CONT_THR_FP)
+            | (F.col("cont_ba_fp") >= _CONT_THR_FP)
+        )
+        .withColumn(
+            "jaccard_fp",
+            F.expr("1000000 * inter div (n_a + n_b - inter)"),
+        )
+        .withColumn(
+            "subset_only",
+            (F.greatest("cont_ab_fp", "cont_ba_fp") >= 800000)
+            & (F.col("jaccard_fp") < 600000),
+        )
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "n_a", "n_b",
+        "cont_ab_fp", "cont_ba_fp", "jaccard_fp", "subset_only",
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(({TOKS_DUCK})[1:24], ' ') AS text
+  FROM documents
+  WHERE doc_id % 20 = 0 AND len({TOKS_DUCK}) >= 48
+),
+doc_spans AS (
+  SELECT DISTINCT doc_id, sp
+  FROM (SELECT doc_id, unnest({_SPANS_DUCK}) AS sp FROM corpus)
+),
+rare AS (
+  SELECT d.doc_id, d.sp
+  FROM doc_spans d
+  JOIN (SELECT sp FROM doc_spans GROUP BY sp
+        HAVING count(*) <= {_CONT_DF_CUTOFF}) f ON d.sp = f.sp
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sp = b.sp AND a.doc_id < b.doc_id
+),
+shingled AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
+  WHERE len(toks) >= 3
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         CAST(len(sa.sh) AS BIGINT) AS n_a,
+         CAST(len(sb.sh) AS BIGINT) AS n_b
+  FROM pairs p
+  JOIN shingled sa ON sa.doc_id = p.doc_a
+  JOIN shingled sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, inter, n_a, n_b,
+       CAST(1000000 * inter // n_a AS BIGINT) AS cont_ab_fp,
+       CAST(1000000 * inter // n_b AS BIGINT) AS cont_ba_fp,
+       CAST(1000000 * inter // (n_a + n_b - inter) AS BIGINT) AS jaccard_fp,
+       greatest(1000000 * inter // n_a, 1000000 * inter // n_b) >= 800000
+         AND 1000000 * inter // (n_a + n_b - inter) < 600000 AS subset_only
+FROM verified
+WHERE 1000000 * inter // n_a >= {_CONT_THR_FP}
+   OR 1000000 * inter // n_b >= {_CONT_THR_FP}
+"""
+
+
+QUERIES["q_dedup_containment"] = (q_dedup_containment, _containment_oracle())

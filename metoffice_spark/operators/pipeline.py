@@ -1179,3 +1179,94 @@ FROM weighted wd CROSS JOIN tot t CROSS JOIN anchor a
 """
 
 QUERIES["q_mix_temperature"] = (q_mix_temperature, ORACLE_MIX_TEMPERATURE)
+
+
+# --- q_sft_template: chat-template assembly for SFT data prep ---------------
+#
+# The last hop before a fine-tuning run: flatten (prompt, response)
+# pairs into the model's chat template and emit the audit columns a
+# data loader contracts on (rendered length, token count, content
+# fingerprint). Pairs are deterministic and self-contained: within
+# each source, documents pair up adjacently by doc_id (odd row with
+# its successor — each doc lands in at most one example); prompt and
+# response truncate at 400 chars (the max-length gate).
+#
+# Cross-engine text discipline: the separator newline is the actual
+# chr(10) in both dialects (never the two-char '\n' literal, which
+# DuckDB does not unescape); the corpus is ASCII-locked (llm.py
+# decode guard), so length() agrees byte-for-char; the fingerprint
+# is md5 of the exact rendered string.
+#
+# Scale: one shuffle on source for the pairing window (per-source
+# frames bounded); rendering, token counting, and hashing are
+# map-only expressions — no UDF, no driver loop. At 100 TB this is
+# the same one-exchange shape.
+
+_SFT_TOKS = "size(filter(split(lower(r), '[^a-z0-9]+'), t -> t <> ''))"
+
+
+def q_sft_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (prompt, response) adjacent pair: rendered chat-template
+    stats — char length, token count, md5 fingerprint."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = (
+        docs.select(
+            "source",
+            "doc_id",
+            "text",
+            F.row_number().over(w).alias("rn"),
+            F.lead("text").over(w).alias("rtext"),
+            F.lead("doc_id").over(w).alias("rid"),
+        )
+        .filter((F.col("rn") % 2 == 1) & F.col("rid").isNotNull())
+    )
+    rendered = paired.select(
+        F.col("doc_id").alias("example_id"),
+        F.col("rid").alias("response_id"),
+        "source",
+        F.concat(
+            F.lit("<|user|>"),
+            F.lit("\n"),
+            F.substring("text", 1, 400),
+            F.lit("\n"),
+            F.lit("<|assistant|>"),
+            F.lit("\n"),
+            F.substring("rtext", 1, 400),
+        ).alias("r"),
+    )
+    return rendered.select(
+        "example_id",
+        "response_id",
+        "source",
+        F.length("r").cast("bigint").alias("n_chars"),
+        F.expr(_SFT_TOKS).cast("bigint").alias("n_toks"),
+        F.md5("r").alias("fingerprint"),
+    )
+
+
+ORACLE_SFT_TEMPLATE = """
+WITH paired AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS rtext,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS rid
+  FROM documents
+),
+rendered AS (
+  SELECT doc_id AS example_id, rid AS response_id, source,
+         '<|user|>' || chr(10) || substr(text, 1, 400) || chr(10) ||
+         '<|assistant|>' || chr(10) || substr(rtext, 1, 400) AS r
+  FROM paired
+  WHERE rn % 2 = 1 AND rid IS NOT NULL
+)
+SELECT example_id, response_id, source,
+       CAST(length(r) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split_regex(lower(r), '[^a-z0-9]+'),
+                            t -> t <> '')) AS BIGINT) AS n_toks,
+       md5(r) AS fingerprint
+FROM rendered
+"""
+
+QUERIES["q_sft_template"] = (q_sft_template, ORACLE_SFT_TEMPLATE)
