@@ -1099,3 +1099,120 @@ GROUP BY d.event_type
 """
 
 QUERIES["q_mad_outlier"] = (q_mad_outlier, ORACLE_MAD_OUTLIER)
+
+
+# --- q_ts_trend: per-type OLS trend of the daily series ---------------------
+#
+# Least-squares slope / intercept / R^2 of each event type's daily
+# value total against the day index — the trend readout behind every
+# "is this metric growing" dashboard, and the regression complement
+# of q_cov_stats (covariance) and q_ts_autocorr (serial
+# correlation).
+#
+# Determinism (the q_cov_stats discipline, hardened): ALL sufficient
+# statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs — x is
+# the day index CENTERED on the type's first day (bounds x by the
+# series length) and y is the daily total in whole DOLLARS
+# (cents div 100, non-negative), which keeps every product and
+# difference below 2^53 so the final CAST(... AS DOUBLE)s are EXACT
+# and the slope/intercept/R² are each ONE shared IEEE expression
+# over identical integers in both engines.
+#
+# Scale: daily rollup with map-side combine (the q_ts_changepoint
+# substrate), then a per-type aggregate over <= |days| rows; the
+# centering min() is a window over the same tiny daily table.
+
+_TREND_NUM = "cast(n * sxy - sx * sy as double)"
+_TREND_DEN_X = "cast(n * sxx - sx * sx as double)"
+_TREND_DEN_Y = "cast(n * syy - sy * sy as double)"
+_TREND_SLOPE = f"{_TREND_NUM} / {_TREND_DEN_X}"
+_TREND_R2 = f"({_TREND_NUM} * {_TREND_NUM}) / ({_TREND_DEN_X} * {_TREND_DEN_Y})"
+
+
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: day count, OLS slope (dollars/day), intercept
+    (dollars at the first day), and R^2 of the daily-total trend."""
+    spark = tune(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .alias("cents")
+        )
+        .select(
+            "event_type",
+            F.expr("datediff(day, date'1970-01-01')").cast("bigint").alias("d"),
+            F.expr("cents div 100").alias("y"),
+        )
+    )
+    centered = daily.select(
+        "event_type",
+        (F.col("d") - F.min("d").over(Window.partitionBy("event_type"))).alias("x"),
+        "y",
+    )
+    stats = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.expr(f"case when {_TREND_DEN_X} > 0e0 then {_TREND_SLOPE} end").alias(
+            "slope"
+        ),
+        F.expr(
+            f"case when {_TREND_DEN_X} > 0e0 then"
+            f" (cast(sy as double) - ({_TREND_SLOPE}) * cast(sx as double))"
+            f" / cast(n as double) end"
+        ).alias("intercept"),
+        F.expr(
+            f"case when {_TREND_DEN_X} > 0e0 and {_TREND_DEN_Y} > 0e0"
+            f" then {_TREND_R2} end"
+        ).alias("r2"),
+    )
+
+
+ORACLE_TS_TREND = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+         cents // 100 AS y
+  FROM daily
+),
+centered AS (
+  SELECT event_type,
+         d - min(d) OVER (PARTITION BY event_type) AS x,
+         y
+  FROM idx
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM centered GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN {_TREND_DEN_X} > 0e0 THEN {_TREND_SLOPE} END AS slope,
+       CASE WHEN {_TREND_DEN_X} > 0e0 THEN
+         (CAST(sy AS DOUBLE) - ({_TREND_SLOPE}) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN {_TREND_DEN_X} > 0e0 AND {_TREND_DEN_Y} > 0e0
+         THEN {_TREND_R2} END AS r2
+FROM stats
+"""
+
+QUERIES["q_ts_trend"] = (q_ts_trend, ORACLE_TS_TREND)

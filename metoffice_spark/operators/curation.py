@@ -956,3 +956,142 @@ QUALIFY rnk <= {_BM25_TOPK}
 
 
 QUERIES["q_rank_bm25"] = (q_rank_bm25, _bm25_oracle())
+
+
+# --- q_bpe_train: three unrolled BPE merge rounds ----------------------------
+#
+# Distributed tokenizer TRAINING: where q_bpe_pair_count scores the
+# candidates for ONE merge, this runs the actual BPE loop — count
+# adjacent symbol pairs, adopt the best merge, rewrite the
+# vocabulary, repeat — for 3 rounds, as ONE lazy plan
+# (q_kmeans_train discipline: the chosen merge re-enters each round
+# as a 1-row broadcast, never a driver-side collect).
+#
+# The greedy left-to-right pair merge is expressible as a plain
+# string replace through a SEPARATOR ENCODING: a word's symbol
+# sequence is rendered ' s1  s2  ...  sk ' (TWO spaces between
+# symbols, ONE at each end). The merge of pair (a, b) is then
+# replace(s, ' a  b ', ' ab '): the single-space sentinels match
+# only whole symbols (no cross-symbol false hits), and because the
+# replacement re-supplies both boundary spaces, consecutive matches
+# chain correctly — ' a  b  a  b ' -> ' ab  ab ', while the
+# overlapping ' a  a  a ' -> ' aa  a ' reproduces BPE's greedy
+# left-to-right scan. Both engines' replace() scans left-to-right
+# over non-overlapping occurrences, which the parity gate holds to
+# the bit.
+#
+# Determinism: pair counts are exact BIGINT sums of word
+# frequencies; the adopted merge is the (count DESC, pair ASC) total
+# order's first row. Scale: the corpus-wide work is ONE word count
+# with map-side combine; every round then runs over the bounded
+# vocabulary (top-256 words), so 50 merges cost 50 tiny stages after
+# one corpus pass — the shape real BPE trainers (and q_kmeans_train)
+# use.
+
+_BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_spaced_spark(col: str) -> str:
+    return f"concat(' ', trim(regexp_replace({col}, '(.)', '$1  ')), ' ')"
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per adopted merge: round, left/right symbols, merged
+    token, and the weighted pair count that won the round."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.orderBy(F.desc("freq"), F.asc("w")).limit(_BPE_VOCAB)
+    cur = scoped_persist(
+        vocab.select(F.expr(_bpe_spaced_spark("w")).alias("s"), "freq")
+    )
+    merges = []
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = cur.select(F.expr("split(trim(s), '  ')").alias("a"), "freq")
+        pairs = syms.filter(F.expr("size(a) >= 2")).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(element_at(a, cast(i as int)), '  ',"
+                    " element_at(a, cast(i + 1 as int))))"
+                )
+            ).alias("pair"),
+        )
+        cnt = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+        best = cnt.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        merges.append(
+            best.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.expr("split(pair, '  ')[0]").alias("left"),
+                F.expr("split(pair, '  ')[1]").alias("right"),
+                F.expr("replace(pair, '  ', '')").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(s, concat(' ', pair, ' '),"
+                " concat(' ', replace(pair, '  ', ''), ' '))"
+            ).alias("s"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_train_oracle() -> str:
+    spaced = "' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
+    rounds = []
+    prev = "w0"
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        rounds.append(f"""
+p{rnd} AS (
+  SELECT freq, unnest(list_transform(range(1, len(a)),
+                i -> a[i] || '  ' || a[i + 1])) AS pair
+  FROM (SELECT string_split(trim(s), '  ') AS a, freq FROM {prev})
+  WHERE len(a) >= 2
+),
+c{rnd} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p{rnd} GROUP BY pair
+),
+b{rnd} AS (
+  SELECT pair, cnt FROM c{rnd} ORDER BY cnt DESC, pair LIMIT 1
+),
+w{rnd} AS (
+  SELECT replace(s, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, '  ', '') || ' ') AS s, freq
+  FROM {prev} CROSS JOIN b{rnd} b
+)""")
+        prev = f"w{rnd}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round,"
+        f" split_part(pair, '  ', 1) AS \"left\","
+        f" split_part(pair, '  ', 2) AS \"right\","
+        f" replace(pair, '  ', '') AS merged,"
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({TOKS_DUCK}) AS w FROM documents)
+  GROUP BY w
+),
+vocab AS (
+  SELECT w, freq FROM words ORDER BY freq DESC, w LIMIT {_BPE_VOCAB}
+),
+w0 AS (
+  SELECT {spaced} AS s, freq FROM vocab
+),{",".join(rounds)}
+{selects}
+"""
+
+
+QUERIES["q_bpe_train"] = (q_bpe_train, _bpe_train_oracle())

@@ -422,3 +422,119 @@ FROM fp
 """
 
 QUERIES["q_eval_rouge"] = (q_eval_rouge, ORACLE_EVAL_ROUGE)
+
+
+# --- q_eval_calibration: reliability curve + per-bin calibration gap --------
+#
+# The third leg of the eval stack: q_eval_pr measures ranking
+# quality, q_ab_ztest compares cohorts, and this measures whether
+# the classifier's SCORES mean what they claim — per predicted-
+# probability bin, the observed positive rate and the calibration
+# gap (the summands of expected calibration error).
+#
+# The predicted probability is the min-max-normalized classifier
+# score (deterministic, self-contained); label = (lang = 'en'), as
+# in q_eval_pr. All fixed point: p_hat = 1e6 (score - min) div
+# (max - min) (non-negative numerator), 10 equal-width bins, per-bin
+# mean-predicted and observed rates as exact integer quotients, gap
+# = abs difference.
+#
+# Scale: per-doc scores aggregate once (map-side combine); the
+# global min/max is a 1-row aggregate CROSS JOINed back (broadcast —
+# never an unbounded window over the corpus); the bin rollup is a
+# <= 10-row aggregate.
+
+
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per probability bin: size, mean predicted probability,
+    observed positive rate, calibration gap (all 1e-6 fixed
+    point)."""
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        docs.select("doc_id", "lang", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .select("doc_id", "lang", F.expr(_QC_BUCKET).alias("bkt"))
+        .select("doc_id", "lang", F.expr(_QC_WEIGHT).cast("bigint").alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("bigint").alias("score_fp"))
+    )
+    labeled = (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "score_fp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score_fp", F.lit(0)).alias("score_fp"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+    bounds = labeled.agg(
+        F.min("score_fp").alias("lo"), F.max("score_fp").alias("hi")
+    )
+    binned = labeled.crossJoin(F.broadcast(bounds)).select(
+        "pos",
+        F.expr(
+            "least(cast(1000000 * (score_fp - lo) div greatest(hi - lo, 1)"
+            " div 100000 as int), 9)"
+        ).alias("bin"),
+        F.expr(
+            "1000000 * (score_fp - lo) div greatest(hi - lo, 1)"
+        ).alias("p_hat_fp"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("cast(sum(p_hat_fp) div count(1) as bigint)").alias(
+                "mean_pred_fp"
+            ),
+            F.expr("cast(1000000 * sum(pos) div count(1) as bigint)").alias(
+                "obs_rate_fp"
+            ),
+        )
+        .withColumn(
+            "gap_fp", F.abs(F.col("mean_pred_fp") - F.col("obs_rate_fp"))
+        )
+        .select("bin", "n", "mean_pred_fp", "obs_rate_fp", "gap_fp")
+    )
+
+
+ORACLE_EVAL_CALIBRATION = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_fp
+  FROM (
+    SELECT doc_id, CAST({{qc_weight}} AS BIGINT) AS w
+    FROM (
+      SELECT doc_id, {{qc_bucket}} AS bkt
+      FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents)))
+  GROUP BY doc_id
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(s.score_fp, 0) AS score_fp,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+bounds AS (
+  SELECT min(score_fp) AS lo, max(score_fp) AS hi FROM labeled
+),
+binned AS (
+  SELECT pos,
+         least(CAST(1000000 * (score_fp - lo) // greatest(hi - lo, 1)
+               // 100000 AS INT), 9) AS bin,
+         1000000 * (score_fp - lo) // greatest(hi - lo, 1) AS p_hat_fp
+  FROM labeled CROSS JOIN bounds
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p_hat_fp) // count(*) AS BIGINT) AS mean_pred_fp,
+       CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS obs_rate_fp,
+       CAST(abs(sum(p_hat_fp) // count(*)
+                - 1000000 * sum(pos) // count(*)) AS BIGINT) AS gap_fp
+FROM binned
+GROUP BY bin
+"""
+
+ORACLE_EVAL_CALIBRATION = ORACLE_EVAL_CALIBRATION.replace(
+    "{qc_weight}", _QC_WEIGHT
+).replace("{qc_bucket}", _QC_BUCKET)
+
+QUERIES["q_eval_calibration"] = (q_eval_calibration, ORACLE_EVAL_CALIBRATION)

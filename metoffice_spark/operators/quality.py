@@ -733,3 +733,102 @@ FROM stats s JOIN modes m USING (col_name)
 
 
 QUERIES["q_profile_columns"] = (q_profile_columns, _profile_oracle())
+
+
+# --- q_k_anonymity: re-identification risk audit ----------------------------
+#
+# The privacy gate run before a table leaves the trust boundary
+# (k-anonymity, Sweeney): every row must share its quasi-identifier
+# combination — here (mktsegment, nationkey, account-balance bucket)
+# — with at least k-1 others, or be suppressed. Reported per
+# segment: equivalence-class count, classes below k, rows they
+# contain, and the suppression rate a k=5 release would pay.
+#
+# The partner of q_pseudonymize (which protects DIRECT identifiers;
+# k-anonymity measures what the remaining QUASI identifiers leak)
+# and q_dp_release (the aggregate-release alternative when the rate
+# reported here is unacceptable).
+#
+# Scale: two map-side-combinable aggregates (rows -> classes ->
+# segment summary); nothing row-level survives the first exchange.
+# Determinism: the balance bucket floors cents into 100000-cent
+# buckets via non-negative-safe floor (balances can be negative, so
+# the bucket uses floor division on the SIGNED value — floor in
+# BOTH engines by construction: Spark floor(x / 1e5) on an exact
+# double of an integer < 2^53, DuckDB the identical expression);
+# the rate is the one IEEE division.
+
+_K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: equivalence classes over the
+    quasi-identifier tuple, classes/rows below k=5, suppression
+    rate."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            / F.lit(100000.0)
+        )
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    classes = cust.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below_k"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("suppressed_rows"),
+            F.min("n").cast("bigint").alias("k_actual"),
+        )
+        .withColumn(
+            "suppression_rate",
+            F.col("suppressed_rows").cast("double") / F.col("n_rows").cast("double"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_classes",
+            "classes_below_k",
+            "n_rows",
+            "suppressed_rows",
+            "k_actual",
+            "suppression_rate",
+        )
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+           AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS suppressed_rows,
+       CAST(min(n) AS BIGINT) AS k_actual,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS suppression_rate
+FROM classes
+GROUP BY c_mktsegment
+"""
+
+QUERIES["q_k_anonymity"] = (q_k_anonymity, ORACLE_K_ANONYMITY)

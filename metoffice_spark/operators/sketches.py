@@ -418,3 +418,143 @@ FROM counts c
 """
 
 QUERIES["q_agg_bitmap_distinct"] = (q_agg_bitmap_distinct, ORACLE_AGG_BITMAP)
+
+
+# --- q_sketch_quantile: mergeable histogram quantiles + exact audit ---------
+#
+# The quantile answer that SURVIVES MERGING: per-partition (and
+# per-day, per-shard...) equi-width bin counts combine by simple
+# addition — the property exact rank-selection (q_percentile_exact)
+# lacks and t-digest/KLL approximate. The estimate's error bound is
+# structural: the true quantile lives in the selected bin, so
+# |est - exact| < one bin width, checked row-by-row here by running
+# the exact rank selection alongside (the audit — at 100 TB only the
+# histogram side runs; the audit is what the oracle verifies
+# bitwise).
+#
+# Scale: bin counts aggregate with map-side combine into <= ~330
+# rows per event type; the cumulative window walks those tiny
+# per-type bin lists, never rows. All-integer index arithmetic
+# (ceil(p*n/100) = (p*n+99) div 100, non-negative).
+
+_QSK_BIN = 100  # cents per bin
+_QSK_PCTS = (50, 90, 99)
+
+
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, percentile): histogram-sketch estimate (bin
+    lower edge), the exact value, and the within-bin error in
+    cents."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+        )
+    )
+    bins = ev.groupBy(
+        "event_type", F.expr(f"v_fp div {_QSK_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_bin"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        "event_type",
+        "bin",
+        F.sum("n_bin").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("n_bin").over(Window.partitionBy("event_type")).cast("bigint").alias("n"),
+    )
+    pcts = cum.select(
+        "event_type",
+        "bin",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _QSK_PCTS])).alias("pct"),
+    ).withColumn("k", F.expr("(pct * n + 99) div 100"))
+    est = (
+        pcts.filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "pct")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            (F.min("bin") * _QSK_BIN).alias("est_fp"),
+        )
+    )
+    # exact audit: rank-index selection (q_percentile_exact idiom)
+    w_rank = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    exact = (
+        est.join(ranked, "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", "pct", F.col("v_fp").alias("exact_fp"))
+    )
+    return (
+        est.join(exact, ["event_type", "pct"])
+        .select(
+            "event_type",
+            F.col("pct").cast("int").alias("pct"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            (F.col("est_fp") / F.lit(100.0)).alias("est"),
+            (F.col("exact_fp") / F.lit(100.0)).alias("exact"),
+            (F.col("exact_fp") - F.col("est_fp")).cast("bigint").alias("err_cents"),
+        )
+    )
+
+
+ORACLE_SKETCH_QUANTILE = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+  FROM events
+),
+bins AS (
+  SELECT event_type, v_fp // {_QSK_BIN} AS bin,
+         CAST(count(*) AS BIGINT) AS n_bin
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         CAST(sum(n_bin) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_bin) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM bins
+),
+pcts AS (
+  SELECT c.*, p.pct, (p.pct * c.n + 99) // 100 AS k
+  FROM cum c CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _QSK_PCTS)}]) AS pct) p
+),
+est AS (
+  SELECT event_type, pct,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(k) AS BIGINT) AS k,
+         min(bin) * {_QSK_BIN} AS est_fp
+  FROM pcts WHERE cum >= k
+  GROUP BY event_type, pct
+),
+ranked AS (
+  SELECT event_type, v_fp,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_fp, event_id) AS rn
+  FROM ev
+),
+exact AS (
+  SELECT e.event_type, e.pct, r.v_fp AS exact_fp
+  FROM est e JOIN ranked r ON r.event_type = e.event_type AND r.rn = e.k
+)
+SELECT e.event_type,
+       CAST(e.pct AS INT) AS pct,
+       e.n, e.k,
+       e.est_fp / 100.0 AS est,
+       x.exact_fp / 100.0 AS exact,
+       CAST(x.exact_fp - e.est_fp AS BIGINT) AS err_cents
+FROM est e JOIN exact x ON x.event_type = e.event_type AND x.pct = e.pct
+"""
+
+QUERIES["q_sketch_quantile"] = (q_sketch_quantile, ORACLE_SKETCH_QUANTILE)

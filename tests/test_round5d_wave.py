@@ -118,3 +118,123 @@ def test_sft_template_pairing_and_fingerprint(spark, sf_smoke):
     )
     assert probe["fingerprint"] == hashlib.md5(rendered.encode()).hexdigest()
     assert probe["n_chars"] == len(rendered)
+
+
+def test_bpe_train_merge_sequence(spark, sf_smoke):
+    """Three rounds, counts non-increasing (a merge can only shrink
+    existing pair counts, and new pairs are bounded by the count of
+    the pair they absorbed), merged token = left || right, and the
+    first round's winner matches a direct Python pair count over the
+    top-256 vocabulary."""
+    import re
+    from collections import Counter
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.curation import _BPE_VOCAB, q_bpe_train
+
+    rows = sorted(q_bpe_train(spark, sf_smoke).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert rows[0]["pair_count"] >= rows[1]["pair_count"] >= rows[2]["pair_count"]
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+
+    texts = [
+        r["text"]
+        for r in load(spark, sf_smoke, "documents").select("text").collect()
+    ]
+    freqs = Counter()
+    for t in texts:
+        freqs.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    vocab = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB]
+    pair_counts = Counter()
+    for w, f in vocab:
+        for i in range(len(w) - 1):
+            pair_counts[(w[i], w[i + 1])] += f
+    best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0]["left"], rows[0]["right"]) == best[0]
+    assert rows[0]["pair_count"] == best[1]
+
+
+def test_sketch_quantile_error_bound(spark, sf_smoke):
+    """The histogram estimate's error is structurally bounded by one
+    bin width, and the estimate is the bin's lower edge (est <=
+    exact)."""
+    from metoffice_spark.operators.sketches import _QSK_BIN, q_sketch_quantile
+
+    rows = q_sketch_quantile(spark, sf_smoke).collect()
+    assert rows
+    assert {r["pct"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert 0 <= r["err_cents"] < _QSK_BIN, r
+        assert r["est"] <= r["exact"] < r["est"] + _QSK_BIN / 100.0
+
+
+def test_k_anonymity_accounting(spark, sf_smoke):
+    """Per-segment rows sum to the customer count; suppressed rows
+    are bounded by (k-1) x classes_below_k; the rate is the exact
+    quotient."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.quality import _K_ANON, q_k_anonymity
+
+    rows = q_k_anonymity(spark, sf_smoke).collect()
+    n_cust = load(spark, sf_smoke, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    for r in rows:
+        assert r["suppressed_rows"] <= (_K_ANON - 1) * r["classes_below_k"]
+        assert r["suppression_rate"] == r["suppressed_rows"] / r["n_rows"]
+        assert r["k_actual"] >= 1
+
+
+def test_ts_trend_matches_numpy(spark, sf_smoke):
+    """Slope/intercept/R^2 agree with numpy's closed-form OLS on the
+    same centered integer series (to IEEE round-off)."""
+    import numpy as np
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.behavior import q_ts_trend
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r for r in q_ts_trend(spark, sf_smoke).collect()}
+    daily = (
+        load(spark, sf_smoke, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(
+            (r["day"].toordinal(), r["cents"] // 100)
+        )
+    for t, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        xs -= xs.min()
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, icept = np.polyfit(xs, ys, 1)
+        got = rows[t]
+        assert abs(got["slope"] - slope) < 1e-6 * max(abs(slope), 1)
+        assert abs(got["intercept"] - icept) < 1e-6 * max(abs(icept), 1)
+        pred = slope * xs + icept
+        ss_res = ((ys - pred) ** 2).sum()
+        ss_tot = ((ys - ys.mean()) ** 2).sum()
+        assert abs(got["r2"] - (1 - ss_res / ss_tot)) < 1e-6
+        assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_eval_calibration_accounting(spark, sf_smoke):
+    """Bin populations cover the corpus exactly once; bins are in
+    0..9; the gap is the absolute difference of the two rates."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.evaluation import q_eval_calibration
+
+    rows = q_eval_calibration(spark, sf_smoke).collect()
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["gap_fp"] == abs(r["mean_pred_fp"] - r["obs_rate_fp"])
+        assert 0 <= r["obs_rate_fp"] <= 1000000
