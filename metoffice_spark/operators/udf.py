@@ -164,8 +164,73 @@ FROM (
 """
 
 
+
+# --- q_udf_grouped_map: applyInPandas (grouped-map) --------------------------
+#
+# The fourth Pandas surface (after scalar, grouped-agg, and the
+# mapInPandas decode path in llm.py): a GROUPED-MAP transformation —
+# each group arrives as one pandas DataFrame and returns a
+# DataFrame, the API for per-group logic that needs the whole group
+# in memory (sklearn-style fits, per-entity resampling). Here:
+# per-event-type min-max normalization to 1e-6 fixed point.
+#
+# Bit-compatibility: cents via numpy floor on float64 (the same IEEE
+# op Spark's floor(value*100+0.5) runs), then int64 floor division
+# with a non-negative numerator — identical to the oracle's //.
+#
+# Scale: one shuffle on the group key (same as any aggregate); each
+# group must FIT IN ONE WORKER'S MEMORY — the documented contract of
+# grouped-map (skewed keys want the salted pre-aggregate instead).
+
+
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type via applyInPandas: value cents and min-max
+    normalized 1e-6 fixed point."""
+    import numpy as np
+
+    def _minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+            "int64"
+        )
+        lo, hi = v.min(), v.max()
+        span = max(hi - lo, 1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "event_type": pdf["event_type"],
+                "v_fp": v,
+                "norm_fp": (1000000 * (v - lo)) // span,
+            }
+        )
+
+    ev = load(tune(spark), sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        _minmax, "event_id long, event_type string, v_fp long, norm_fp long"
+    )
+
+
+ORACLE_UDF_GROUPED_MAP = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+  FROM events
+),
+b AS (
+  SELECT event_type, min(v_fp) AS lo, max(v_fp) AS hi
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.v_fp,
+       CAST(1000000 * (e.v_fp - b.lo) // greatest(b.hi - b.lo, 1) AS BIGINT)
+         AS norm_fp
+FROM ev e JOIN b USING (event_type)
+"""
+
+
 QUERIES = {
     "q_udf_scalar": (q_udf_scalar, ORACLE_UDF_SCALAR),
     "q_udaf_grouped": (q_udaf_grouped, ORACLE_UDAF_GROUPED),
     "q_udtf": (q_udtf, ORACLE_UDTF),
+    "q_udf_grouped_map": (q_udf_grouped_map, ORACLE_UDF_GROUPED_MAP),
 }

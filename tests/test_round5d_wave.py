@@ -238,3 +238,21 @@ def test_eval_calibration_accounting(spark, sf_smoke):
         assert 0 <= r["bin"] <= 9
         assert r["gap_fp"] == abs(r["mean_pred_fp"] - r["obs_rate_fp"])
         assert 0 <= r["obs_rate_fp"] <= 1000000
+
+
+def test_udf_grouped_map_normalization(spark, sf_smoke):
+    """applyInPandas output covers every event exactly once; per-type
+    min maps to 0 and max to 1000000; norm is monotone in v."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.udf import q_udf_grouped_map
+
+    rows = q_udf_grouped_map(spark, sf_smoke).collect()
+    assert len(rows) == load(spark, sf_smoke, "events").count()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["v_fp"], r["norm_fp"]))
+    for t, vs in by_type.items():
+        vs.sort()
+        assert vs[0][1] == 0
+        assert vs[-1][1] == 1000000 or vs[0][0] == vs[-1][0]
+        assert all(a[1] <= b[1] for a, b in zip(vs, vs[1:]))
