@@ -941,3 +941,125 @@ FROM walk WHERE cur < 10
 """
 
 QUERIES["q_hierarchy_expand"] = (q_hierarchy_expand, ORACLE_HIERARCHY_EXPAND)
+
+
+# --- q_sample_coordinated: join-preserving consistent sampling --------------
+#
+# Sampling a MULTI-TABLE dataset for a dev-scale copy breaks joins
+# if each table samples independently: a 25% Bernoulli of orders and
+# a 25% Bernoulli of customers keeps only ~6% of order->customer
+# edges intact and orphans the rest. COORDINATED sampling hashes the
+# SHARED KEY with the same salted digest in every table — a customer
+# is in iff hash(custkey) < p, an order is in iff hash(its custkey)
+# < p — so the sampled orders' customers are present BY CONSTRUCTION
+# (the q_split_train_val determinism, applied cross-table).
+#
+# Output per nation: population and sample sizes for both tables,
+# coordinated-sample orphans (structurally 0 — the audit the
+# downstream join contracts on), and INDEPENDENT-sample orphans (the
+# control: the same p hashed on o_orderkey instead, which orphans
+# ~(1-p) of its sample and shows why per-table sampling is wrong).
+#
+# Scale: the flags are map-only scan-time expressions; one
+# orders->customer equi-join (dim side broadcastable) and one
+# aggregate. At 100 TB the flag is computed at write time and
+# PARTITIONS the sampled copy — no shuffle at all.
+
+_COORD_P_NIBBLES = ('0', '1', '2', '3')  # 4/16 = 25%
+
+
+def _coord_flag(key_expr: str) -> str:
+    nibs = ", ".join(f"'{n}'" for n in _COORD_P_NIBBLES)
+    return f"substring(md5(concat('u|', CAST({key_expr} AS STRING))), 1, 1) IN ({nibs})"
+
+
+def _indep_flag(key_expr: str) -> str:
+    nibs = ", ".join(f"'{n}'" for n in _COORD_P_NIBBLES)
+    return f"substring(md5(concat('o|', CAST({key_expr} AS STRING))), 1, 1) IN ({nibs})"
+
+
+def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: table/sample sizes, coordinated orphans (must be
+    0), independent-sample orphans (the broken-join control)."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(_coord_flag("c_custkey")).alias("c_in"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(_coord_flag("o_custkey")).alias("o_in_coord"),
+        F.expr(_indep_flag("o_orderkey")).alias("o_in_indep"),
+    )
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    per_cust = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(F.when(F.col("c_in"), 1).otherwise(0)).cast("bigint").alias("n_cust_s"),
+    )
+    per_ord = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("o_in_coord"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orders_coord"),
+        F.sum(F.when(F.col("o_in_coord") & ~F.col("c_in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphans_coord"),
+        F.sum(F.when(F.col("o_in_indep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orders_indep"),
+        F.sum(F.when(F.col("o_in_indep") & ~F.col("c_in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphans_indep"),
+    )
+    return per_cust.join(per_ord, "c_nationkey").select(
+        "c_nationkey",
+        "n_cust",
+        "n_cust_s",
+        "n_orders",
+        "n_orders_coord",
+        "orphans_coord",
+        "n_orders_indep",
+        "orphans_indep",
+    )
+
+
+ORACLE_SAMPLE_COORDINATED = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         {_coord_flag('c_custkey')} AS c_in
+  FROM customer
+),
+ords AS (
+  SELECT o_custkey,
+         {_coord_flag('o_custkey')} AS o_in_coord,
+         {_indep_flag('o_orderkey')} AS o_in_indep
+  FROM orders
+),
+per_cust AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(CASE WHEN c_in THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_s
+  FROM cust GROUP BY c_nationkey
+),
+per_ord AS (
+  SELECT c.c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN o.o_in_coord THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orders_coord,
+         CAST(sum(CASE WHEN o.o_in_coord AND NOT c.c_in THEN 1 ELSE 0 END)
+           AS BIGINT) AS orphans_coord,
+         CAST(sum(CASE WHEN o.o_in_indep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orders_indep,
+         CAST(sum(CASE WHEN o.o_in_indep AND NOT c.c_in THEN 1 ELSE 0 END)
+           AS BIGINT) AS orphans_indep
+  FROM ords o JOIN cust c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT p.c_nationkey, p.n_cust, p.n_cust_s,
+       o.n_orders, o.n_orders_coord, o.orphans_coord,
+       o.n_orders_indep, o.orphans_indep
+FROM per_cust p JOIN per_ord o ON p.c_nationkey = o.c_nationkey
+"""
+
+QUERIES["q_sample_coordinated"] = (q_sample_coordinated, ORACLE_SAMPLE_COORDINATED)

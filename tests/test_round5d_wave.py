@@ -256,3 +256,21 @@ def test_udf_grouped_map_normalization(spark, sf_smoke):
         assert vs[0][1] == 0
         assert vs[-1][1] == 1000000 or vs[0][0] == vs[-1][0]
         assert all(a[1] <= b[1] for a, b in zip(vs, vs[1:]))
+
+
+def test_coordinated_sampling_preserves_joins(spark, sf_smoke):
+    """Coordinated orphans are structurally zero everywhere; the
+    independent control orphans a substantial share of its sample
+    (that contrast is the operator's whole point); sample rates land
+    near 25%."""
+    from metoffice_spark.operators.scale import q_sample_coordinated
+
+    rows = q_sample_coordinated(spark, sf_smoke).collect()
+    assert rows
+    tot = lambda c: sum(r[c] for r in rows)  # noqa: E731
+    assert all(r["orphans_coord"] == 0 for r in rows)
+    assert tot("orphans_indep") > 0
+    # ~75% of the independent sample should be orphaned (1 - p)
+    assert tot("orphans_indep") > tot("n_orders_indep") // 2
+    assert 0.10 < tot("n_cust_s") / tot("n_cust") < 0.45
+    assert 0.10 < tot("n_orders_coord") / tot("n_orders") < 0.45
