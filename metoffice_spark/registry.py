@@ -46,6 +46,7 @@ _MODULES = (
     "evaluation",
     "mlalgebra",
     "subqueries",
+    "stats",
 )
 
 # qids registered first, in this order (driver checks the first 50).

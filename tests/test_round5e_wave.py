@@ -1,0 +1,196 @@
+"""Semantic property tests for the round-5e stats wave: AUC, chi²
+terms, Gini, ridge normal equations, neighborhood Jaccard, survival
+hazard, dictionary-encoding estimates, JSONL export. Bitwise oracle
+parity is covered by tests/test_oracle_parity.py; these check the
+properties the oracles cannot express."""
+
+from __future__ import annotations
+
+import json
+import math
+
+
+def test_eval_auc_matches_pairwise_recount(spark, sf_smoke):
+    """AUC bounded in [0, 1e6]; for one source the fixed-point value
+    matches a direct O(n_pos * n_neg) concordance recount."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_eval_auc
+
+    rows = {r["source"]: r for r in q_eval_auc(spark, sf_smoke).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["auc_fp"] <= 1_000_000
+        assert 0 < r["n_pos"] < r["n"]
+    probe = sorted(rows)[0]
+    docs = (
+        load(spark, sf_smoke, "documents")
+        .filter(f"source = '{probe}'")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    pos = [r["n_chars"] for r in docs if r["lang"] == "en"]
+    neg = [r["n_chars"] for r in docs if r["lang"] != "en"]
+    conc = sum(2 for p in pos for q in neg if p > q) + sum(
+        1 for p in pos for q in neg if p == q
+    )
+    expected = 1_000_000 * conc // (2 * len(pos) * len(neg))
+    assert rows[probe]["auc_fp"] == expected
+
+
+def test_chi2_terms_cells_consistent(spark, sf_smoke):
+    """The 2×2 cells of every reported term sum to the corpus total,
+    chi² is non-negative, and the statistic matches a recompute from
+    the reported cells."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import _CHI2_TOPK, q_chi2_terms
+
+    rows = q_chi2_terms(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= _CHI2_TOPK
+    n_docs = load(spark, sf_smoke, "documents").count()
+    for r in rows:
+        a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+        assert a + b + c + d == n_docs
+        assert min(a, b, c, d) >= 0
+        n = a + b + c + d
+        expected = (
+            n * float((a * d - b * c)) ** 2
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        assert r["chi2"] >= 0.0
+        assert math.isclose(r["chi2"], expected, rel_tol=1e-12)
+
+
+def test_gini_spend_bounds_and_recount(spark, sf_smoke):
+    """Gini sits in [0, 1); one segment matches the textbook
+    pairwise-difference formula recomputed in Python."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_gini_spend
+
+    rows = {r["seg"]: r for r in q_gini_spend(spark, sf_smoke).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 <= r["gini"] < 1.0
+    probe = sorted(rows)[0]
+    orders = load(spark, sf_smoke, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_smoke, "customer").select("c_custkey", "c_mktsegment")
+    spend: dict = {}
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust.collect()}
+    for r in orders.collect():
+        if seg_of.get(r["o_custkey"]) == probe:
+            cents = math.floor(r["o_totalprice"] * 100 + 0.5)
+            spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0) + cents
+    xs = sorted(spend.values())
+    n, sx = len(xs), sum(xs)
+    gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * sx)
+    assert math.isclose(rows[probe]["gini"], gini, rel_tol=1e-9)
+    assert rows[probe]["n"] == n
+    assert rows[probe]["total_cents"] == sx
+
+
+def test_ridge_normal_solves_system(spark, sf_smoke):
+    """The returned coefficients satisfy the ridge normal equations
+    (A + λI)w = b rebuilt from the returned Gram sums."""
+    from metoffice_spark.operators.stats import _RIDGE_LAMBDA, q_ridge_normal
+
+    r = q_ridge_normal(spark, sf_smoke).collect()[0]
+    lam = float(_RIDGE_LAMBDA)
+    A = [
+        [float(r["n"]), float(r["sx1"]), float(r["sx2"])],
+        [float(r["sx1"]), float(r["sx11"]) + lam, float(r["sx12"])],
+        [float(r["sx2"]), float(r["sx12"]), float(r["sx22"]) + lam],
+    ]
+    b = [float(r["sy"]), float(r["sx1y"]), float(r["sx2y"])]
+    w = [r["w0"], r["w1"], r["w2"]]
+    for i in range(3):
+        lhs = sum(A[i][j] * w[j] for j in range(3))
+        assert math.isclose(lhs, b[i], rel_tol=1e-9)
+
+
+def test_graph_jaccard_exact_for_probe_pair(spark, sf_smoke):
+    """Reported intersections are exact: a probe pair's intersection
+    and union match a Python set recount over the full edge set."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_graph_jaccard
+
+    rows = q_graph_jaccard(spark, sf_smoke).collect()
+    assert rows
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load(spark, sf_smoke, "orders").collect()
+    }
+    adj: dict = {}
+    for r in load(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect():
+        c = orders.get(r["l_orderkey"])
+        if c is not None:
+            adj.setdefault(c, set()).add(r["l_suppkey"])
+    for r in rows[:5]:
+        sa, sb = adj[r["ca"]], adj[r["cb"]]
+        assert r["inter"] == len(sa & sb)
+        assert r["uni"] == len(sa | sb)
+        assert r["jaccard_fp"] == 1_000_000 * r["inter"] // r["uni"]
+
+
+def test_survival_hazard_at_risk_telescopes(spark, sf_smoke):
+    """at_risk is the reverse cumulative total, the day-0 at_risk
+    equals the user count, and hazards are valid probabilities."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_survival_hazard
+
+    rows = sorted(
+        q_survival_hazard(spark, sf_smoke).collect(), key=lambda r: r["d"]
+    )
+    assert rows
+    n_users = (
+        load(spark, sf_smoke, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["at_risk"] == n_users
+    total = sum(r["events"] + r["censored"] for r in rows)
+    assert total == n_users
+    tail = total
+    for r in rows:
+        assert r["at_risk"] == tail
+        tail -= r["events"] + r["censored"]
+        assert 0 <= r["hazard_fp"] <= 1_000_000
+
+
+def test_compress_dict_bit_width_exact(spark, sf_smoke):
+    """bit_width is exactly ceil(log2(max(n_distinct, 2))) and the
+    low-cardinality enum columns compress far below the key column."""
+    from metoffice_spark.operators.stats import q_compress_dict
+
+    rows = {r["col"]: r for r in q_compress_dict(spark, sf_smoke).collect()}
+    assert set(rows) == {"o_orderstatus", "o_orderpriority", "o_custkey"}
+    for r in rows.values():
+        expected = max(1, math.ceil(math.log2(max(r["n_distinct"], 2))))
+        assert r["bit_width"] == expected
+        assert r["dict_bits"] == r["n"] * r["bit_width"]
+        assert r["plain_bits"] == r["plain_bytes"] * 8
+    assert rows["o_orderstatus"]["ratio_fp"] < rows["o_custkey"]["ratio_fp"]
+
+
+def test_sink_jsonl_lines_parse(spark, sf_smoke):
+    """Every line is valid JSON whose fields round-trip the source
+    row, and line_bytes is the UTF-8 length."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_sink_jsonl
+
+    rows = q_sink_jsonl(spark, sf_smoke).collect()
+    docs = {
+        r["doc_id"]: r
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        obj = json.loads(r["line"])
+        d = docs[r["doc_id"]]
+        assert obj == {
+            "doc_id": d["doc_id"],
+            "lang": d["lang"],
+            "source": d["source"],
+            "n_chars": d["n_chars"],
+        }
+        assert r["line_bytes"] == len(r["line"].encode("utf-8"))
