@@ -723,3 +723,479 @@ FROM documents
 """
 
 QUERIES["q_sink_jsonl"] = (q_sink_jsonl, ORACLE_SINK_JSONL)
+
+
+# --- q_forecast_snaive: seasonal-naive forecast backtest ---------------------
+#
+# The standard first forecasting baseline at warehouse scale: predict
+# each (event_type, hour-of-day) cell of the FINAL observed day by
+# the mean of the same cell over all earlier days (the seasonal
+# profile), then score the backtest — per event_type, the mean
+# absolute error between hourly forecast and hourly actual, all in
+# 1e-6 fixed-point cents. Exact throughout: sums and counts are
+# BIGINT, each mean is one fixed-point div with non-negative
+# numerator (values >= 0), abs-difference of two fixed points is
+# exact.
+#
+# Scale: one shuffle on (event_type, hr) for the train profile + one
+# for the holdout day; the final-day scalar broadcasts as a 1-row
+# crossJoin (no driver-side collect — the q_sample_weighted lesson).
+
+
+def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: holdout hours scored, seasonal-naive MAE_fp
+    (1e-6 cents) on the final day."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        )
+    )
+    last_day = ev.agg(F.max("day").alias("dmax"))
+    evd = ev.crossJoin(F.broadcast(last_day))
+    train = (
+        evd.filter("day < dmax")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .select(
+            "event_type", "hr", F.expr("cast(1000000 * s div c as bigint)").alias("fc_fp")
+        )
+    )
+    actual = (
+        evd.filter("day = dmax")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.expr("cast(1000000 * s div c as bigint)").alias("ac_fp"),
+        )
+    )
+    scored = actual.join(train, ["event_type", "hr"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr("cast(sum(abs(ac_fp - fc_fp)) div count(1) as bigint)").alias("mae_fp"),
+    )
+
+
+ORACLE_FORECAST = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+last_day AS (SELECT max(day) AS dmax FROM ev),
+train AS (
+  SELECT event_type, hr,
+         CAST(1000000 * CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS fc_fp
+  FROM ev, last_day WHERE day < dmax GROUP BY event_type, hr
+),
+actual AS (
+  SELECT event_type, hr,
+         CAST(1000000 * CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS ac_fp
+  FROM ev, last_day WHERE day = dmax GROUP BY event_type, hr
+)
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(a.ac_fp - t.fc_fp)) // count(*) AS BIGINT) AS mae_fp
+FROM actual a JOIN train t ON a.event_type = t.event_type AND a.hr = t.hr
+GROUP BY a.event_type
+"""
+
+QUERIES["q_forecast_snaive"] = (q_forecast_snaive, ORACLE_FORECAST)
+
+
+# --- q_target_encoding: leave-one-out mean target encoding -------------------
+#
+# The categorical-feature encoder that leaks no row's own target:
+# enc_i = (sum_cat - y_i + m * prior) / (cnt_cat - 1 + m), smoothing
+# m toward the global mean. Everything exact: category sums/counts
+# are BIGINT partials, the global prior is a 1e-6 fixed-point scalar
+# broadcast via 1-row crossJoin, the encode itself is one map-side
+# fixed-point expression (numerator non-negative: values >= 0).
+#
+# Scale: per-category aggregate (small) broadcasts back onto the fact
+# rows — the fact table is touched map-only. Output sampled by
+# event_id to stay row-bounded.
+
+_TE_SMOOTH = 10
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sampled event: its category, target cents, and the
+    leave-one-out smoothed target encoding (1e-6 fixed point)."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("y"),
+        )
+    )
+    cats = ev.groupBy("event_type").agg(
+        F.sum("y").cast("bigint").alias("s_cat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+    )
+    prior = ev.agg(
+        F.expr("cast(1000000 * sum(y) div count(1) as bigint)").alias("prior_fp")
+    )
+    return (
+        ev.filter("event_id % 97 = 0")
+        .join(F.broadcast(cats), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_id",
+            "event_type",
+            "y",
+            F.expr(
+                f"cast((1000000 * (s_cat - y) + {_TE_SMOOTH} * prior_fp)"
+                f" div (n_cat - 1 + {_TE_SMOOTH}) as bigint)"
+            ).alias("enc_fp"),
+        )
+    )
+
+
+ORACLE_TARGET_ENC = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+cats AS (
+  SELECT event_type, CAST(sum(y) AS BIGINT) AS s_cat,
+         CAST(count(*) AS BIGINT) AS n_cat
+  FROM ev GROUP BY event_type
+),
+prior AS (
+  SELECT CAST(1000000 * CAST(sum(y) AS BIGINT) // count(*) AS BIGINT)
+           AS prior_fp
+  FROM ev
+)
+SELECT e.event_id, e.event_type, e.y,
+       CAST((1000000 * (c.s_cat - e.y) + {_TE_SMOOTH} * p.prior_fp)
+            // (c.n_cat - 1 + {_TE_SMOOTH}) AS BIGINT) AS enc_fp
+FROM ev e JOIN cats c ON e.event_type = c.event_type
+CROSS JOIN prior p
+WHERE e.event_id % 97 = 0
+"""
+
+QUERIES["q_target_encoding"] = (q_target_encoding, ORACLE_TARGET_ENC)
+
+
+# --- q_drift_chi2: event-mix drift between observation windows ---------------
+#
+# Data-drift monitoring without logs of logs: split the stream into a
+# baseline window (first 14 days from the earliest event) and the
+# current window (everything after), then per event_type run the same
+# exact-count 2x2 chi-squared machinery as q_chi2_terms — counts are
+# BIGINT, the statistic is the one shared IEEE-double expression.
+# (The chi-squared form is chosen over PSI deliberately: PSI needs
+# ln(), which is not correctly-rounded-guaranteed across engines;
+# chi-squared is rational in the counts.)
+#
+# Scale: the min-day scalar broadcasts via 1-row crossJoin; the rest
+# is one event_type-keyed aggregate.
+
+_DRIFT_BASE_DAYS = 14
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: baseline/current counts, window shares in
+    1e-6 fixed point, and the 2x2 chi-squared drift statistic."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+    )
+    d0 = ev.agg(F.min("day").alias("dmin"))
+    flagged = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.expr(f"cast(datediff(day, dmin) < {_DRIFT_BASE_DAYS} as int)").alias("w1"),
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.sum("w1").cast("bigint").alias("a"),
+        F.sum(F.expr("1 - w1")).cast("bigint").alias("b"),
+    )
+    totals = flagged.agg(
+        F.sum("w1").cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - w1")).cast("bigint").alias("n2"),
+    )
+    cells = per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "a",
+        "b",
+        (F.col("n1") - F.col("a")).alias("c"),
+        (F.col("n2") - F.col("b")).alias("d"),
+        "n1",
+        "n2",
+    )
+    chi2 = (
+        "cast(n1 + n2 as double) * cast(a * d - b * c as double)"
+        " * cast(a * d - b * c as double)"
+        " / (cast(a + b as double) * cast(c + d as double)"
+        " * cast(a + c as double) * cast(b + d as double))"
+    )
+    return cells.select(
+        "event_type",
+        F.col("a").alias("n_base"),
+        F.col("b").alias("n_cur"),
+        F.expr("cast(1000000 * a div n1 as bigint)").alias("share_base_fp"),
+        F.expr("cast(1000000 * b div n2 as bigint)").alias("share_cur_fp"),
+        F.expr(chi2).alias("chi2"),
+    )
+
+
+ORACLE_DRIFT = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+),
+d0 AS (SELECT min(day) AS dmin FROM ev),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN datediff('day', dmin, day) < {_DRIFT_BASE_DAYS}
+              THEN 1 ELSE 0 END AS w1
+  FROM ev, d0
+),
+per_type AS (
+  SELECT event_type, CAST(sum(w1) AS BIGINT) AS a,
+         CAST(sum(1 - w1) AS BIGINT) AS b
+  FROM flagged GROUP BY event_type
+),
+totals AS (
+  SELECT CAST(sum(w1) AS BIGINT) AS n1, CAST(sum(1 - w1) AS BIGINT) AS n2
+  FROM flagged
+),
+cells AS (
+  SELECT event_type, a, b, n1 - a AS c, n2 - b AS d, n1, n2
+  FROM per_type CROSS JOIN totals
+)
+SELECT event_type, a AS n_base, b AS n_cur,
+       CAST(1000000 * a // n1 AS BIGINT) AS share_base_fp,
+       CAST(1000000 * b // n2 AS BIGINT) AS share_cur_fp,
+       CAST(n1 + n2 AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+         * CAST(a * d - b * c AS DOUBLE)
+         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+FROM cells
+"""
+
+QUERIES["q_drift_chi2"] = (q_drift_chi2, ORACLE_DRIFT)
+
+
+# --- q_eval_multiclass: per-class P/R/F1 + Cohen's kappa ---------------------
+#
+# The multi-class readout over q_nb_langid's confusion matrix (the
+# house classifier): per class, one-vs-rest precision/recall/F1 in
+# 1e-6 fixed point from exact BIGINT marginals, plus the overall
+# accuracy and Cohen's kappa shared across rows. kappa =
+# (N·correct - Σ row_c·col_c) / (N² - Σ row_c·col_c) is rational in
+# the counts; products exceed int64 at corpus scale, so the final
+# step is the one shared IEEE-double expression (house rule).
+#
+# Scale: the confusion matrix is |classes|² rows regardless of corpus
+# size — everything here is post-aggregate arithmetic; the heavy
+# lifting is q_nb_langid's own two-level token aggregation.
+
+
+def q_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per class: support, predicted count, tp, precision/recall/F1
+    (1e-6 fixed point), plus overall accuracy_fp and kappa."""
+    from metoffice_spark.operators.classify import q_nb_langid
+
+    # Runs tune() internally — must come BEFORE any scoped_persist of
+    # this builder (session.py scoped_persist contract).
+    conf = q_nb_langid(spark, sf_dir)
+    conf = scoped_persist(conf)
+    actuals = conf.groupBy(F.col("actual_lang").alias("cls")).agg(
+        F.sum("n_docs").cast("bigint").alias("support")
+    )
+    preds = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n_docs").cast("bigint").alias("pred_n")
+    )
+    tp = conf.filter("actual_lang = pred_lang").select(
+        F.col("actual_lang").alias("cls"), F.col("n_docs").alias("tp")
+    )
+    classes = (
+        actuals.join(preds, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("pred_n", F.lit(0)).cast("bigint").alias("pred_n"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    margins = (
+        actuals.join(preds, "cls", "full")
+        .select(
+            F.coalesce("support", F.lit(0)).alias("s"),
+            F.coalesce("pred_n", F.lit(0)).alias("p"),
+        )
+        .agg(
+            F.sum("s").cast("bigint").alias("n_total"),
+            F.sum(F.expr("s * p")).cast("bigint").alias("pe_num"),
+        )
+    )
+    correct = conf.filter("actual_lang = pred_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_correct")
+    )
+    kappa = (
+        "(cast(n_total as double) * cast(n_correct as double)"
+        " - cast(pe_num as double))"
+        " / (cast(n_total as double) * cast(n_total as double)"
+        " - cast(pe_num as double))"
+    )
+    return (
+        classes.crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(correct))
+        .select(
+            "cls",
+            "support",
+            "pred_n",
+            "tp",
+            F.expr(
+                "cast(case when pred_n > 0 then 1000000 * tp div pred_n"
+                " else 0 end as bigint)"
+            ).alias("precision_fp"),
+            F.expr(
+                "cast(case when support > 0 then 1000000 * tp div support"
+                " else 0 end as bigint)"
+            ).alias("recall_fp"),
+            F.expr(
+                "cast(case when support + pred_n > 0 then"
+                " 1000000 * 2 * tp div (support + pred_n)"
+                " else 0 end as bigint)"
+            ).alias("f1_fp"),
+            F.expr("cast(1000000 * n_correct div n_total as bigint)").alias(
+                "accuracy_fp"
+            ),
+            F.expr(kappa).alias("kappa"),
+        )
+    )
+
+
+def _eval_multiclass_oracle() -> str:
+    from metoffice_spark.operators.classify import ORACLE_NB_LANGID
+
+    return f"""
+WITH conf AS ({ORACLE_NB_LANGID}),
+actuals AS (
+  SELECT actual_lang AS cls, CAST(sum(n_docs) AS BIGINT) AS support
+  FROM conf GROUP BY actual_lang
+),
+preds AS (
+  SELECT pred_lang AS cls, CAST(sum(n_docs) AS BIGINT) AS pred_n
+  FROM conf GROUP BY pred_lang
+),
+tp AS (
+  SELECT actual_lang AS cls, CAST(n_docs AS BIGINT) AS tp
+  FROM conf WHERE actual_lang = pred_lang
+),
+classes AS (
+  SELECT coalesce(a.cls, p.cls) AS cls,
+         CAST(coalesce(a.support, 0) AS BIGINT) AS support,
+         CAST(coalesce(p.pred_n, 0) AS BIGINT) AS pred_n
+  FROM actuals a FULL JOIN preds p ON a.cls = p.cls
+),
+margins AS (
+  SELECT CAST(sum(support) AS BIGINT) AS n_total,
+         CAST(sum(support * pred_n) AS BIGINT) AS pe_num
+  FROM classes
+),
+correct AS (
+  SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_correct
+  FROM conf WHERE actual_lang = pred_lang
+)
+SELECT c.cls, c.support, c.pred_n,
+       CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+       CAST(CASE WHEN c.pred_n > 0
+                 THEN 1000000 * coalesce(t.tp, 0) // c.pred_n
+                 ELSE 0 END AS BIGINT) AS precision_fp,
+       CAST(CASE WHEN c.support > 0
+                 THEN 1000000 * coalesce(t.tp, 0) // c.support
+                 ELSE 0 END AS BIGINT) AS recall_fp,
+       CAST(CASE WHEN c.support + c.pred_n > 0
+                 THEN 1000000 * 2 * coalesce(t.tp, 0) // (c.support + c.pred_n)
+                 ELSE 0 END AS BIGINT) AS f1_fp,
+       CAST(1000000 * x.n_correct // m.n_total AS BIGINT) AS accuracy_fp,
+       (CAST(m.n_total AS DOUBLE) * CAST(x.n_correct AS DOUBLE)
+          - CAST(m.pe_num AS DOUBLE))
+         / (CAST(m.n_total AS DOUBLE) * CAST(m.n_total AS DOUBLE)
+            - CAST(m.pe_num AS DOUBLE)) AS kappa
+FROM classes c
+LEFT JOIN tp t ON t.cls = c.cls
+CROSS JOIN margins m CROSS JOIN correct x
+"""
+
+
+QUERIES["q_eval_multiclass"] = (q_eval_multiclass, _eval_multiclass_oracle())
+
+
+# --- q_text_readability: Flesch-style readability scoring --------------------
+#
+# Corpus curation's readability gate: per document, word count
+# (house tokenizer), sentence count (non-empty [.!?]+ segments,
+# floored at 1), a syllable PROXY (vowel-group count — the standard
+# cheap stand-in; real syllabification is dictionary work), and the
+# Flesch reading-ease formula. Counts are exact ints; the formula's
+# final step is the one shared IEEE-double expression.
+#
+# Scale: map-only over documents — no shuffle at all.
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: words, sentences, vowel-group syllable proxy,
+    Flesch reading-ease score."""
+    from metoffice_spark.operators.llm import TOKS_SPARK
+
+    spark = tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({TOKS_SPARK}) as bigint)").alias("words"),
+        F.expr(
+            "cast(greatest(1, size(filter(split(text, '[.!?]+'),"
+            " s -> trim(s) <> ''))) as bigint)"
+        ).alias("sentences"),
+        F.expr(
+            "cast(size(filter(split(lower(text), '[^aeiouy]+'),"
+            " s -> s <> '')) as bigint)"
+        ).alias("syllables"),
+    )
+    flesch = (
+        "206.835 - 1.015 * (cast(words as double) / cast(sentences as double))"
+        " - 84.6 * (cast(syllables as double) / cast(words as double))"
+    )
+    return counted.filter("words > 0").select(
+        "doc_id", "words", "sentences", "syllables", F.expr(flesch).alias("flesch")
+    )
+
+
+def _readability_oracle() -> str:
+    from metoffice_spark.operators.llm import TOKS_DUCK
+
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len({TOKS_DUCK}) AS BIGINT) AS words,
+         CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+              s -> trim(s) <> ''))) AS BIGINT) AS sentences,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'),
+              s -> s <> '')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+         - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
+FROM counted WHERE words > 0
+"""
+
+
+QUERIES["q_text_readability"] = (q_text_readability, _readability_oracle())

@@ -194,3 +194,134 @@ def test_sink_jsonl_lines_parse(spark, sf_smoke):
             "n_chars": d["n_chars"],
         }
         assert r["line_bytes"] == len(r["line"].encode("utf-8"))
+
+
+def test_forecast_snaive_recount_probe(spark, sf_smoke):
+    """One (event_type, hour) cell's forecast and the final MAE match
+    a direct Python recount of the seasonal profile."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_forecast_snaive
+
+    rows = {r["event_type"]: r for r in q_forecast_snaive(spark, sf_smoke).collect()}
+    assert rows
+    ev = load(spark, sf_smoke, "events").select("event_type", "ts", "value").collect()
+    dmax = max(r["ts"].date() for r in ev)
+    train: dict = {}
+    hold: dict = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100 + 0.5)
+        key = (r["event_type"], r["ts"].hour)
+        tgt = hold if r["ts"].date() == dmax else train
+        s, c = tgt.get(key, (0, 0))
+        tgt[key] = (s + cents, c + 1)
+    per_type: dict = {}
+    for key, (s, c) in hold.items():
+        if key not in train:
+            continue
+        ts_, tc = train[key]
+        err = abs(1_000_000 * s // c - 1_000_000 * ts_ // tc)
+        n, tot = per_type.get(key[0], (0, 0))
+        per_type[key[0]] = (n + 1, tot + err)
+    for t, (n, tot) in per_type.items():
+        assert rows[t]["n_hours"] == n
+        assert rows[t]["mae_fp"] == tot // n
+
+
+def test_target_encoding_no_leakage(spark, sf_smoke):
+    """Encoding excludes the row's own target: for a probe row the
+    fixed-point value matches the leave-one-out formula, and two rows
+    of the same category with different targets get different
+    encodings."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import _TE_SMOOTH, q_target_encoding
+
+    rows = q_target_encoding(spark, sf_smoke).collect()
+    assert rows
+    ev = load(spark, sf_smoke, "events").select(
+        "event_type", "value"
+    ).collect()
+    sums: dict = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100 + 0.5)
+        s, c = sums.get(r["event_type"], (0, 0))
+        sums[r["event_type"]] = (s + cents, c + 1)
+    tot = sum(s for s, _ in sums.values())
+    cnt = sum(c for _, c in sums.values())
+    prior_fp = 1_000_000 * tot // cnt
+    for r in rows[:20]:
+        s, c = sums[r["event_type"]]
+        expected = (1_000_000 * (s - r["y"]) + _TE_SMOOTH * prior_fp) // (
+            c - 1 + _TE_SMOOTH
+        )
+        assert r["enc_fp"] == expected
+
+
+def test_drift_chi2_margins(spark, sf_smoke):
+    """Shares per window sum to ~1, counts partition the stream, and
+    chi2 is non-negative and finite."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_drift_chi2
+
+    rows = q_drift_chi2(spark, sf_smoke).collect()
+    assert rows
+    n_events = load(spark, sf_smoke, "events").count()
+    assert sum(r["n_base"] + r["n_cur"] for r in rows) == n_events
+    s1 = sum(r["share_base_fp"] for r in rows)
+    s2 = sum(r["share_cur_fp"] for r in rows)
+    assert abs(s1 - 1_000_000) <= len(rows)
+    assert abs(s2 - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r["chi2"] >= 0.0 and math.isfinite(r["chi2"])
+
+
+def test_eval_multiclass_consistent_with_confusion(spark, sf_smoke):
+    """Marginals rebuild from the nb_langid confusion matrix; kappa
+    matches the textbook formula and never exceeds accuracy."""
+    from metoffice_spark.operators.classify import q_nb_langid
+    from metoffice_spark.operators.stats import q_eval_multiclass
+
+    conf = q_nb_langid(spark, sf_smoke).collect()
+    rows = {r["cls"]: r for r in q_eval_multiclass(spark, sf_smoke).collect()}
+    n = sum(r["n_docs"] for r in conf)
+    correct = sum(r["n_docs"] for r in conf if r["actual_lang"] == r["pred_lang"])
+    support: dict = {}
+    pred_n: dict = {}
+    for r in conf:
+        support[r["actual_lang"]] = support.get(r["actual_lang"], 0) + r["n_docs"]
+        pred_n[r["pred_lang"]] = pred_n.get(r["pred_lang"], 0) + r["n_docs"]
+    classes = set(support) | set(pred_n)
+    assert set(rows) == classes
+    pe_num = sum(support.get(c, 0) * pred_n.get(c, 0) for c in classes)
+    kappa = (n * correct - pe_num) / (n * n - pe_num)
+    for r in rows.values():
+        assert r["support"] == support.get(r["cls"], 0)
+        assert r["pred_n"] == pred_n.get(r["cls"], 0)
+        assert r["accuracy_fp"] == 1_000_000 * correct // n
+        assert math.isclose(r["kappa"], kappa, rel_tol=1e-12)
+        assert r["kappa"] <= correct / n + 1e-12
+
+
+def test_text_readability_recount(spark, sf_smoke):
+    """A probe document's word/sentence/syllable counts match a
+    Python recount, and the Flesch value follows from them."""
+    import re
+
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.stats import q_text_readability
+
+    rows = q_text_readability(spark, sf_smoke).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    assert len(rows) <= len(texts)
+    for r in sorted(rows, key=lambda x: x["doc_id"])[:10]:
+        t = texts[r["doc_id"]]
+        words = len([w for w in re.split(r"[^a-z0-9]+", t.lower()) if w])
+        sents = max(1, len([s for s in re.split(r"[.!?]+", t) if s.strip()]))
+        syll = len([v for v in re.split(r"[^aeiouy]+", t.lower()) if v])
+        assert r["words"] == words
+        assert r["sentences"] == sents
+        assert r["syllables"] == syll
+        expected = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+        assert math.isclose(r["flesch"], expected, rel_tol=1e-12)
