@@ -47,6 +47,7 @@ _MODULES = (
     "mlalgebra",
     "subqueries",
     "stats",
+    "olap2",
 )
 
 # qids registered first, in this order (driver checks the first 50).
