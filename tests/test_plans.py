@@ -464,3 +464,46 @@ def test_top_supplier_single_lineitem_scan(spark, sf_smoke):
         if "FileScan parquet" in ln and "lineitem" in ln
     ]
     assert len(scans) == 1, scans
+
+
+def test_olap2_decorrelation_shapes(spark, sf_smoke):
+    """The TPC-H completion wave must decorrelate cleanly: Q2's
+    per-part min and Q11's scalar total become aggregates + joins
+    (the scalar total is the one sanctioned 1-row broadcast), Q20's
+    IN collapses to a semi-join, and Q21's EXISTS / NOT EXISTS pair
+    becomes semi + anti joins on orderkey — never a per-row nested
+    loop over the fact."""
+    from metoffice_spark.operators.olap2 import QUERIES
+
+    plan = _plan(QUERIES["q_olap_min_cost_supp"][0](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(QUERIES["q_olap_important_stock"][0](spark, sf_smoke))
+    # the uncorrelated scalar total: exactly one 1-row nested-loop
+    # broadcast is sanctioned (the avg_balance precedent)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["q_olap_part_promotion"][0](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["q_olap_waiting_supplier"][0](spark, sf_smoke))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_olap2_pushdown_and_single_scans(spark, sf_smoke):
+    """Q6 pushes every predicate to the scan; Q14 computes both share
+    legs from ONE lineitem scan (conditional aggregation, not a
+    second pass)."""
+    from metoffice_spark.operators.olap2 import QUERIES
+
+    plan = _plan(QUERIES["q_olap_revenue_delta"][0](spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+    plan = _plan(QUERIES["q_olap_promo_share"][0](spark, sf_smoke))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
