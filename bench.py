@@ -50,6 +50,9 @@ HEADLINE = [
     "q_attribution",      # last-touch attribution window (round 5)
     "q_sketch_setops",    # KMV sketch set algebra (round 5)
     "q_behavior_e2e",     # sessionize→attribute composite (round 5)
+    "q_olap_volume_shipping",  # TPC-H Q7 6-table star (round 5f)
+    "q_olap_waiting_supplier", # TPC-H Q21 semi+anti decorrelation (round 5f)
+    "q_graph_jaccard",    # bounded candidate + verify link prediction (round 5e)
 ]
 
 
