@@ -1216,3 +1216,93 @@ FROM stats
 """
 
 QUERIES["q_ts_trend"] = (q_ts_trend, ORACLE_TS_TREND)
+
+
+# --- q_funnel_latency: conversion-latency distribution ------------------------
+#
+# The time-to-convert readout behind q_funnel_steps' counts: per
+# user, the seconds from the FIRST click to the first purchase at or
+# after it; then the exact latency distribution — count, min, lower
+# median, ceil-rank p90, max — selected at exact integer rank cutoffs
+# (the q_percentile_exact discipline; no interpolation, so every
+# statistic is a value that actually occurred).
+#
+# Scale: two user_id-keyed aggregates (click min, conditional
+# purchase min) — one shuffle each; the rank selection runs on the
+# converting-users table (≤ |users| rows) with a deliberate global
+# window over the already-aggregated latencies; the n-row scalar
+# broadcasts via 1-row crossJoin.
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: n converted users, min / lower-median / p90 / max
+    click→purchase latency in whole seconds."""
+    spark = tune(spark)
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("epoch_s"),
+        )
+    )
+    c0 = ev.filter("event_type = 'click'").groupBy("user_id").agg(
+        F.min("epoch_s").cast("bigint").alias("c0")
+    )
+    lat = (
+        ev.filter("event_type = 'purchase'")
+        .join(c0, "user_id")
+        .filter("epoch_s >= c0")
+        .groupBy("user_id", "c0")
+        .agg(F.min("epoch_s").cast("bigint").alias("p0"))
+        .select("user_id", (F.col("p0") - F.col("c0")).alias("lat_s"))
+    )
+    n = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("lat_s").asc(), F.col("user_id").asc())
+    ranked = lat.select(
+        "lat_s", F.row_number().over(w).cast("bigint").alias("rn")
+    ).crossJoin(F.broadcast(n))
+    return ranked.groupBy("n").agg(
+        F.min("lat_s").cast("bigint").alias("min_s"),
+        F.max(F.expr("case when rn = (n + 1) div 2 then lat_s end"))
+        .cast("bigint")
+        .alias("p50_s"),
+        F.max(F.expr("case when rn = (9 * n + 9) div 10 then lat_s end"))
+        .cast("bigint")
+        .alias("p90_s"),
+        F.max("lat_s").cast("bigint").alias("max_s"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+  FROM events
+),
+c0 AS (
+  SELECT user_id, CAST(min(epoch_s) AS BIGINT) AS c0
+  FROM ev WHERE event_type = 'click' GROUP BY user_id
+),
+lat AS (
+  SELECT e.user_id, CAST(min(e.epoch_s) AS BIGINT) - c.c0 AS lat_s
+  FROM ev e JOIN c0 c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.epoch_s >= c.c0
+  GROUP BY e.user_id, c.c0
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+ranked AS (
+  SELECT lat_s,
+         CAST(row_number() OVER (ORDER BY lat_s ASC, user_id ASC) AS BIGINT)
+           AS rn
+  FROM lat
+)
+SELECT n.n, CAST(min(lat_s) AS BIGINT) AS min_s,
+       CAST(max(CASE WHEN rn = (n.n + 1) // 2 THEN lat_s END) AS BIGINT)
+         AS p50_s,
+       CAST(max(CASE WHEN rn = (9 * n.n + 9) // 10 THEN lat_s END) AS BIGINT)
+         AS p90_s,
+       CAST(max(lat_s) AS BIGINT) AS max_s
+FROM ranked CROSS JOIN n
+GROUP BY n.n
+"""
+
+QUERIES["q_funnel_latency"] = (q_funnel_latency, ORACLE_FUNNEL_LATENCY)

@@ -290,3 +290,109 @@ FROM pred p JOIN nn1 n USING (q_id)
 """
 
 QUERIES["q_knn_classify"] = (q_knn_classify, ORACLE_KNN_CLASSIFY)
+
+
+# --- q_random_projection: Johnson-Lindenstrauss sign projection ---------------
+#
+# Dimensionality-reduction featurization: project the 64-dim
+# embeddings onto _RP_K dimensions with a deterministic ±1 sign
+# matrix (md5-derived per (j, pos) — the house hash-family idiom), in
+# exact 1e-6 fixed point. The JL audit column compares the projected
+# mean-square norm against the original: E[Σp²/k] = Σv², so the
+# ratio concentrates near 1 — emitted as the one final IEEE division.
+#
+# Scale: the sign matrix is k×64 rows built from a range() relation
+# and BROADCAST onto the exploded (vec, pos, x) stream; the projection
+# is one (vec_id)-keyed aggregate with map-side combine. No Python,
+# no d×k literal in the plan.
+
+_RP_K = 4
+
+
+def _rp_sign(j: str, pos: str) -> str:
+    # ±1 from the low bit of the first md5 nibble of (j, pos) — valid
+    # in both dialects.
+    return (
+        f"CASE WHEN (instr('0123456789abcdef', substring(md5(concat('RP', "
+        f"CAST({j} AS STRING), '|', CAST({pos} AS STRING))), 1, 1)) - 1) % 2 = 0 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: the _RP_K sign-projected coordinates (1e-6 fixed
+    point) and the JL norm-preservation ratio."""
+    spark = tune(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_ivec_spark("embedding")).alias("v")
+    )
+    exploded = emb.select(
+        "vec_id",
+        F.expr(NORM2_SPARK.format(v="v")).alias("n2v"),
+        F.posexplode("v").alias("pos", "x"),
+    )
+    signs = spark.range(64).select(
+        F.col("id").cast("int").alias("pos"),
+        *[
+            F.expr(_rp_sign(str(j), "id")).cast("bigint").alias(f"s{j}")
+            for j in range(_RP_K)
+        ],
+    )
+    proj = (
+        exploded.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "n2v")
+        .agg(
+            *[
+                F.sum(F.expr(f"x * s{j}")).cast("bigint").alias(f"p{j}")
+                for j in range(_RP_K)
+            ]
+        )
+    )
+    p2 = " + ".join(f"p{j} * p{j}" for j in range(_RP_K))
+    return proj.select(
+        "vec_id",
+        *[f"p{j}" for j in range(_RP_K)],
+        F.expr(
+            f"(cast({p2} as double) / {_RP_K}e0) / cast(n2v as double)"
+        ).alias("norm_ratio"),
+    )
+
+
+def _rp_oracle() -> str:
+    sign_cols = ",\n         ".join(
+        f"CAST({_rp_sign(str(j), 'range')} AS BIGINT) AS s{j}"
+        for j in range(_RP_K)
+    )
+    psums = ",\n         ".join(
+        f"CAST(sum(x * s{j}) AS BIGINT) AS p{j}" for j in range(_RP_K)
+    )
+    p2 = " + ".join(f"p{j} * p{j}" for j in range(_RP_K))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {_ivec_duck('embedding')} AS v FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, {NORM2_DUCK.format(v='v')} AS n2v,
+         unnest(range(1, len(v) + 1)) - 1 AS pos, unnest(v) AS x
+  FROM emb
+),
+signs AS (
+  SELECT CAST(range AS INT) AS pos,
+         {sign_cols}
+  FROM range(64)
+),
+proj AS (
+  SELECT vec_id, n2v,
+         {psums}
+  FROM exploded e JOIN signs s ON e.pos = s.pos
+  GROUP BY vec_id, n2v
+)
+SELECT vec_id, {", ".join(f"p{j}" for j in range(_RP_K))},
+       (CAST({p2} AS DOUBLE) / {_RP_K}e0) / CAST(n2v AS DOUBLE) AS norm_ratio
+FROM proj
+"""
+
+
+from metoffice_spark.operators.llm import NORM2_DUCK, NORM2_SPARK  # noqa: E402
+
+QUERIES["q_random_projection"] = (q_random_projection, _rp_oracle())

@@ -558,3 +558,105 @@ FROM est e JOIN exact x ON x.event_type = e.event_type AND x.pct = e.pct
 """
 
 QUERIES["q_sketch_quantile"] = (q_sketch_quantile, ORACLE_SKETCH_QUANTILE)
+
+
+# --- q_heavy_hitters_mg: two-phase heavy hitters with exact audit -------------
+#
+# The mergeable heavy-hitters recipe over the Zipfian token stream:
+# phase 1 keeps each shard's top-_HH_M tokens by local count (the
+# per-partition Misra-Gries summary stand-in — deterministic
+# (cnt DESC, tok) tie-break); phase 2 recounts the surviving
+# candidates EXACTLY over the full stream. At 100 TB only the
+# candidate set (≤ shards × m keys) crosses the shard boundary and
+# the exact recount is a broadcast semi-join — the full token
+# dictionary never shuffles. Audit columns: est_lb (sum of the
+# surviving shards' local counts — a provable lower bound) vs the
+# exact count, and the is_hh verdict at the N/_HH_K threshold via
+# integer cross-multiplication. Recall caveat (documented): a key
+# spread thinly below every shard's top-m is missed — the tradeoff
+# this pattern accepts vs a full dictionary shuffle.
+
+_HH_SHARDS = 8
+_HH_M = 20
+_HH_K = 100  # heavy = freq > N / K
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top candidate tokens: phase-1 lower bound, exact count, and
+    the N/K heavy-hitter verdict."""
+    from metoffice_spark.operators.llm import TOKS_SPARK
+
+    spark = tune(spark)
+    from metoffice_spark.session import scoped_persist
+
+    toks = scoped_persist(
+        load(spark, sf_dir, "documents").select(
+            (F.col("doc_id") % _HH_SHARDS).cast("int").alias("shard"),
+            F.explode(F.expr(TOKS_SPARK)).alias("tok"),
+        )
+    )
+    local = toks.groupBy("shard", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    surv = local.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HH_M
+    )
+    est = surv.groupBy("tok").agg(F.sum("cnt").cast("bigint").alias("est_lb"))
+    exact = (
+        toks.join(F.broadcast(est.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "est_lb",
+            "exact_cnt",
+            "n_total",
+            F.expr(f"exact_cnt * {_HH_K} > n_total").alias("is_hh"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(40)
+    )
+
+
+def _hh_oracle() -> str:
+    from metoffice_spark.operators.llm import TOKS_DUCK
+
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id % {_HH_SHARDS} AS INT) AS shard, tok
+  FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents)
+),
+local AS (
+  SELECT shard, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY shard, tok
+),
+surv AS (
+  SELECT shard, tok, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, tok ASC) AS rn
+  FROM local QUALIFY rn <= {_HH_M}
+),
+est AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS est_lb FROM surv GROUP BY tok
+),
+exact AS (
+  SELECT t.tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks t JOIN (SELECT DISTINCT tok FROM est) c ON t.tok = c.tok
+  GROUP BY t.tok
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT e.tok, e.est_lb, x.exact_cnt, t.n_total,
+       x.exact_cnt * {_HH_K} > t.n_total AS is_hh
+FROM est e JOIN exact x ON e.tok = x.tok CROSS JOIN total t
+ORDER BY x.exact_cnt DESC, e.tok ASC
+LIMIT 40
+"""
+
+
+QUERIES["q_heavy_hitters_mg"] = (q_heavy_hitters_mg, _hh_oracle())
