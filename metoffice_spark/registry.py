@@ -48,6 +48,7 @@ _MODULES = (
     "subqueries",
     "stats",
     "olap2",
+    "warehouse",
 )
 
 # qids registered first, in this order (driver checks the first 50).
