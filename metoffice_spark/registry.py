@@ -49,6 +49,7 @@ _MODULES = (
     "stats",
     "olap2",
     "warehouse",
+    "curation2",
 )
 
 # qids registered first, in this order (driver checks the first 50).
