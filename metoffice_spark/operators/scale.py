@@ -413,14 +413,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metoffice_spark.session import scoped_persist
 
     # (src, dst, outdeg) cached HASH-PARTITIONED on src: every round's
-    # rank join reuses this layout (only the small rank side moves),
-    # and the degree count is a frame-free window over the partitions
-    # already in place — no separate degree aggregate + join.
-    ed = scoped_persist(
-        edges.repartition(F.col("src")).withColumn(
-            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-        )
-    )
+    # rank join reuses this layout (only the small rank side moves).
+    # Degrees come from a map-side-combinable aggregate joined back on
+    # the SAME src partitioning — a hash join over co-located keys.
+    # (The earlier frame-free window form sorted all 2|E| edge rows by
+    # src inside WindowExec; the aggregate ships |nodes| rows instead.)
+    edges = scoped_persist(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = scoped_persist(edges.repartition(F.col("src")).join(deg, "src"))
 
     nodes = ed.select(F.col("src").alias("node")).distinct()
     # Setup scalar (same discipline as the streaming replay bounds):

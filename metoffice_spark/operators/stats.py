@@ -443,8 +443,11 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = edges.select(F.col("cust").alias("ca"), F.col("supp").alias("sa"))
     eb = edges.select(F.col("cust").alias("cb2"), F.col("supp").alias("sb"))
+    # candidates are bounded (≤ C(_J_REPS,2) per supplier), so they
+    # BROADCAST into the first adjacency join — the only shuffle left
+    # is the (cb, supp)-keyed equi-join against the second adjacency.
     inter = (
-        cand.join(ea, "ca")
+        ea.join(F.broadcast(cand), "ca")
         .join(eb, (F.col("cb") == F.col("cb2")) & (F.col("sa") == F.col("sb")))
         .groupBy("ca", "cb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
