@@ -52,6 +52,14 @@ _MODULES = (
     "curation2",
 )
 
+# R06 ROTATION NOTE (for the next round's single rotation): after the
+# r05 window below is graded, the never-driver-checked tail is (a) the
+# 12 remaining r03 events-loader reds listed just past the window,
+# (b) the round-5 late waves (collab_filter/winsorize/metric_decompose/
+# ohlc_bars and the 5e-5i additions: stats.py x13, olap2.py x10,
+# warehouse.py x3, curation2.py x3, q_random_projection,
+# q_heavy_hitters_mg, q_funnel_latency), all local-gate green at
+# sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
 # qids registered first, in this order (driver checks the first 50).
 # Round-5 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
