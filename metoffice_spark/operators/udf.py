@@ -234,3 +234,109 @@ QUERIES = {
     "q_udtf": (q_udtf, ORACLE_UDTF),
     "q_udf_grouped_map": (q_udf_grouped_map, ORACLE_UDF_GROUPED_MAP),
 }
+
+
+# --- q_udf_cogrouped: co-grouped applyInPandas as-of merge --------------------
+#
+# The last member of the Pandas API family (scalar / grouped-agg /
+# grouped-map / UDTF / mapInPandas / applyInPandasWithState are
+# covered elsewhere): ``groupBy().cogroup().applyInPandas`` — both
+# sides shuffle ONCE on user_id, then each (clicks, purchases)
+# group pair crosses into Python as two Arrow batches. The kernel is
+# the canonical cogroup workload, a per-key as-of merge: every
+# purchase picks the latest click at-or-before it (ties on the
+# second broken by event_id, matching the oracle's (ep, event_id)
+# DESC ranking). numpy searchsorted per group — vectorized, never
+# per-row Python.
+#
+# Scale: identical shuffle shape to a shuffle join on user_id; the
+# Python boundary is Arrow-batched per group. The oracle expresses
+# the same as-of pick as a LEFT JOIN + rank-1 filter.
+
+
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: the as-of (latest prior) click's time, the gap
+    in seconds, and that click's value in cents — NULL columns when
+    the user never clicked before the purchase."""
+    import numpy as np
+
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ep"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "event_id", "ep", "cents"
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "event_id", "ep"
+    )
+
+    def asof_merge(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["ep", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "user_id": np.int64(key[0]).repeat(len(p)),
+                "purchase_event_id": p["event_id"].astype("int64"),
+                "purchase_s": p["ep"].astype("int64"),
+            }
+        )
+        if len(c) == 0 or len(p) == 0:
+            out["last_click_s"] = pd.array([None] * len(p), dtype="Int64")
+            out["gap_s"] = pd.array([None] * len(p), dtype="Int64")
+            out["click_cents"] = pd.array([None] * len(p), dtype="Int64")
+            return out
+        c = c.sort_values(["ep", "event_id"]).reset_index(drop=True)
+        idx = np.searchsorted(c["ep"].values, p["ep"].values, side="right") - 1
+        found = idx >= 0
+        last = pd.array(
+            [int(c["ep"].iloc[i]) if ok else None for i, ok in zip(idx, found)],
+            dtype="Int64",
+        )
+        cents = pd.array(
+            [int(c["cents"].iloc[i]) if ok else None for i, ok in zip(idx, found)],
+            dtype="Int64",
+        )
+        out["last_click_s"] = last
+        out["gap_s"] = out["purchase_s"].astype("Int64") - last
+        out["click_cents"] = cents
+        return out
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            "user_id bigint, purchase_event_id bigint, purchase_s bigint,"
+            " last_click_s bigint, gap_s bigint, click_cents bigint",
+        )
+    )
+
+
+ORACLE_UDF_COGROUPED = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+p AS (SELECT user_id, event_id, ep FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ep, cents FROM ev WHERE event_type = 'click'),
+best AS (
+  SELECT p.user_id, p.event_id AS purchase_event_id, p.ep AS purchase_s,
+         c.ep AS c_ep, c.cents AS c_cents,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.ep DESC, c.event_id DESC) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ep <= p.ep
+)
+SELECT user_id, purchase_event_id, purchase_s,
+       CAST(c_ep AS BIGINT) AS last_click_s,
+       CAST(purchase_s - c_ep AS BIGINT) AS gap_s,
+       CAST(c_cents AS BIGINT) AS click_cents
+FROM best WHERE rn = 1
+"""
+
+QUERIES["q_udf_cogrouped"] = (q_udf_cogrouped, ORACLE_UDF_COGROUPED)
