@@ -507,3 +507,50 @@ def test_olap2_pushdown_and_single_scans(spark, sf_smoke):
 
     plan = _plan(QUERIES["q_olap_promo_share"][0](spark, sf_smoke))
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_stats_wave_plan_shapes(spark, sf_smoke):
+    """Round-5e/5f scale points: the ridge Gram matrix and the
+    dataset fingerprint are each ONE aggregate exchange (no joins, no
+    sorts); target encoding's only nested loop is the sanctioned
+    1-row prior broadcast; chi2 top-k is TakeOrdered, not a global
+    sort."""
+    from metoffice_spark.operators.stats import q_chi2_terms, q_ridge_normal, q_target_encoding
+    from metoffice_spark.operators.warehouse import q_dataset_fingerprint
+
+    plan = _plan(q_ridge_normal(spark, sf_smoke))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Join" not in plan and "Sort" not in plan
+
+    plan = _plan(q_dataset_fingerprint(spark, sf_smoke))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+    plan = _plan(q_target_encoding(spark, sf_smoke))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(q_chi2_terms(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_hard_negatives_broadcasts_anchors(spark, sf_smoke):
+    """The anchor side must broadcast (one map-only corpus scan); the
+    corpus must never shuffle for the cross join."""
+    from metoffice_spark.operators.curation2 import q_hard_negatives
+
+    plan = _plan(q_hard_negatives(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan  # sanctioned: broadcast anchors
+    # exactly one exchange: the per-anchor top-k window partitioning
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_pagerank_degree_join_no_window_sort(spark, sf_smoke):
+    """The round-5 perf fix: out-degrees come from an aggregate joined
+    on the src partitioning — WindowExec (which sorted all 2|E| rows)
+    must be gone from the edge build."""
+    from metoffice_spark.operators.scale import q_graph_pagerank
+
+    plan = _plan(q_graph_pagerank(spark, sf_smoke))
+    assert "Window" not in plan, "outdeg window is back"
