@@ -26,6 +26,37 @@ from metoffice_spark.session import scoped_persist, tune
 QUERIES: dict = {}
 
 
+def _fp_div_1e6(num: str, den: str, op: str) -> str:
+    """Two-stage exact 1e-6 fixed-point divide of num/den (num ≤ den,
+    both non-negative BIGINT): stage 1 computes the 1e3-scaled
+    quotient, stage 2 refines the remainder — so the largest product
+    is max(num, den)·1000 instead of num·1e6, raising the int64
+    overflow bound from ~9.2e12 to ~9.2e15 (≈135M balanced rows per
+    AUC group). op is 'div' (Spark) or '//' (DuckDB); both truncate
+    on non-negative operands."""
+    q1 = f"((({num}) * 1000) {op} ({den}))"
+    rem = f"((({num}) * 1000) - {q1} * ({den}))"
+    return f"(1000 * {q1} + ({rem} * 1000) {op} ({den}))"
+
+
+def _chi2_2x2(dialect_cast: str = "DOUBLE") -> str:
+    """The shared 2×2 chi-squared expression over exact BIGINT cells
+    a,b,c,d with n = a+b+c+d: every FACTOR casts to double before any
+    multiply (a*d alone overflows int64 at ~1e9-row margins), and the
+    text is dialect-shared — ONE definition serves Spark and DuckDB
+    for both q_chi2_terms and q_drift_chi2."""
+    d = dialect_cast
+    return (
+        f"(CAST(a + b AS {d}) + CAST(c + d AS {d}))"
+        f" * (CAST(a AS {d}) * CAST(d AS {d})"
+        f" - CAST(b AS {d}) * CAST(c AS {d}))"
+        f" * (CAST(a AS {d}) * CAST(d AS {d})"
+        f" - CAST(b AS {d}) * CAST(c AS {d}))"
+        f" / (CAST(a + b AS {d}) * CAST(c + d AS {d})"
+        f" * CAST(a + c AS {d}) * CAST(b + d AS {d}))"
+    )
+
+
 # --- q_eval_auc: tie-corrected ROC AUC per source ----------------------------
 #
 # Mann-Whitney form: with ranks ascending by score, AUC =
@@ -67,18 +98,20 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum(F.expr("pos * (2 * rk + tc - 1)")).cast("bigint").alias("r2_pos"),
     )
+    # Two-stage exact fixed-point divide (_fp_div_1e6): numerator ≤
+    # denominator, so the overflow bound is ~135M balanced rows per
+    # group instead of ~4.3M with a single 1e6 multiply.
+    num = "(r2_pos - n_pos * (n_pos + 1))"
+    den = "(2 * n_pos * (n - n_pos))"
     return g.filter("n_pos > 0 AND n_pos < n").select(
         "source",
         "n",
         "n_pos",
-        F.expr(
-            "cast(1000000 * (r2_pos - n_pos * (n_pos + 1))"
-            " div (2 * n_pos * (n - n_pos)) as bigint)"
-        ).alias("auc_fp"),
+        F.expr(f"cast({_fp_div_1e6(num, den, 'div')} as bigint)").alias("auc_fp"),
     )
 
 
-ORACLE_EVAL_AUC = """
+ORACLE_EVAL_AUC = f"""
 WITH ranked AS (
   SELECT source,
          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos,
@@ -94,8 +127,8 @@ g AS (
   FROM ranked GROUP BY source
 )
 SELECT source, n, n_pos,
-       CAST(1000000 * (r2_pos - n_pos * (n_pos + 1))
-            // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_fp
+       CAST({_fp_div_1e6('(r2_pos - n_pos * (n_pos + 1))',
+                         '(2 * n_pos * (n - n_pos))', '//')} AS BIGINT) AS auc_fp
 FROM g WHERE n_pos > 0 AND n_pos < n
 """
 
@@ -158,14 +191,8 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
-    chi2 = (
-        "cast(n_docs as double) * cast(a * d - b * c as double)"
-        " * cast(a * d - b * c as double)"
-        " / (cast(a + b as double) * cast(c + d as double)"
-        " * cast(a + c as double) * cast(b + d as double))"
-    )
     scored = terms.filter("a + c > 0 AND b + d > 0").select(
-        "tok", "a", "b", "c", "d", F.expr(chi2).alias("chi2")
+        "tok", "a", "b", "c", "d", F.expr(_chi2_2x2()).alias("chi2")
     )
     return scored.orderBy(F.col("chi2").desc(), F.col("tok").asc()).limit(_CHI2_TOPK)
 
@@ -173,12 +200,7 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chi2_oracle() -> str:
     from metoffice_spark.operators.llm import TOKS_DUCK
 
-    chi2 = (
-        "CAST(n_docs AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)"
-        " * CAST(a * d - b * c AS DOUBLE)"
-        " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
-        " * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
-    )
+    chi2 = _chi2_2x2()
     return f"""
 WITH pairs AS (
   SELECT DISTINCT doc_id,
@@ -222,6 +244,10 @@ QUERIES["q_chi2_terms"] = (q_chi2_terms, _chi2_oracle())
 #
 # Scale: the row_number window is partitioned by segment (bounded
 # per-group sort); everything after is a per-segment aggregate.
+# Overflow bound (documented, not guarded): Σ i·x grows ~ mean·n²/2
+# per segment and leaves int64 around ~2e7 customers per segment; at
+# that scale the Lorenz curve comes from quantile-binned partial sums
+# (q_agg_histogram's machinery) instead of exact ranks.
 
 
 def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,10 +739,16 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SINK_JSONL = """
 SELECT doc_id,
-       '{"doc_id":' || CAST(doc_id AS VARCHAR)
+       -- tripwire (ADVICE r05 house pattern): raw concatenation only
+       -- equals Spark's to_json while the enum fields need no JSON
+       -- escaping; a datagen change introducing quotes/backslashes/
+       -- control chars must fail LOUDLY here, not hash-diverge.
+       CASE WHEN regexp_matches(lang || source, '["\\\\[:cntrl:]]')
+            THEN error('jsonl oracle: lang/source needs JSON escaping')
+       ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR)
          || ',"lang":"' || lang
          || '","source":"' || source
-         || '","n_chars":' || CAST(n_chars AS VARCHAR) || '}' AS line,
+         || '","n_chars":' || CAST(n_chars AS VARCHAR) || '}' END AS line,
        CAST(octet_length(CAST('{"doc_id":' || CAST(doc_id AS VARCHAR)
          || ',"lang":"' || lang
          || '","source":"' || source
@@ -939,19 +971,16 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
     )
-    chi2 = (
-        "cast(n1 + n2 as double) * cast(a * d - b * c as double)"
-        " * cast(a * d - b * c as double)"
-        " / (cast(a + b as double) * cast(c + d as double)"
-        " * cast(a + c as double) * cast(b + d as double))"
-    )
-    return cells.select(
+    # n1 > 0 AND n2 > 0 guards the degenerate split (all events inside
+    # the baseline window → every b = d = 0 → 0/0 chi²): drift is
+    # undefined with an empty window, so no rows are emitted then.
+    return cells.filter("n1 > 0 AND n2 > 0").select(
         "event_type",
         F.col("a").alias("n_base"),
         F.col("b").alias("n_cur"),
         F.expr("cast(1000000 * a div n1 as bigint)").alias("share_base_fp"),
         F.expr("cast(1000000 * b div n2 as bigint)").alias("share_cur_fp"),
-        F.expr(chi2).alias("chi2"),
+        F.expr(_chi2_2x2()).alias("chi2"),
     )
 
 
@@ -982,11 +1011,8 @@ cells AS (
 SELECT event_type, a AS n_base, b AS n_cur,
        CAST(1000000 * a // n1 AS BIGINT) AS share_base_fp,
        CAST(1000000 * b // n2 AS BIGINT) AS share_cur_fp,
-       CAST(n1 + n2 AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
-         * CAST(a * d - b * c AS DOUBLE)
-         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
-            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
-FROM cells
+       {_chi2_2x2()} AS chi2
+FROM cells WHERE n1 > 0 AND n2 > 0
 """
 
 QUERIES["q_drift_chi2"] = (q_drift_chi2, ORACLE_DRIFT)
@@ -1046,8 +1072,10 @@ def q_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("s * p")).cast("bigint").alias("pe_num"),
         )
     )
+    # coalesce: with a zero diagonal sum(n_docs) is NULL in Spark but
+    # the oracle coalesces to 0 — keep both sides on the 0 branch.
     correct = conf.filter("actual_lang = pred_lang").agg(
-        F.sum("n_docs").cast("bigint").alias("n_correct")
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_correct")
     )
     kappa = (
         "(cast(n_total as double) * cast(n_correct as double)"

@@ -177,7 +177,15 @@ _PATH_TOPK = 20
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 'a>b>c' consecutive event-type paths with counts."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # event_type IS NOT NULL: Spark's concat_ws SKIPS null arguments
+    # while the oracle's || propagates NULL — a NULL type row would
+    # silently produce a 2-element path on one engine and a NULL
+    # group on the other, so nulls are excluded explicitly BOTH sides.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter("event_type IS NOT NULL")
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     paths = (
         ev.select(
@@ -202,7 +210,7 @@ WITH seq AS (
   SELECT event_type,
          lead(event_type, 1) OVER w AS t1,
          lead(event_type, 2) OVER w AS t2
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT event_type || '>' || t1 || '>' || t2 AS path,
