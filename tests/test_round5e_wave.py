@@ -325,3 +325,56 @@ def test_text_readability_recount(spark, sf_smoke):
         assert r["syllables"] == syll
         expected = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
         assert math.isclose(r["flesch"], expected, rel_tol=1e-12)
+
+
+def test_fp_div_1e6_exact_at_large_magnitudes():
+    """The two-stage divide equals the mathematically exact
+    (num * 1e6) // den for magnitudes where the naive single multiply
+    would overflow int64 — checked through DuckDB (no Spark needed;
+    the Spark text differs only in div vs //)."""
+    import duckdb
+
+    from metoffice_spark.operators.stats import _fp_div_1e6
+
+    con = duckdb.connect()
+    cases = [
+        (0, 7),
+        (1, 3),
+        (123456789, 987654321),
+        # beyond the naive bound: num * 1e6 > int64 max
+        (9_223_372_036_854, 9_223_372_036_855),
+        (4_611_686_018_427_387, 9_223_372_036_854_775),  # num*1000 near max
+        (7_000_000_000_000_000, 9_000_000_000_000_000),
+    ]
+    for num, den in cases:
+        # BIGINT casts mirror the real call sites (BIGINT columns)
+        expr = _fp_div_1e6(
+            f"CAST({num} AS BIGINT)", f"CAST({den} AS BIGINT)", "//"
+        )
+        got = con.sql(f"SELECT CAST({expr} AS BIGINT)").fetchone()[0]
+        assert got == (num * 1_000_000) // den, (num, den)
+
+
+def test_chi2_2x2_no_int64_overflow_at_billion_scale():
+    """The shared chi² text must survive cell counts whose raw cross
+    products exceed int64 (every factor casts to double first)."""
+    import duckdb
+
+    from metoffice_spark.operators.stats import _chi2_2x2
+
+    con = duckdb.connect()
+    a, b, c, d = 1_500_000_000, 2_000_000_000, 1_000_000_000, 6_500_000_000
+    got = con.sql(
+        f"SELECT {_chi2_2x2()} FROM (SELECT CAST({a} AS BIGINT) a,"
+        f" CAST({b} AS BIGINT) b, CAST({c} AS BIGINT) c,"
+        f" CAST({d} AS BIGINT) d)"
+    ).fetchone()[0]
+    n = a + b + c + d
+    expected = (
+        n * (float(a) * d - float(b) * c) ** 2
+        / (float(a + b) * (c + d) * (a + c) * (b + d))
+    )
+    import math
+
+    assert math.isfinite(got) and got >= 0
+    assert math.isclose(got, expected, rel_tol=1e-9)
