@@ -232,12 +232,18 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
         )
         out = mom if out is None else out.unionByName(mom)
+    # zero-variance guard (the q_ts_trend CASE pattern): a constant
+    # series or a single lag pair makes a variance leg 0 — definition-
+    # ally NULL on BOTH engines instead of relying on each engine's
+    # double-division-by-zero behavior (NULL vs NaN across DuckDB
+    # versions).
     return out.withColumn(
         "acf",
         F.expr(
-            "cast(n * sxy - sx * sy as double)"
+            "case when (n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0"
+            " then cast(n * sxy - sx * sy as double)"
             " / (sqrt(cast(n * sxx - sx * sx as double))"
-            "    * sqrt(cast(n * syy - sy * sy as double)))"
+            "    * sqrt(cast(n * syy - sy * sy as double))) end"
         ),
     )
 
@@ -265,9 +271,10 @@ mom AS (
   FROM pairs GROUP BY event_type, lag
 )
 SELECT event_type, lag, n, sx, sy, sxy, sxx, syy,
-       cast(n * sxy - sx * sy as double)
-         / (sqrt(cast(n * sxx - sx * sx as double))
-            * sqrt(cast(n * syy - sy * sy as double))) AS acf
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN cast(n * sxy - sx * sy as double)
+              / (sqrt(cast(n * sxx - sx * sx as double))
+                 * sqrt(cast(n * syy - sy * sy as double))) END AS acf
 FROM mom
 """
 
@@ -656,8 +663,14 @@ def q_behavior_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BEHAVIOR_E2E = f"""
 WITH marked AS (
+  -- floor(epoch()): Spark compares floored cast-to-long SECONDS, and
+  -- every events.ts carries sub-second precision — a raw epoch()
+  -- diff can cross the 1800 s threshold when the floored diff does
+  -- not (the ORACLE_WIN_RANGE_INTERVAL precedent).
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > {_BE_GAP_MIN * 60}
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                      > {_BE_GAP_MIN * 60}
                  THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from metoffice_spark.io import load
 from metoffice_spark.operators.llm import (
-    _SPAN,
     _SPANS_DUCK,
     TOKS_DUCK,
     TOKS_SPARK,
@@ -453,19 +452,19 @@ q3 AS (
   SELECT doc_id FROM postings WHERE tok = 'slow'
 )
 SELECT 'join AND filter' AS query_id, CAST(count(*) AS BIGINT) AS n_hits,
-       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
-                                      v -> CAST(v AS VARCHAR)), '|')
+       coalesce(array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+                                      v -> CAST(v AS VARCHAR)), '|'), '')
          AS first_hits
 FROM q1
 UNION ALL
 SELECT 'stream OR window', CAST(count(*) AS BIGINT),
-       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
-                                      v -> CAST(v AS VARCHAR)), '|')
+       coalesce(array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+                                      v -> CAST(v AS VARCHAR)), '|'), '')
 FROM q2
 UNION ALL
 SELECT 'data AND NOT slow', CAST(count(*) AS BIGINT),
-       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
-                                      v -> CAST(v AS VARCHAR)), '|')
+       coalesce(array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+                                      v -> CAST(v AS VARCHAR)), '|'), '')
 FROM q3
 """
 
@@ -504,7 +503,9 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     docs = load(spark, sf_dir, "documents")
     terms = ", ".join(f"'{t}'" for t in _MMR_TERMS)
-    tf = (
+    # persisted: tf feeds both the candidate ranking and the max_tf
+    # scalar — without the barrier the tokenize+explode runs twice.
+    tf = scoped_persist(
         docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
         .filter(F.expr(f"tok in ({terms})"))
         .groupBy("doc_id")

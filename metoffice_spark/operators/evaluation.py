@@ -458,7 +458,10 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.sum("w").cast("bigint").alias("score_fp"))
     )
-    labeled = (
+    # persisted (the q_eval_pr precedent): labeled feeds BOTH the
+    # bounds aggregate and the binning crossJoin — without the barrier
+    # the explode+hash scoring chain executes twice.
+    labeled = scoped_persist(
         docs.select("doc_id", "lang")
         .join(scored.select("doc_id", "score_fp"), "doc_id", "left")
         .select(
