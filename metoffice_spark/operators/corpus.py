@@ -491,7 +491,11 @@ def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs"))
     mh_arr = "array(" + ", ".join(_mh_spark(j) for j in range(_N_MINHASH)) + ")"
-    sigs = hashed.select("doc_id", F.expr(mh_arr).alias("mh"))
+    # persisted: sigs feeds the orig AND planted join branches with
+    # different keys (no exchange reuse applies), and the 2-md5-per-
+    # shingle + 12-minhash subtree is the CPU-dominant step (the
+    # q_dedup_fuzzy persist precedent).
+    sigs = scoped_persist(hashed.select("doc_id", F.expr(mh_arr).alias("mh")))
 
     orig_s = shingled.filter(
         (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)

@@ -393,6 +393,4 @@ FROM proj
 """
 
 
-from metoffice_spark.operators.llm import NORM2_DUCK, NORM2_SPARK  # noqa: E402
-
 QUERIES["q_random_projection"] = (q_random_projection, _rp_oracle())

@@ -46,7 +46,9 @@ def _norm_text_impl(s: pd.Series) -> pd.Series:
 
 
 def _vowel_count_impl(s: pd.Series) -> pd.Series:
-    return s.str.lower().str.count(r"[aeiou]").astype("int64")
+    # nullable Int64: a NULL text stays NULL (oracle behavior) instead
+    # of astype("int64") raising on the NaN the .str accessor yields
+    return s.str.lower().str.count(r"[aeiou]").astype("Int64")
 
 
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,19 +137,33 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral Python UDTF: documents x token_explode(text). Arrow
     serialization on; at scale this is a map-side expand (no shuffle)."""
     spark = tune(spark)
+    # session-wide conf: set for THIS builder only and restore after —
+    # a leaked flag would change every later UDTF in the shared
+    # parity/bench session (the sanctioned tuning home is tune()).
+    _k = "spark.sql.execution.pythonUDTF.arrow.enabled"
     try:
-        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        _prev = spark.conf.get(_k, None)
+        spark.conf.set(_k, "true")
     except Exception:
-        pass
+        _prev = None
     token_explode = udtf(_TokenExplode, returnType="pos int, token string, token_len int")
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     spark.udtf.register("token_explode", token_explode)
-    return spark.sql(
+    out = spark.sql(
         """
         SELECT d.doc_id, t.pos, t.token, t.token_len
         FROM documents d, LATERAL token_explode(d.text) t
         """
     )
+    # plan is resolved eagerly at sql(); safe to restore before collect
+    try:
+        if _prev is None:
+            spark.conf.unset(_k)
+        else:
+            spark.conf.set(_k, _prev)
+    except Exception:
+        pass
+    return out
 
 
 ORACLE_UDTF = """
@@ -292,14 +308,13 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = c.sort_values(["ep", "event_id"]).reset_index(drop=True)
         idx = np.searchsorted(c["ep"].values, p["ep"].values, side="right") - 1
         found = idx >= 0
-        last = pd.array(
-            [int(c["ep"].iloc[i]) if ok else None for i, ok in zip(idx, found)],
-            dtype="Int64",
-        )
-        cents = pd.array(
-            [int(c["cents"].iloc[i]) if ok else None for i, ok in zip(idx, found)],
-            dtype="Int64",
-        )
+        # vectorized gather + mask (no per-row Python): numpy take on
+        # the clipped indices, then the miss mask nulls the misses
+        safe = np.clip(idx, 0, None)
+        last = pd.array(c["ep"].to_numpy()[safe], dtype="Int64")
+        cents = pd.array(c["cents"].to_numpy()[safe], dtype="Int64")
+        last[~found] = None
+        cents[~found] = None
         out["last_click_s"] = last
         out["gap_s"] = out["purchase_s"].astype("Int64") - last
         out["click_cents"] = cents

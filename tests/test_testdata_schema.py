@@ -217,3 +217,21 @@ def test_round5_time_ops_tz_safety(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert probed == baseline
+
+
+def test_lineitem_quantity_integral(spark):
+    """Tripwire for the identical-text SQL discipline: Spark's
+    CAST(DOUBLE AS BIGINT) truncates while DuckDB's rounds, so the
+    shared-text OLAP queries are only cross-engine-safe while
+    l_quantity holds integral values. A datagen change to fractional
+    quantities must fail HERE, not as a silent parity drift."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        bad = con.sql(
+            f"SELECT count(*) FROM '/root/testdata/{sf}/lineitem.parquet'"
+            " WHERE l_quantity <> floor(l_quantity)"
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} fractional l_quantity rows"
+    con.close()
