@@ -1444,3 +1444,88 @@ FROM o
 """
 
 QUERIES["q_fn_datetime_suite"] = (q_fn_datetime_suite, ORACLE_FN_DATETIME_SUITE)
+
+
+# --- q_agg_cube: CUBE over two dimensions (round 5j) -------------------------
+#
+# Completes the multi-dimensional aggregate family next to
+# q_agg_grouping_sets' ROLLUP: the full 2^2 lattice over
+# (orderstatus, orderpriority) with explicit grouping flags (the
+# ROLLUP precedent: data has no real NULL keys, so CASE-on-NULL flags
+# are unambiguous and dialect-portable). One expanded aggregate —
+# Spark plans Expand + a single hash aggregate, map-side combinable.
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (o_orderstatus, o_orderpriority): counts + cents totals
+    for all four grouping levels with explicit flags."""
+    spark = tune(spark)
+    o = load(spark, sf_dir, "orders")
+    cubed = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("total_cents"),
+    )
+    return cubed.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("cast(o_orderstatus IS NULL as int)").alias("g_status"),
+        F.expr("cast(o_orderpriority IS NULL as int)").alias("g_priority"),
+        "n_orders",
+        "total_cents",
+    )
+
+
+ORACLE_AGG_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(o_orderstatus IS NULL AS INT) AS g_status,
+       CAST(o_orderpriority IS NULL AS INT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_cents_sql('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["q_agg_cube"] = (q_agg_cube, ORACLE_AGG_CUBE)
+
+
+# --- q_fn_bitwise_suite: bitwise scalar function family (round 5j) -----------
+#
+# The last uncovered scalar-function family: AND/OR/XOR, shifts,
+# popcount, and masked complement over the order key. Map-only,
+# sampled by key. Dialect note: Spark's ``^`` is bitwise XOR but
+# DuckDB's ``^`` is POWER — the oracle must use ``xor()``; Spark
+# spells shifts shiftleft/shiftright, DuckDB ``<<``/``>>`` — which is
+# exactly why this family gets per-dialect texts instead of the
+# identical-text discipline.
+
+
+def q_fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sampled order key: AND/OR/XOR masks, shifts, popcount,
+    masked complement."""
+    spark = tune(spark)
+    o = load(spark, sf_dir, "orders").filter("o_orderkey % 31 = 0")
+    return o.select(
+        "o_orderkey",
+        F.expr("cast(o_orderkey & 255 as bigint)").alias("b_and"),
+        F.expr("cast(o_orderkey | 4096 as bigint)").alias("b_or"),
+        F.expr("cast(o_orderkey ^ 61680 as bigint)").alias("b_xor"),
+        F.expr("cast(shiftleft(o_orderkey & 1023, 3) as bigint)").alias("b_shl"),
+        F.expr("cast(shiftright(o_orderkey, 2) as bigint)").alias("b_shr"),
+        F.expr("cast(bit_count(o_orderkey) as bigint)").alias("b_pop"),
+        F.expr("cast(~o_orderkey & 255 as bigint)").alias("b_notmask"),
+    )
+
+
+ORACLE_FN_BITWISE = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+       CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+       CAST(xor(o_orderkey, 61680) AS BIGINT) AS b_xor,
+       CAST((o_orderkey & 1023) << 3 AS BIGINT) AS b_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS b_shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop,
+       CAST(~o_orderkey & 255 AS BIGINT) AS b_notmask
+FROM orders WHERE o_orderkey % 31 = 0
+"""
+
+QUERIES["q_fn_bitwise_suite"] = (q_fn_bitwise_suite, ORACLE_FN_BITWISE)

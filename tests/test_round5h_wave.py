@@ -129,3 +129,38 @@ def test_dataset_fingerprint_order_free_and_total(spark, sf_smoke):
     assert rows[0]["n_rows"] == n0
     assert rows[0]["checksum_add"] == add0
     assert rows[0]["checksum_xor"] == xor0
+
+
+def test_agg_cube_lattice_consistency(spark, sf_smoke):
+    """The four grouping levels reconcile: the grand total equals the
+    sum of every fully-grouped cell, and each one-dimension margin
+    re-aggregates its detail cells."""
+    from metoffice_spark.operators.relational import q_agg_cube
+
+    rows = q_agg_cube(spark, sf_smoke).collect()
+    detail = [r for r in rows if not r["g_status"] and not r["g_priority"]]
+    grand = [r for r in rows if r["g_status"] and r["g_priority"]]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in detail)
+    assert grand[0]["total_cents"] == sum(r["total_cents"] for r in detail)
+    for m in (r for r in rows if r["g_priority"] and not r["g_status"]):
+        cells = [r for r in detail if r["o_orderstatus"] == m["o_orderstatus"]]
+        assert m["n_orders"] == sum(r["n_orders"] for r in cells)
+        assert m["total_cents"] == sum(r["total_cents"] for r in cells)
+
+
+def test_fn_bitwise_recount(spark, sf_smoke):
+    """Every bitwise column matches the Python operators exactly."""
+    from metoffice_spark.operators.relational import q_fn_bitwise_suite
+
+    rows = q_fn_bitwise_suite(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        assert r["b_and"] == k & 255
+        assert r["b_or"] == k | 4096
+        assert r["b_xor"] == k ^ 61680
+        assert r["b_shl"] == (k & 1023) << 3
+        assert r["b_shr"] == k >> 2
+        assert r["b_pop"] == bin(k).count("1")
+        assert r["b_notmask"] == ~k & 255
