@@ -80,19 +80,26 @@ DOT_DUCK = (
 )
 
 
+# Zero-norm guard on BOTH dialects: fixed-point rounding can collapse
+# a tiny-magnitude embedding to the all-zero vector (n2 = 0), where
+# the unguarded divide is NaN on Spark but NULL on DuckDB (sorts and
+# >= filters then diverge). Cosine to a zero vector is undefined →
+# definitionally NULL on both engines.
 def _cos_spark(a: str, b: str, n2a: str, n2b: str) -> str:
     dot = DOT_SPARK.format(a=a, b=b)
     return (
-        f"cast({dot} as double) / (sqrt(cast({n2a} as double))"
-        f" * sqrt(cast({n2b} as double)))"
+        f"case when ({n2a}) > 0 and ({n2b}) > 0 then"
+        f" cast({dot} as double) / (sqrt(cast({n2a} as double))"
+        f" * sqrt(cast({n2b} as double))) end"
     )
 
 
 def _cos_duck(a: str, b: str, n2a: str, n2b: str) -> str:
     dot = DOT_DUCK.format(a=a, b=b)
     return (
-        f"CAST({dot} AS DOUBLE) / (sqrt(CAST({n2a} AS DOUBLE))"
-        f" * sqrt(CAST({n2b} AS DOUBLE)))"
+        f"CASE WHEN ({n2a}) > 0 AND ({n2b}) > 0 THEN"
+        f" CAST({dot} AS DOUBLE) / (sqrt(CAST({n2a} AS DOUBLE))"
+        f" * sqrt(CAST({n2b} AS DOUBLE))) END"
     )
 
 
@@ -1239,6 +1246,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fell through 32 rounds without converging (graph diameter
+        # exceeded the bound): failing loudly beats silently emitting
+        # split components the recursive-CTE oracle would refute.
+        raise RuntimeError(
+            "q_dedup_components: min-label propagation did not converge"
+            f" within 32 rounds ({changed} labels still changing)"
+        )
     out = labels.select(
         "doc_id",
         F.col("lbl").alias("component"),

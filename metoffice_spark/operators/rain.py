@@ -115,7 +115,7 @@ SELECT station_id, obs_id, ts, r,
 FROM rain_state
 """
 
-ORACLE_RAIN_METRICS = f"{_CTE}, {_RAIN_BASE_SQL.strip().rstrip()} {_RAIN_METRICS_SELECT}"
+ORACLE_RAIN_METRICS = f"{_CTE}, {_RAIN_BASE_SQL.strip()} {_RAIN_METRICS_SELECT}"
 
 
 def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,21 +227,33 @@ def q_sink_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_table(spark, sf_dir)
 
 
+# previous state-snapshot roots of THIS process, deleted on the next
+# invocation (the lazily-read newest root must stay on disk)
+_STATE_ROOTS: list = []
+
+
 def q_src_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-table scan (MWC:210-216): persist the rainhistory rows to
     parquet and read them back — a real small-dim state source that
     Catalyst will auto-broadcast in joins."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     # unique per-run dir: concurrent sessions (pytest + bench + driver)
-    # must not clobber each other's state snapshot (ADVICE r01)
-    path = os.path.join(
-        tempfile.gettempdir(), "metoffice_spark_state", uuid.uuid4().hex[:12],
-        os.path.basename(sf_dir),
-    )
+    # must not clobber each other's state snapshot (ADVICE r01).
+    # Keep-latest-delete-stale (the q_join_bucketed _BUCKET_ROOTS
+    # discipline): the returned DataFrame re-reads its root lazily, so
+    # only PREVIOUS roots of this process are removed — without this,
+    # every invocation leaked one snapshot dir for the container's
+    # lifetime.
+    root = os.path.join(tempfile.gettempdir(), "metoffice_spark_state")
+    path = os.path.join(root, uuid.uuid4().hex[:12], os.path.basename(sf_dir))
     state_table(spark, sf_dir).write.mode("overwrite").parquet(path)
+    while _STATE_ROOTS:
+        shutil.rmtree(_STATE_ROOTS.pop(), ignore_errors=True)
+    _STATE_ROOTS.append(os.path.dirname(path))
     return spark.read.parquet(path)
 
 
@@ -252,7 +264,6 @@ def q_join_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = state_table(spark, sf_dir).select(
         "station_id",
         F.date_add("day", 1).alias("next_day"),
-        F.col("last_saved_r").alias("y_last_saved_r"),
         F.col("day_start_r").alias("y_day_start_r"),
     )
     obs = _rain_state(spark, sf_dir)
@@ -299,7 +310,6 @@ QUERIES = {
 
 # --- q_rollup_hypertable: multi-resolution time-bucket rollups ---------------
 
-_B15_SPARK = "window(ts, '15 minutes')"
 
 
 def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +628,10 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = base.join(F.broadcast(stats), "station_id")
     mean = F.col("s1").cast("double") / F.col("n").cast("double")
     var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
-    z = (F.col("t_fp").cast("double") - mean) / F.sqrt(var)
+    # zero-variance guard (constant-temperature station): NULL on
+    # both engines instead of Spark NaN vs DuckDB NULL drift; the
+    # |z| > 3 filter then drops the station identically.
+    z = F.when(var > F.lit(0.0), (F.col("t_fp").cast("double") - mean) / F.sqrt(var))
     return (
         joined.select(
             "station_id",
@@ -642,13 +655,20 @@ stats AS (
          CAST(sum(t_fp * t_fp) AS BIGINT) AS s2
   FROM base GROUP BY station_id
 ),
+vstats AS (
+  SELECT station_id, n, s1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS vr
+  FROM stats
+),
 scored AS (
+  -- zero-variance guard: NULL z (matches the Spark CASE), filtered out
   SELECT b.station_id, b.obs_id, b.t_fp / 100.0 AS temp_c,
-         (CAST(b.t_fp AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
-           / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
-                  - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
-                    * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z
-  FROM base b JOIN stats s ON b.station_id = s.station_id
+         CASE WHEN s.vr > 0e0 THEN
+           (CAST(b.t_fp AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(s.vr) END AS z
+  FROM base b JOIN vstats s ON b.station_id = s.station_id
 )
 SELECT station_id, obs_id, temp_c, z FROM scored WHERE abs(z) > 3.0
 """
