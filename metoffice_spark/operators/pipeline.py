@@ -285,9 +285,13 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 20 == 0
     evald = docs.filter(is_eval)
     train = docs.filter(~is_eval).unionByName(
-        # the planted leak: every 3rd eval doc appears in train verbatim
+        # the planted leak: every 3rd eval doc appears in train
+        # verbatim under a NEGATED id — disjoint from the dense
+        # non-negative doc_id space at EVERY corpus size (a fixed
+        # +500000 offset collides once the corpus passes 500k docs;
+        # the q_graph_pagerank disjoint-id precedent)
         evald.filter((F.col("doc_id") / 20) % 3 == 0).select(
-            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
         )
     )
 
@@ -327,7 +331,8 @@ WITH evald AS (
 train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
   UNION ALL
-  SELECT doc_id + 500000 AS doc_id, text FROM evald WHERE (doc_id / 20) % 3 = 0
+  -- negated planted-leak ids: collision-free at every corpus size
+  SELECT -(doc_id + 1) AS doc_id, text FROM evald WHERE (doc_id / 20) % 3 = 0
 ),
 tg AS (
   SELECT doc_id AS train_doc, unnest(list_distinct({_G5_DUCK})) AS g
@@ -1063,7 +1068,6 @@ def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"size({TOKS_SPARK})").cast("bigint").alias("n_toks"),
     )
-    w = Window.orderBy(F.col("n_toks").desc(), F.col("doc_id").asc())
     batched = docs.select(
         "doc_id",
         "n_toks",
@@ -1079,8 +1083,11 @@ def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(count(1) * max(n_toks) - sum(n_toks) as bigint)").alias(
             "pad_tokens"
         ),
+        # greatest(...,1): an all-zero-token batch would divide by 0
+        # (Spark-ANSI crash vs DuckDB NULL) — the dup_bigram_frac guard
         F.expr(
-            "cast(1000000 * sum(n_toks) div (count(1) * max(n_toks)) as bigint)"
+            "cast(1000000 * sum(n_toks)"
+            " div greatest(count(1) * max(n_toks), 1) as bigint)"
         ).alias("util_fp"),
     )
 
@@ -1099,8 +1106,8 @@ SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(n_toks) AS BIGINT) AS max_len,
        CAST(min(n_toks) AS BIGINT) AS min_len,
        CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_tokens,
-       CAST(1000000 * sum(n_toks) // (count(*) * max(n_toks)) AS BIGINT)
-         AS util_fp
+       CAST(1000000 * sum(n_toks) // greatest(count(*) * max(n_toks), 1)
+            AS BIGINT) AS util_fp
 FROM batched GROUP BY batch_id
 """
 

@@ -521,12 +521,18 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_tokens").cast("double")
         / F.lit(float(_ENT_SCALE))
     )
+    # n_distinct > 1 guard: a single-token stratum has ln(1) = 0 in
+    # the denominator (Spark-ANSI crash vs DuckDB NULL); the ratio is
+    # undefined there → definitionally NULL on both engines.
     return agg.select(
         "lang",
         "n_tokens",
         "n_distinct",
         ent.alias("entropy_nats"),
-        (ent / F.log(F.col("n_distinct").cast("double"))).alias("entropy_ratio"),
+        F.when(
+            F.col("n_distinct") > 1,
+            ent / F.log(F.col("n_distinct").cast("double")),
+        ).alias("entropy_ratio"),
     )
 
 
@@ -548,9 +554,10 @@ SELECT lang, n_tokens, n_distinct,
        ln(CAST(n_tokens AS DOUBLE))
          - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0)
          AS entropy_nats,
-       (ln(CAST(n_tokens AS DOUBLE))
-         - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0))
-         / ln(CAST(n_distinct AS DOUBLE)) AS entropy_ratio
+       CASE WHEN n_distinct > 1 THEN
+         (ln(CAST(n_tokens AS DOUBLE))
+           - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0))
+           / ln(CAST(n_distinct AS DOUBLE)) END AS entropy_ratio
 FROM agg
 """
 

@@ -9,21 +9,22 @@ from pyspark.sql import functions as F
 
 
 def test_contamination_finds_planted_leaks(spark, sf_smoke):
-    """Every leaked train doc (id = eval_id + 500000, verbatim text)
-    must be flagged against its source eval doc with full coverage."""
+    """Every leaked train doc (id = -(eval_id + 1), verbatim text —
+    the collision-free negated-id space) must be flagged against its
+    source eval doc with full coverage."""
     from metoffice_spark.io import load
     from metoffice_spark.operators.pipeline import q_contamination_ngram
 
     out = q_contamination_ngram(spark, sf_smoke).collect()
     docs = load(spark, sf_smoke, "documents").select("doc_id").collect()
     planted = {
-        r.doc_id + 500000
+        -(r.doc_id + 1)
         for r in docs
         if r.doc_id % 20 == 0 and (r.doc_id / 20) % 3 == 0
     }
     # restrict to eval docs long enough to have >= _MIN_SHARED 5-grams
     eligible = {
-        r.doc_id + 500000
+        -(r.doc_id + 1)
         for r in load(spark, sf_smoke, "documents")
         .filter((F.col("doc_id") % 20 == 0) & ((F.col("doc_id") / 20) % 3 == 0))
         .filter(F.expr("size(split(trim(text), '\\\\s+')) >= 7"))
@@ -32,9 +33,9 @@ def test_contamination_finds_planted_leaks(spark, sf_smoke):
     }
     flagged_pairs = {(r.train_doc, r.eval_doc) for r in out}
     for train_id in eligible:
-        assert (train_id, train_id - 500000) in flagged_pairs
+        assert (train_id, -train_id - 1) in flagged_pairs
     # the verbatim copy shares ALL the eval doc's distinct grams
-    verbatim = [r for r in out if r.train_doc - 500000 == r.eval_doc]
+    verbatim = [r for r in out if r.train_doc == -(r.eval_doc + 1)]
     assert verbatim and all(abs(r.eval_coverage - 1.0) < 1e-12 for r in verbatim)
     assert planted >= eligible
 
