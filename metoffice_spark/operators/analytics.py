@@ -305,8 +305,12 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
     )
     def pick(p: int):
-        idx = (F.lit(p) * F.col("n") + F.lit(99)) / F.lit(100)
-        return F.max(F.when(F.col("rn") == F.floor(idx).cast("bigint"), F.col("v_fp")))
+        # all-integer index arithmetic (the q_percentile_cont div
+        # pattern): double-divide + floor can misround vs the
+        # oracle's integer // at extreme counts
+        return F.max(
+            F.when(F.expr(f"rn = ({p} * n + 99) div 100"), F.col("v_fp"))
+        )
     return ranked.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n"),
         (pick(50) / F.lit(1000.0)).alias("p50"),
@@ -804,11 +808,16 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "v_fp",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    # persisted (the q_percentile_cont precedent): lo and hi each
+    # filter ranked — without the barrier the per-type sort +
+    # row_number window recomputes twice
+    ranked = scoped_persist(
+        ev.select(
+            "event_type",
+            "v_fp",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
     )
     lo = ranked.filter(F.expr("rn = (5 * n + 99) div 100")).select(
         F.col("event_type").alias("et_lo"), F.col("v_fp").alias("p05_fp")
@@ -923,8 +932,15 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1 = period(F.col("d") < F.lit("2024-01-16").cast("date"), "1")
     p2 = period(F.col("d") >= F.lit("2024-01-16").cast("date"), "2")
-    joined = p1.join(p2, p1["et1"] == p2["et2"]).select(
-        F.col("et1").alias("event_type"), "n1", "c1", "n2", "c2"
+    # FULL OUTER + zero-fill: a type present in only one half would
+    # vanish from an inner join and the per-type deltas would no
+    # longer reconcile to the topline delta
+    joined = p1.join(p2, p1["et1"] == p2["et2"], "full").select(
+        F.coalesce(p1["et1"], p2["et2"]).alias("event_type"),
+        F.coalesce("n1", F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce("n2", F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce("c2", F.lit(0)).cast("bigint").alias("c2"),
     )
     return joined.select(
         "event_type",
@@ -933,10 +949,13 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         "c2",
         F.expr("cast(1000000 * (c2 - c1) as bigint)").alias("delta_fp"),
+        # n1 > 0 guard: a type new in period 2 has no period-1 rate,
+        # so its whole delta is a rate/new-type effect (volume 0) —
+        # and div 0 would error under Spark ANSI
         F.expr(
-            "cast(if((n2 - n1) * c1 < 0,"
+            "cast(if(n1 = 0, 0, if((n2 - n1) * c1 < 0,"
             " -((-((n2 - n1) * c1)) * 1000000 div n1),"
-            " (n2 - n1) * c1 * 1000000 div n1) as bigint)"
+            " (n2 - n1) * c1 * 1000000 div n1)) as bigint)"
         ).alias("volume_fp"),
     ).withColumn(
         "rate_fp", F.expr("cast(delta_fp - volume_fp as bigint)")
@@ -960,16 +979,25 @@ p2 AS (
   FROM ev WHERE d >= DATE '2024-01-16' GROUP BY event_type
 ),
 joined AS (
-  SELECT p1.event_type, n1, c1, n2, c2 FROM p1 JOIN p2 USING (event_type)
+  -- FULL OUTER + zero-fill: types present in only one half stay in
+  -- the reconciliation (matches the Spark side)
+  SELECT coalesce(p1.event_type, p2.event_type) AS event_type,
+         CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+         CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+         CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+         CAST(coalesce(c2, 0) AS BIGINT) AS c2
+  FROM p1 FULL JOIN p2 USING (event_type)
 )
 SELECT event_type, n1, c1, n2, c2,
        CAST(1000000 * (c2 - c1) AS BIGINT) AS delta_fp,
-       CAST(CASE WHEN (n2 - n1) * c1 < 0
+       CAST(CASE WHEN n1 = 0 THEN 0
+                 WHEN (n2 - n1) * c1 < 0
                  THEN -((-((n2 - n1) * c1)) * 1000000 // n1)
                  ELSE (n2 - n1) * c1 * 1000000 // n1 END AS BIGINT)
          AS volume_fp,
        CAST(1000000 * (c2 - c1)
-            - CASE WHEN (n2 - n1) * c1 < 0
+            - CASE WHEN n1 = 0 THEN 0
+                   WHEN (n2 - n1) * c1 < 0
                    THEN -((-((n2 - n1) * c1)) * 1000000 // n1)
                    ELSE (n2 - n1) * c1 * 1000000 // n1 END AS BIGINT) AS rate_fp
 FROM joined

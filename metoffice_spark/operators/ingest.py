@@ -20,6 +20,7 @@
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,7 @@ from metoffice_spark.functions import weather as W
 from metoffice_spark.io import load
 from metoffice_spark.obs import (
     MAST_HEIGHT_M,
+    OBS_PER_HOUR,
     SITE_ALTITUDE_M,
     SITE_LATITUDE_DEG,
     observations,
@@ -210,10 +212,13 @@ def wow_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     raining = F.col("fresh") & (F.col("r") != F.col("day_start"))
     c2 = F.coalesce(F.col("prev_saved"), F.lit(0.0))
     daily = F.when(raining, F.col("r") - F.col("day_start")).otherwise(F.lit(0.0))
+    # rate multiplier = observations/hour (MWC:34-39) — shared with
+    # rain.py's rain_metrics_from_obs, never a re-hardcoded literal
+    _oph = F.lit(float(OBS_PER_HOUR))
     rate = F.when(
         raining,
-        F.when(c2 != 0.0, F.lit(4.0) * (F.col("r") - c2)).otherwise(
-            F.lit(4.0) * (F.col("r") - F.col("day_start"))
+        F.when(c2 != 0.0, _oph * (F.col("r") - c2)).otherwise(
+            _oph * (F.col("r") - F.col("day_start"))
         ),
     ).otherwise(F.lit(0.0))
 
@@ -313,8 +318,8 @@ def http_post_wow(df: DataFrame, url: str, timeout_s: float = 10.0) -> DataFrame
 _DAILY_SQL = "CASE WHEN fresh AND r <> day_start THEN r - day_start ELSE 0.0 END"
 _RATE_SQL = (
     "CASE WHEN fresh AND r <> day_start THEN "
-    "CASE WHEN COALESCE(prev_saved, 0.0) <> 0.0 THEN 4.0 * (r - prev_saved) "
-    "ELSE 4.0 * (r - day_start) END ELSE 0.0 END"
+    f"CASE WHEN COALESCE(prev_saved, 0.0) <> 0.0 THEN {OBS_PER_HOUR}.0 * (r - prev_saved) "
+    f"ELSE {OBS_PER_HOUR}.0 * (r - day_start) END ELSE 0.0 END"
 )
 _WS_CORR_SQL = f"(CASE WHEN windspeed_ms <> 0 THEN windspeed_ms * {_MAST_CORR_SQL} ELSE windspeed_ms END)"
 _WG_CORR_SQL = f"(CASE WHEN windspeed_ms <> 0 THEN windgust_ms * {_MAST_CORR_SQL} ELSE windgust_ms END)"
@@ -462,6 +467,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(base, uuid.uuid4().hex[:12])
     docs.write.partitionBy("lang").mode("overwrite").parquet(root)
     _SINK_ROOTS.append(root)
+    # own-process exit reap (the _MERGE_ROOTS atexit pattern): the
+    # within-process keep-latest above cannot see PRIOR processes'
+    # roots, which otherwise leak until /tmp is cleaned
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     back = spark.read.parquet(root).filter(F.col("lang") == "en")
     return (
         back.groupBy("source")
@@ -501,11 +510,15 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, rows whose text survived byte-identical, and the n_chars
     checksum — all equal to the parquet truth.
 
-    Scale: format encode/decode is embarrassingly parallel (one task
-    per file split; both readers are splittable JVM sources); the
-    comparison join is keyed on doc_id, co-located at 100 TB if the
-    lake is bucketed by doc_id. Schemas are explicit, never inferred —
-    an inference pass over 100 TB is a full extra scan."""
+    Scale: format encode/decode is embarrassingly parallel. Caveat —
+    JSONL and ORC splits parallelize per block, but multiLine=true
+    (required for embedded newlines in quoted CSV text) makes the CSV
+    leg whole-file per task: at 100 TB the CSV side must be written as
+    MANY files (as this writer does) or the quoted text escaped so
+    multiLine can stay off. The comparison join is keyed on doc_id,
+    co-located at 100 TB if the lake is bucketed by doc_id. Schemas
+    are explicit, never inferred — an inference pass over 100 TB is a
+    full extra scan."""
     import shutil
     import tempfile
     import uuid
@@ -520,6 +533,10 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     del _FMT_ROOTS[: max(0, len(_FMT_ROOTS) - 1)]
     root = os.path.join(base, uuid.uuid4().hex[:12])
     _FMT_ROOTS.append(root)
+    # own-process exit reap (the _MERGE_ROOTS atexit pattern): the
+    # within-process keep-latest above cannot see PRIOR processes'
+    # roots, which otherwise leak until /tmp is cleaned
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     jdir, cdir = os.path.join(root, "json"), os.path.join(root, "csv")
     odir = os.path.join(root, "orc")
@@ -614,6 +631,10 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     del _COMPACT_ROOTS[: max(0, len(_COMPACT_ROOTS) - 1)]
     root = os.path.join(base, uuid.uuid4().hex[:12])
     _COMPACT_ROOTS.append(root)
+    # own-process exit reap (the _MERGE_ROOTS atexit pattern): the
+    # within-process keep-latest above cannot see PRIOR processes'
+    # roots, which otherwise leak until /tmp is cleaned
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
     ev.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag)

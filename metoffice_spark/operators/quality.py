@@ -371,16 +371,29 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").cast("bigint").alias("n_keys"),
         F.count_distinct("p_key").cast("bigint").alias("n_pseudonyms"),
     )
+    # FULL OUTER: a bucket where the profiles diverge (e.g. an md5
+    # collision merging two pseudonyms) exists on only ONE side — an
+    # inner join would silently drop exactly the row the audit exists
+    # to surface; zero-filled counts make it a visible mismatch.
     return (
-        raw_prof.join(tok_prof, raw_prof["n_orders"] == tok_prof["n_orders_t"])
+        raw_prof.join(
+            tok_prof, raw_prof["n_orders"] == tok_prof["n_orders_t"], "full"
+        )
         .crossJoin(F.broadcast(inj))
         .select(
-            F.col("n_orders").cast("bigint").alias("n_orders"),
-            "n_customers_raw",
-            "n_customers_tok",
-            (F.col("n_customers_raw") == F.col("n_customers_tok")).alias(
-                "profile_match"
-            ),
+            F.coalesce(raw_prof["n_orders"], tok_prof["n_orders_t"])
+            .cast("bigint")
+            .alias("n_orders"),
+            F.coalesce("n_customers_raw", F.lit(0))
+            .cast("bigint")
+            .alias("n_customers_raw"),
+            F.coalesce("n_customers_tok", F.lit(0))
+            .cast("bigint")
+            .alias("n_customers_tok"),
+            (
+                F.coalesce("n_customers_raw", F.lit(0))
+                == F.coalesce("n_customers_tok", F.lit(0))
+            ).alias("profile_match"),
             "n_keys",
             "n_pseudonyms",
         )
@@ -407,11 +420,13 @@ inj AS (
          CAST(count(DISTINCT p_key) AS BIGINT) AS n_pseudonyms
   FROM orders_p
 )
-SELECT CAST(r.n_orders AS BIGINT) AS n_orders, r.n_customers_raw,
-       t.n_customers_tok,
-       r.n_customers_raw = t.n_customers_tok AS profile_match,
+SELECT CAST(coalesce(r.n_orders, t.n_orders) AS BIGINT) AS n_orders,
+       CAST(coalesce(r.n_customers_raw, 0) AS BIGINT) AS n_customers_raw,
+       CAST(coalesce(t.n_customers_tok, 0) AS BIGINT) AS n_customers_tok,
+       coalesce(r.n_customers_raw, 0) = coalesce(t.n_customers_tok, 0)
+         AS profile_match,
        i.n_keys, i.n_pseudonyms
-FROM raw_prof r JOIN tok_prof t ON r.n_orders = t.n_orders
+FROM raw_prof r FULL JOIN tok_prof t ON r.n_orders = t.n_orders
 CROSS JOIN inj i
 """
 
@@ -424,7 +439,10 @@ QUERIES["q_pseudonymize"] = (q_pseudonymize, ORACLE_PSEUDONYMIZE)
 # privacy aggregates): a count released with Laplace(b = 1/epsilon)
 # noise via inverse-CDF sampling,
 #
-#   u ~ (0,1),  noise = -b * sgn(u - 0.5) * ln(1 - 2|u - 0.5|)
+#   u ~ (0,1),  noise = b * sgn(u - 0.5) * ln(1 - 2|u - 0.5|)
+#   (ln(...) <= 0, so the noise is NEGATIVE when u >= 0.5 — exactly
+#   the code's (u >= 0.5 ? -1 : 1) * -ln form below; the mirrored
+#   sign convention samples the same symmetric Laplace)
 #
 # Here u is an md5-derived fraction SEEDED from the group key, which
 # makes the run reproducible and oracle-checkable — production DP

@@ -254,6 +254,9 @@ def q_src_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     while _STATE_ROOTS:
         shutil.rmtree(_STATE_ROOTS.pop(), ignore_errors=True)
     _STATE_ROOTS.append(os.path.dirname(path))
+    import atexit
+
+    atexit.register(shutil.rmtree, os.path.dirname(path), ignore_errors=True)
     return spark.read.parquet(path)
 
 
