@@ -50,6 +50,7 @@ _MODULES = (
     "olap2",
     "warehouse",
     "curation2",
+    "nonparam",
 )
 
 # R06 ROTATION NOTE (for the next round's single rotation): after the
@@ -58,8 +59,10 @@ _MODULES = (
 # (b) the round-5 late waves (collab_filter/winsorize/metric_decompose/
 # ohlc_bars and the 5e-5i additions: stats.py x13, olap2.py x10,
 # warehouse.py x3, curation2.py x3, q_random_projection,
-# q_heavy_hitters_mg, q_funnel_latency), all local-gate green at
-# sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
+# q_heavy_hitters_mg, q_funnel_latency; plus the 5j wave:
+# nonparam.py x6 — q_ks_test, q_graph_bfs, q_feature_hashing,
+# q_eval_ndcg, q_l_diversity, q_jackknife_var), all local-gate green
+# at sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
 # qids registered first, in this order (driver checks the first 50).
 # Round-5 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
