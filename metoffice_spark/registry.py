@@ -51,6 +51,7 @@ _MODULES = (
     "warehouse",
     "curation2",
     "nonparam",
+    "prep",
 )
 
 # R06 ROTATION NOTE (for the next round's single rotation): after the
@@ -61,8 +62,11 @@ _MODULES = (
 # warehouse.py x3, curation2.py x3, q_random_projection,
 # q_heavy_hitters_mg, q_funnel_latency; plus the 5j wave:
 # nonparam.py x6 — q_ks_test, q_graph_bfs, q_feature_hashing,
-# q_eval_ndcg, q_l_diversity, q_jackknife_var), all local-gate green
-# at sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
+# q_eval_ndcg, q_l_diversity, q_jackknife_var; plus the 5k wave:
+# prep.py x6 — q_pmi_collocations, q_time_weighted_avg,
+# q_quantile_normalize, q_rare_label_encode, q_delta_encode,
+# q_weighted_median), all local-gate green at sf0.001 AND sf0.01.
+# Prioritize (a) then (b) oldest-first.
 # qids registered first, in this order (driver checks the first 50).
 # Round-5 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
