@@ -153,12 +153,14 @@ QUERIES["q_ks_test"] = (q_ks_test, ORACLE_KS_TEST)
 # a genuinely non-trivial cross-engine shape (iterative DataFrame
 # joins vs recursive SQL).
 #
-# Scale: edges persist hash-partitioned once; each round is one
-# equi-join frontier⋈edges (frontier is small and broadcastable) plus
-# one anti-join against the visited set — shuffles scale with |E|,
-# rounds with the cap. Per-round scoped_persist cuts lineage so the
-# plan does not nest L copies of the edge build (the
-# q_dedup_components round-3 lesson).
+# Scale: edges persist hash-partitioned on src once; each round is
+# one equi-join frontier⋈edges plus one anti-join against the visited
+# set — shuffles scale with |E|, rounds with the cap. No broadcast
+# hint on the frontier: level-2 frontiers of commerce graphs are NOT
+# small (most of one bipartite side), so the planner must stay free
+# to pick a shuffle join against the already-src-partitioned edges.
+# Per-round scoped_persist cuts lineage so the plan does not nest L
+# copies of the edge build (the q_dedup_components round-3 lesson).
 
 _BFS_MAX_LEVEL = 4
 
@@ -193,7 +195,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = reached
     for lvl in range(1, _BFS_MAX_LEVEL + 1):
         nxt = (
-            F.broadcast(frontier.select("node"))
+            frontier.select("node")
             .join(edges, F.col("node") == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()

@@ -98,6 +98,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     n_toks = uni.agg(F.sum("cnt").cast("bigint").alias("n_toks"))
+    # min-count cutoff BEFORE the broadcast joins: what broadcasts is
+    # the >= _PMI_MIN_TOK vocabulary, not the full heavy-tail one
+    uni = uni.filter(F.col("cnt") >= _PMI_MIN_TOK)
     pairs = (
         docs.select(F.explode(F.expr(_PAIRS_SPARK)).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
