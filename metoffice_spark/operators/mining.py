@@ -1,0 +1,633 @@
+"""Forensic statistics + mining operators (SURVEY.md §2.30,
+round 5l).
+
+Six operators: Benford first-digit conformance (the forensic DQ
+classic), Spearman rank correlation (the nonparametric sibling of
+q_cov_stats' Pearson), k-core graph decomposition (iterative
+degree-pruning over the customer-supplier graph — a different
+iteration shape from BFS/PageRank/components: the EDGE set shrinks
+each round), an ALS half-step recommender update (k=1 factors keep
+the normal-equation solve in exact integers), cohort lifetime-value
+accumulation (the revenue counterpart of q_cohort_retention's
+counts), and RAKE keyphrase extraction (stopword-delimited phrase
+runs via gaps-and-islands, scored degree/frequency).
+
+House determinism rules (curation.py:834, stats.py:10-16): exact
+BIGINT partials; fixed-point divides with non-negative numerators;
+irrational constants (Benford's log10 expectations) precomputed ONCE
+in Python and embedded as identical integer literals in both
+dialects (the q_eval_ndcg discipline — no libm call in either
+engine); the final chi²/correlation expressions are single shared
++,-,*,/,sqrt texts over exact integers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metoffice_spark.io import load
+from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK, _spread
+from metoffice_spark.session import scoped_persist, tune
+
+QUERIES: dict = {}
+
+
+# --- q_benford_test: first-significant-digit conformance ---------------------
+#
+# Do order totals follow Benford's law? First significant digit from
+# the exact-cents integer's decimal string (no float log10 anywhere:
+# leading digit of floor(100x + 0.5) is the leading significant digit
+# of x for x >= 0.01). Expected shares log10(1 + 1/d) are Python-
+# precomputed 1e-6 literals; per-digit chi² contributions
+# (obs - exp)² / exp come out of ONE shared double expression over
+# the exact integer counts.
+#
+# Scale: a 9-bucket map-side-combinable aggregate + a broadcast 1-row
+# total — nothing wider than 9 rows ever shuffles.
+
+_BENFORD_FP = {d: round(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def _benford_case(digit_col: str) -> str:
+    whens = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_FP.items())
+    return f"(CASE {digit_col} {whens} END)"
+
+
+def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per leading digit of o_totalprice: observed count, expected
+    1e-6 share, expected count (fixed point), chi² contribution."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    per_d = orders.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    total = per_d.agg(F.sum("obs").cast("bigint").alias("n"))
+    # exp_fp = n * benford_fp (1e-6-scaled count); chi2 term over the
+    # exact integers in one shared double expression:
+    # (obs*1e6 - exp_fp)^2 / (exp_fp * 1e6)
+    return (
+        per_d.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "obs",
+            F.expr(f"CAST({_benford_case('digit')} AS BIGINT)").alias("benford_fp"),
+            F.expr(f"CAST(n * {_benford_case('digit')} AS BIGINT)").alias("exp_fp"),
+            F.expr(
+                f"(CAST(obs * 1000000 - n * {_benford_case('digit')} AS DOUBLE)"
+                f" * CAST(obs * 1000000 - n * {_benford_case('digit')} AS DOUBLE))"
+                f" / (CAST(n * {_benford_case('digit')} AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD = f"""
+WITH per_d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM per_d)
+SELECT digit, obs,
+       CAST({_benford_case('digit')} AS BIGINT) AS benford_fp,
+       CAST(n * {_benford_case('digit')} AS BIGINT) AS exp_fp,
+       (CAST(obs * 1000000 - n * {_benford_case('digit')} AS DOUBLE)
+        * CAST(obs * 1000000 - n * {_benford_case('digit')} AS DOUBLE))
+       / (CAST(n * {_benford_case('digit')} AS DOUBLE) * CAST(1000000 AS DOUBLE))
+         AS chi2_term
+FROM per_d CROSS JOIN total
+ORDER BY digit
+"""
+
+QUERIES["q_benford_test"] = (q_benford_test, ORACLE_BENFORD)
+
+
+# --- q_spearman_corr: Spearman rank correlation ------------------------------
+#
+# Per source: Spearman rho between document length (n_chars) and
+# token count — Pearson over tie-averaged ranks, carried as the
+# integral 2×avg-rank (q_eval_auc trick) so every sufficient
+# statistic (Sx, Sy, Sxx, Syy, Sxy) is an exact BIGINT; the one
+# double expression is the textbook
+# (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)), shared
+# verbatim across dialects (+,-,*,/,sqrt are correctly rounded).
+#
+# Scale: two per-source rank windows + one per-source aggregate —
+# the q_eval_auc cost class. Overflow: avg2 <= 2n, so Sxy <= 4n³
+# (9.2e18 bound -> ~1.3e6 rows per source with exact BIGINTs;
+# beyond that the house prescription is the same statistic over a
+# sampled or bucketed rank transform).
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: n and Spearman rho between n_chars and token
+    count (double, shared expression)."""
+    spark = tune(spark)
+    docs = _spread(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", F.col("n_chars").cast("bigint").alias("x")
+        ),
+        "doc_id",
+    ).select(
+        "source", "x", F.expr(f"CAST(size({TOKS_SPARK}) AS BIGINT)").alias("y")
+    )
+    wx_r = Window.partitionBy("source").orderBy("x")
+    wx_t = Window.partitionBy("source", "x")
+    wy_r = Window.partitionBy("source").orderBy("y")
+    wy_t = Window.partitionBy("source", "y")
+    ranked = docs.select(
+        "source",
+        (2 * F.rank().over(wx_r) + F.count(F.lit(1)).over(wx_t) - 1)
+        .cast("bigint")
+        .alias("rx"),
+        (2 * F.rank().over(wy_r) + F.count(F.lit(1)).over(wy_t) - 1)
+        .cast("bigint")
+        .alias("ry"),
+    )
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    rho = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return g.filter(
+        "n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+    ).select("source", "n", F.expr(rho).alias("rho"))
+
+
+def _spearman_oracle() -> str:
+    rho = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(len({TOKS_DUCK}) AS BIGINT) AS y
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY x)
+              + count(*) OVER (PARTITION BY source, x) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY y)
+              + count(*) OVER (PARTITION BY source, y) - 1 AS BIGINT) AS ry
+  FROM base
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM ranked GROUP BY source
+)
+SELECT source, n, {rho} AS rho
+FROM g
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+QUERIES["q_spearman_corr"] = (q_spearman_corr, _spearman_oracle())
+
+
+# --- q_graph_kcore: k-core decomposition by iterative degree pruning ---------
+#
+# The 3-core of the customer-supplier graph (same edge set as
+# q_graph_pagerank, scale.py:382): repeatedly drop nodes with degree
+# < 3 and the edges touching them. A different iteration shape from
+# BFS (frontier growth) or PageRank (fixed topology): here the EDGE
+# SET shrinks monotonically, so each round persists a smaller
+# relation. Three rounds bounded (the driver-table graph converges in
+# 2); the oracle unrolls the same three rounds as nested CTEs.
+#
+# Scale: each round = one degree aggregate (map-side combinable) +
+# two semi-joins of edges against surviving nodes — shuffles scale
+# with the CURRENT |E|, which only shrinks. No collect; the loop
+# appends to the logical plan with per-round persist barriers.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per pruning round: surviving node/edge counts of the 3-core
+    iteration: (round, n_nodes, n_edges)."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = scoped_persist(edges.repartition(F.col("src")))
+
+    out = None
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+        edges = scoped_persist(edges)
+        stats = edges.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.countDistinct("src").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("round")
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "edges"
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""keep{rnd} AS (
+  SELECT src FROM (SELECT src, count(*) AS deg FROM {prev} GROUP BY src)
+  WHERE deg >= {_KCORE_K}
+),
+e{rnd} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep{rnd} ks ON e.src = ks.src
+  JOIN keep{rnd} kd ON e.dst = kd.src
+)"""
+        )
+        prev = f"e{rnd}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round,"
+        f" CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,"
+        f" CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e{r}"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+{",".join(rounds)}
+SELECT * FROM ({selects}) ORDER BY round
+"""
+
+
+QUERIES["q_graph_kcore"] = (q_graph_kcore, _kcore_oracle())
+
+
+# --- q_als_step: one ALS half-step (k=1 implicit factors) --------------------
+#
+# One alternating-least-squares user update with scalar (k=1)
+# factors: with item factors f_p fixed, each user's optimum is the
+# closed form u_c = Σ r·f_p / Σ f_p² over the user's rated items —
+# a single join + aggregate, the exact building block an iterative
+# recommender runs per sweep. Ratings are summed lineitem quantities
+# per (customer, part); initial item factors are the deterministic
+# 1 + (p_partkey mod 7) (fixed point ×1e3), so both numerator and
+# denominator are exact non-negative BIGINTs and the divide is one
+# truncating fixed-point op. k=1 is the exactness trick: the k×k
+# normal-equation solve degenerates to scalar division (the k=2+
+# generalization is q_ridge_normal's shared-double 3×3 pattern).
+#
+# Scale: ratings aggregate (custkey, partkey)-keyed with map-side
+# combine; the user update is one partkey-joined, custkey-keyed
+# aggregate — the same shuffle class as any fact-fact join. No
+# broadcast of factors needed at k=1 (they join positionally).
+
+_ALS_SCALE = 1000
+
+
+def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS user half-step: per customer, interaction count, sum
+    of ratings, and the updated scalar factor (1e-6 fixed point)."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    ratings = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("qty").cast("bigint").alias("r"))
+    )
+    factors = ratings.select(
+        "o_custkey",
+        "r",
+        ((F.col("l_partkey") % 7 + 1) * _ALS_SCALE).cast("bigint").alias("f"),
+    )
+    g = factors.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("r").cast("bigint").alias("r_sum"),
+        F.sum(F.col("r") * F.col("f")).cast("bigint").alias("num"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("den"),
+    )
+    return g.select(
+        "o_custkey",
+        "n_items",
+        "r_sum",
+        F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("u_fp"),
+    )
+
+
+ORACLE_ALS = f"""
+WITH ratings AS (
+  SELECT o.o_custkey, l.l_partkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+),
+factors AS (
+  SELECT o_custkey, r,
+         CAST((l_partkey % 7 + 1) * {_ALS_SCALE} AS BIGINT) AS f
+  FROM ratings
+),
+g AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(r) AS BIGINT) AS r_sum,
+         CAST(sum(r * f) AS BIGINT) AS num,
+         CAST(sum(f * f) AS BIGINT) AS den
+  FROM factors GROUP BY o_custkey
+)
+SELECT o_custkey, n_items, r_sum,
+       CAST((num * 1000000) // den AS BIGINT) AS u_fp
+FROM g
+"""
+
+QUERIES["q_als_step"] = (q_als_step, ORACLE_ALS)
+
+
+# --- q_cohort_ltv: cohort lifetime-value accumulation ------------------------
+#
+# The revenue counterpart of q_cohort_retention's counts: customers
+# cohorted by first-order month, revenue cells by months-since-
+# cohort, accumulated left-to-right (cumulative LTV per cohort age).
+# Month index year*12 + month is exact integer calendar math — no
+# day arithmetic, no intervals.
+#
+# Scale: first-order month via one custkey-keyed min-aggregate
+# (NOT a window over raw orders); cells aggregate (cohort, age);
+# the cumsum window runs over cohort×age cells — months², not rows.
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (cohort month, age in months): paying customers, revenue
+    cents, and the cohort's cumulative revenue."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("ym"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_ym",
+        F.col("age").cast("bigint").alias("age"),
+        "n_custs",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, min(ym) AS cohort_ym FROM orders_m GROUP BY o_custkey
+),
+cells AS (
+  SELECT f.cohort_ym, o.ym - f.cohort_ym AS age,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+  FROM orders_m o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_ym, o.ym - f.cohort_ym
+)
+SELECT cohort_ym, CAST(age AS BIGINT) AS age, n_custs, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_ym ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM cells
+"""
+
+QUERIES["q_cohort_ltv"] = (q_cohort_ltv, ORACLE_COHORT_LTV)
+
+
+# --- q_text_keyphrase: RAKE keyphrase extraction -----------------------------
+#
+# Rapid Automatic Keyword Extraction: candidate phrases are maximal
+# stopword-free token runs (gaps-and-islands: pos − row_number over
+# non-stopwords segments runs without a self-join), capped at 3
+# words; word score = degree/frequency where degree sums the lengths
+# of runs containing the word; phrase score sums its words' scores.
+# Both stay 1e-6 fixed point: score(word) = deg·1e6 div freq, then
+# phrase score sums word scores — exact integers end-to-end.
+#
+# Scale: two corpus-shuffle passes (phrase build is window-local per
+# doc; word stats aggregate by token; phrase scores re-join words to
+# the VOCABULARY-sized word table). Top-20 is a window over distinct
+# phrases.
+
+_RAKE_STOP = (
+    "the a an and or of to in is are was were be been for on with as at by "
+    "it its this that from not but have has had i you he she they we his her"
+).split()
+_RAKE_TOP = 20
+_RAKE_MAXLEN = 3
+
+
+def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 RAKE keyphrases: (rnk, phrase, n_words, freq,
+    score_fp)."""
+    spark = tune(spark)
+    stops = ",".join(f"'{w}'" for w in _RAKE_STOP)
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKS_SPARK)).alias("pos", "tok")
+    ).withColumn("is_stop", F.expr(f"tok IN ({stops})"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        toks.filter(~F.col("is_stop"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
+        .agg(
+            # collect_list order is NOT guaranteed under shuffle —
+            # sort by pos explicitly (house q_agg_collect discipline)
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ).alias("words"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        )
+        .filter(F.col("run_len") <= _RAKE_MAXLEN)
+        .withColumn("phrase", F.concat_ws(" ", F.col("words")))
+    )
+    runs = scoped_persist(runs)
+    word_stats = (
+        runs.select(F.explode("words").alias("w"), "run_len")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("run_len").cast("bigint").alias("deg"),
+        )
+        .select("w", F.expr("CAST((deg * 1000000) div freq AS BIGINT)").alias("wscore"))
+    )
+    phrase_scores = (
+        runs.select("phrase", F.explode("words").alias("w"))
+        .join(word_stats, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("total_w"))
+    )
+    phrases = (
+        runs.groupBy("phrase", "run_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .join(phrase_scores, "phrase")
+        # total_w summed over occurrences: normalize back to one
+        # occurrence (each occurrence contributed run_len word rows)
+        .select(
+            "phrase",
+            F.col("run_len").alias("n_words"),
+            "freq",
+            F.expr("CAST(total_w div freq AS BIGINT)").alias("score_fp"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("score_fp"), F.asc("phrase"))
+    return (
+        phrases.withColumn("rnk", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rnk") <= _RAKE_TOP)
+        .select("rnk", "phrase", "n_words", "freq", "score_fp")
+    )
+
+
+def _keyphrase_oracle() -> str:
+    stops = ",".join(f"'{w}'" for w in _RAKE_STOP)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, p.i AS pos, p.tok,
+         p.tok IN ({stops}) AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) + 1, 1)),
+                  i -> {{'tok': toks[i], 'i': i}})) AS p
+    FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents)
+  )
+),
+nonstop AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks WHERE NOT is_stop
+),
+runs AS (
+  SELECT doc_id, grp,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS run_len,
+         list(tok ORDER BY pos) AS words
+  FROM nonstop GROUP BY doc_id, grp
+  HAVING count(*) <= {_RAKE_MAXLEN}
+),
+word_stats AS (
+  SELECT w, CAST((CAST(sum(run_len) AS BIGINT) * 1000000)
+                 // CAST(count(*) AS BIGINT) AS BIGINT) AS wscore
+  FROM (SELECT unnest(words) AS w, run_len FROM runs)
+  GROUP BY w
+),
+phrase_scores AS (
+  SELECT phrase, CAST(sum(ws.wscore) AS BIGINT) AS total_w
+  FROM (SELECT phrase, unnest(words) AS w FROM runs) rw
+  JOIN word_stats ws ON rw.w = ws.w
+  GROUP BY phrase
+),
+phrases AS (
+  SELECT r.phrase, r.run_len AS n_words,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM runs r GROUP BY r.phrase, r.run_len
+),
+scored AS (
+  SELECT p.phrase, p.n_words, p.freq,
+         CAST(s.total_w // p.freq AS BIGINT) AS score_fp
+  FROM phrases p JOIN phrase_scores s ON p.phrase = s.phrase
+)
+SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, phrase ASC) AS INT)
+         AS rnk,
+       phrase, n_words, freq, score_fp
+FROM scored
+ORDER BY score_fp DESC, phrase ASC
+LIMIT {_RAKE_TOP}
+"""
+
+
+QUERIES["q_text_keyphrase"] = (q_text_keyphrase, _keyphrase_oracle())

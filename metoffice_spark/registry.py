@@ -52,6 +52,7 @@ _MODULES = (
     "curation2",
     "nonparam",
     "prep",
+    "mining",
 )
 
 # R06 ROTATION NOTE (for the next round's single rotation): after the
@@ -65,8 +66,10 @@ _MODULES = (
 # q_eval_ndcg, q_l_diversity, q_jackknife_var; plus the 5k wave:
 # prep.py x6 — q_pmi_collocations, q_time_weighted_avg,
 # q_quantile_normalize, q_rare_label_encode, q_delta_encode,
-# q_weighted_median), all local-gate green at sf0.001 AND sf0.01.
-# Prioritize (a) then (b) oldest-first.
+# q_weighted_median; plus the 5l wave: mining.py x6 —
+# q_benford_test, q_spearman_corr, q_graph_kcore, q_als_step,
+# q_cohort_ltv, q_text_keyphrase), all local-gate green at sf0.001
+# AND sf0.01. Prioritize (a) then (b) oldest-first.
 # qids registered first, in this order (driver checks the first 50).
 # Round-5 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
