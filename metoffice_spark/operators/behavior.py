@@ -1319,3 +1319,118 @@ GROUP BY n.n
 """
 
 QUERIES["q_funnel_latency"] = (q_funnel_latency, ORACLE_FUNNEL_LATENCY)
+
+
+# --- q_attribution_linear: linear multi-touch attribution --------------------
+#
+# The multi-touch counterpart of q_attribution's last-touch: every
+# purchase's revenue is split EQUALLY across all view/click touches
+# in its segment (events since the previous purchase by that user);
+# a purchase with no preceding touches credits 'none' in full.
+# Credits stay exact: credit_fp = cents * 1e6 * touches_in_channel
+# div touches_total per (purchase, channel) — the only rounding is
+# the final truncating fixed-point divide, identical in both
+# engines (non-negative numerator).
+#
+# Scale: the segment id is a running purchase count inside the
+# user_id-bounded window (no self-join, no per-purchase scan); touch
+# counts and purchase revenue meet in ONE (user_id, seg)-keyed
+# aggregate + join, the same shuffle class as q_sessionize_batch.
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per channel: number of fractional credits and linearly
+    attributed revenue (1e-6-cent fixed point)."""
+    ev = load(tune(spark), sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w_prev
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("seg"),
+    )
+    touches = (
+        seg.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "seg", F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    touch_tot = touches.groupBy("user_id", "seg").agg(
+        F.sum("c").cast("bigint").alias("t_total")
+    )
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", "cents"
+    )
+    credited = (
+        purchases.join(touch_tot, ["user_id", "seg"], "left")
+        .join(touches, ["user_id", "seg"], "left")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            F.when(F.col("t_total").isNull(), F.lit(1000000).cast("bigint"))
+            .otherwise(
+                F.expr("CAST((c * 1000000) div t_total AS BIGINT)")
+            )
+            .alias("share_fp"),
+            "cents",
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum(F.expr("cents * share_fp")).cast("bigint").alias("credit_fp"),
+    )
+
+
+ORACLE_ATTRIBUTION_LINEAR = f"""
+WITH seg AS (
+  SELECT user_id, event_type, {_CENTS} AS cents,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS seg
+  FROM events
+),
+touches AS (
+  SELECT user_id, seg, event_type AS channel,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seg WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, seg, event_type
+),
+touch_tot AS (
+  SELECT user_id, seg, CAST(sum(c) AS BIGINT) AS t_total
+  FROM touches GROUP BY user_id, seg
+),
+purchases AS (
+  SELECT user_id, seg, cents FROM seg WHERE event_type = 'purchase'
+),
+credited AS (
+  SELECT coalesce(t.channel, 'none') AS channel,
+         CASE WHEN tt.t_total IS NULL THEN CAST(1000000 AS BIGINT)
+              ELSE CAST((t.c * 1000000) // tt.t_total AS BIGINT) END AS share_fp,
+         p.cents
+  FROM purchases p
+  LEFT JOIN touch_tot tt ON p.user_id = tt.user_id AND p.seg = tt.seg
+  LEFT JOIN touches t ON p.user_id = t.user_id AND p.seg = t.seg
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(cents * share_fp) AS BIGINT) AS credit_fp
+FROM credited GROUP BY channel
+"""
+
+QUERIES["q_attribution_linear"] = (q_attribution_linear, ORACLE_ATTRIBUTION_LINEAR)

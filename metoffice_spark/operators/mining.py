@@ -631,3 +631,120 @@ LIMIT {_RAKE_TOP}
 
 
 QUERIES["q_text_keyphrase"] = (q_text_keyphrase, _keyphrase_oracle())
+
+
+# --- q_simpson_check: Simpson's-reversal detector ----------------------------
+#
+# Does the pooled association between quantity and line price
+# reverse inside any return-flag stratum? Slope numerators
+# n·Sxy − Sx·Sy stay exact BIGINT per group AND pooled (the pooled
+# statistics are just the summed group partials — one aggregation
+# tree, no second scan); the sign comparison is pure integer logic,
+# and the two reported slopes come from the one shared double
+# expression (q_cov_stats' OLS form).
+#
+# Scale: one (flag)-keyed aggregate with map-side combine + a
+# broadcast 1-row pooled total assembled FROM the group partials.
+# Overflow documented: x = quantity (<= 50), y = cents (~1e7), so
+# Sxy <= n·5e8 — safe to ~1.8e10 rows; beyond that, center x and y
+# on pre-aggregated global means (house q_cov_stats prescription).
+
+
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: group OLS slope of price-cents on quantity,
+    the pooled slope, and whether the signs reverse."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    # persist the |groups|-row partials: without the barrier the
+    # pooled branch re-plans the whole scan+aggregate (no CSE across
+    # crossJoin branches) — one scan, as the docstring claims
+    g = scoped_persist(g)
+    pooled = g.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxx").cast("bigint").alias("psxx"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    )
+    slope_g = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    slope_p = (
+        "(CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)"
+        " - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))"
+        " / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)"
+        " - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))"
+    )
+    sign_g = "sign(n * sxy - sx * sy)"
+    sign_p = "sign(pn * psxy - psx * psy)"
+    return (
+        g.crossJoin(F.broadcast(pooled))
+        .filter("n * sxx - sx * sx > 0 AND pn * psxx - psx * psx > 0")
+        .select(
+            "l_returnflag",
+            "n",
+            F.expr(slope_g).alias("slope_group"),
+            F.expr(slope_p).alias("slope_pooled"),
+            F.expr(
+                f"CAST(CASE WHEN {sign_g} * {sign_p} < 0 THEN 1 ELSE 0 END AS INT)"
+            ).alias("reversed"),
+        )
+    )
+
+
+ORACLE_SIMPSON = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM li GROUP BY l_returnflag
+),
+pooled AS (
+  SELECT CAST(sum(n) AS BIGINT) AS pn,
+         CAST(sum(sx) AS BIGINT) AS psx,
+         CAST(sum(sy) AS BIGINT) AS psy,
+         CAST(sum(sxx) AS BIGINT) AS psxx,
+         CAST(sum(sxy) AS BIGINT) AS psxy
+  FROM g
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_group,
+       (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+        - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+        - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS slope_pooled,
+       CAST(CASE WHEN sign(n * sxy - sx * sy) * sign(pn * psxy - psx * psy) < 0
+                 THEN 1 ELSE 0 END AS INT) AS reversed
+FROM g CROSS JOIN pooled
+WHERE n * sxx - sx * sx > 0 AND pn * psxx - psx * psx > 0
+"""
+
+QUERIES["q_simpson_check"] = (q_simpson_check, ORACLE_SIMPSON)
