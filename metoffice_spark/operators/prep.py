@@ -591,3 +591,188 @@ GROUP BY c.l_returnflag, t.n, t.w_tot
 """
 
 QUERIES["q_weighted_median"] = (q_weighted_median, ORACLE_WEIGHTED_MEDIAN)
+
+
+# --- q_split_temporal: leakage-safe temporal train/test split ----------------
+#
+# The time-series counterpart of q_split_train_val's hash split:
+# events before the cutoff train, events after cutoff + embargo
+# test, and the embargo gap (here 1 day) is DROPPED — the standard
+# guard against look-ahead leakage when features aggregate trailing
+# windows (an event just after the cutoff carries information about
+# the trailing window that crosses it). The cutoff is the exact
+# 80th-percentile epoch second, picked by rank from a (ts, count)
+# pre-aggregate — deterministic, no sampling.
+#
+# Scale: the cutoff comes from a cumulative count over the DISTINCT
+# second-level timestamps (a far smaller relation than events);
+# the split itself is one broadcast-scalar comparison per row, no
+# shuffle beyond the final per-split aggregate.
+
+_EMBARGO_S = 86_400
+
+
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per split (train/embargo/test): rows, users, and the epoch
+    range; embargo = (cutoff, cutoff + 1 day]."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("es")
+    )
+    per_s = ev.groupBy("es").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = Window.orderBy("es").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = per_s.agg(F.sum("c").cast("bigint").alias("n"))
+    cutoff = (
+        per_s.select("es", F.sum("c").over(w_cum).cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cum") * 5 >= F.col("n") * 4)  # first ts covering 80 %
+        .agg(F.min("es").cast("bigint").alias("cut"))
+    )
+    tagged = ev.crossJoin(F.broadcast(cutoff)).select(
+        "user_id",
+        "es",
+        F.when(F.col("es") <= F.col("cut"), "train")
+        .when(F.col("es") <= F.col("cut") + _EMBARGO_S, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("es").cast("bigint").alias("es_min"),
+        F.max("es").cast("bigint").alias("es_max"),
+    )
+
+
+ORACLE_SPLIT_TEMPORAL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+per_s AS (
+  SELECT es, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY es
+),
+n_total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per_s),
+cutoff AS (
+  SELECT CAST(min(es) AS BIGINT) AS cut
+  FROM (
+    SELECT es, CAST(sum(c) OVER (ORDER BY es
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM per_s
+  ) CROSS JOIN n_total
+  WHERE cum * 5 >= n * 4
+),
+tagged AS (
+  SELECT user_id, es,
+         CASE WHEN es <= cut THEN 'train'
+              WHEN es <= cut + {_EMBARGO_S} THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM ev CROSS JOIN cutoff
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(es) AS BIGINT) AS es_min,
+       CAST(max(es) AS BIGINT) AS es_max
+FROM tagged GROUP BY split
+"""
+
+QUERIES["q_split_temporal"] = (q_split_temporal, ORACLE_SPLIT_TEMPORAL)
+
+
+# --- q_null_imputation: group-mean imputation with audit -------------------
+#
+# The imputation primitive: take customer balances, null out a
+# deterministic 1-in-8 subset (md5 nibble — the fixture has no real
+# NULLs, so the mask IS the test harness, same trick as
+# q_fn_null_suite), impute each NULL with its nation's mean of the
+# OBSERVED values in exact cents (truncating fixed point), and audit
+# per nation: observed/imputed counts and both means. Nations whose
+# values are ALL masked stay unimputed (imputed_mean_fp NULL) — the
+# honest edge case.
+#
+# Scale: one (nation)-keyed aggregate over observed rows + one
+# broadcast join of the |nations|-row mean table back onto the
+# masked rows; no window, no second scan of the wide table.
+
+
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: observed/imputed counts, observed mean, and the
+    post-imputation mean (both 1e-2 fixed point = cents)."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.expr(
+            "substring(md5(concat('IMP1|', CAST(c_custkey AS STRING))), 1, 1)"
+            " IN ('0', '1')"
+        ).alias("masked"),
+    )
+    obs = cust.filter(~F.col("masked")).groupBy("nat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("cents").cast("bigint").alias("s_obs"),
+    )
+    # group mean in exact cents; negative balances exist, so use the
+    # sign-split truncating divide (corpus.py:434 discipline) to keep
+    # Spark div == DuckDB // independent of engine floor/trunc choices
+    mean_expr = (
+        "CAST(CASE WHEN s_obs >= 0 THEN s_obs div n_obs"
+        " ELSE -((-s_obs) div n_obs) END AS BIGINT)"
+    )
+    means = obs.select("nat", "n_obs", "s_obs", F.expr(mean_expr).alias("mean_obs"))
+    joined = cust.join(F.broadcast(means), "nat", "left")
+    return (
+        joined.select(
+            "nat",
+            F.col("masked").cast("int").alias("was_null"),
+            F.when(F.col("masked"), F.col("mean_obs")).otherwise(F.col("cents")).alias(
+                "filled"
+            ),
+        )
+        .groupBy("nat")
+        .agg(
+            F.sum(1 - F.col("was_null")).cast("bigint").alias("n_obs"),
+            F.sum("was_null").cast("bigint").alias("n_imputed"),
+            F.count("filled").cast("bigint").alias("n_filled"),
+            F.sum("filled").cast("bigint").alias("s_filled"),
+        )
+    )
+
+
+ORACLE_NULL_IMPUTATION = """
+WITH cust AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         substring(md5('IMP1|' || CAST(c_custkey AS VARCHAR)), 1, 1)
+           IN ('0', '1') AS masked
+  FROM customer
+),
+obs AS (
+  SELECT nat, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(cents) AS BIGINT) AS s_obs
+  FROM cust WHERE NOT masked GROUP BY nat
+),
+means AS (
+  SELECT nat, n_obs, s_obs,
+         CAST(CASE WHEN s_obs >= 0 THEN s_obs // n_obs
+              ELSE -((-s_obs) // n_obs) END AS BIGINT) AS mean_obs
+  FROM obs
+),
+joined AS (
+  SELECT c.nat,
+         CAST(c.masked AS INT) AS was_null,
+         CASE WHEN c.masked THEN m.mean_obs ELSE c.cents END AS filled
+  FROM cust c LEFT JOIN means m ON c.nat = m.nat
+)
+SELECT nat,
+       CAST(sum(1 - was_null) AS BIGINT) AS n_obs,
+       CAST(sum(was_null) AS BIGINT) AS n_imputed,
+       CAST(count(filled) AS BIGINT) AS n_filled,
+       CAST(sum(filled) AS BIGINT) AS s_filled
+FROM joined GROUP BY nat
+"""
+
+QUERIES["q_null_imputation"] = (q_null_imputation, ORACLE_NULL_IMPUTATION)
