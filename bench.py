@@ -53,6 +53,14 @@ HEADLINE = [
     "q_olap_volume_shipping",  # TPC-H Q7 6-table star (round 5f)
     "q_olap_waiting_supplier", # TPC-H Q21 semi+anti decorrelation (round 5f)
     "q_graph_jaccard",    # bounded candidate + verify link prediction (round 5e)
+    "q_text_keyphrase",   # RAKE islands + vocab re-join (round 5l)
+    # q_graph_bfs, not q_graph_kcore, as the round-5 iterative
+    # representative: same edge substrate, but frontier-sized joins —
+    # kcore re-materializes the near-full 1.2M-edge set every round
+    # on this barely-prunable dense graph (still parity-gated at
+    # sf0.01, just not a wall-clock headliner)
+    "q_graph_bfs",        # frontier-join BFS levels (round 5j)
+    "q_time_weighted_avg",  # irregular-timestamp TWAP windows (round 5k)
 ]
 
 

@@ -263,22 +263,39 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = scoped_persist(edges.repartition(F.col("src")))
+    # no repartition(src): the keep sets broadcast into both prune
+    # joins, so edge partitioning is irrelevant (q_graph_bfs lesson);
+    # the degree aggregate re-shuffles by src regardless.
+    edges = scoped_persist(edges)
 
+    # One degree aggregate per round serves BOTH the next prune and
+    # the previous round's stats: deg over the round-r edge set has
+    # one row per distinct surviving src, so n_nodes_r = count(deg
+    # rows) and n_edges_r = sum(deg)/2 — no separate countDistinct
+    # pass over the edges. The |nodes|-row keep set broadcasts into
+    # both semi-joins. 4 degree aggregates total instead of the 6
+    # edge-wide passes of the naive per-round stats form.
+    deg = scoped_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
     out = None
     for rnd in range(1, _KCORE_ROUNDS + 1):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
         edges = (
-            edges.join(keep, "src")
-            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            edges.join(F.broadcast(keep), "src")
+            .join(F.broadcast(keep.selectExpr("src AS dst")), "dst")
             .select("src", "dst")
         )
         edges = scoped_persist(edges)
-        stats = edges.agg(
+        deg = scoped_persist(
+            edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg")
+            )
+        )
+        stats = deg.agg(
             F.lit(rnd).cast("int").alias("round"),
-            F.countDistinct("src").cast("bigint").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("CAST(coalesce(sum(deg), 0) div 2 AS BIGINT)").alias("n_edges"),
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("round")

@@ -154,11 +154,13 @@ QUERIES["q_ks_test"] = (q_ks_test, ORACLE_KS_TEST)
 # joins vs recursive SQL).
 #
 # Scale: edges persist hash-partitioned on src once; each round is
-# one equi-join frontier⋈edges plus one anti-join against the visited
-# set — shuffles scale with |E|, rounds with the cap. No broadcast
-# hint on the frontier: level-2 frontiers of commerce graphs are NOT
-# small (most of one bipartite side), so the planner must stay free
-# to pick a shuffle join against the already-src-partitioned edges.
+# one frontier⋈edges equi-join plus one anti-join against the
+# visited set. BOTH small sides broadcast: frontier and visited are
+# bounded by |V| (the node set), and every round that instead
+# shuffle-joins the full |E| edge relation costs an |E|-sized sort —
+# measured 6× slower at sf0.1. When |V| outgrows the broadcast
+# threshold (~1e8 nodes), drop the two hints and the join falls back
+# to the persisted src partitioning (only the frontier side moves).
 # Per-round scoped_persist cuts lineage so the plan does not nest L
 # copies of the edge build (the q_dedup_components round-3 lesson).
 
@@ -187,7 +189,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = scoped_persist(edges.repartition(F.col("src")))
+    # no repartition(src): with broadcast frontier joins the edge
+    # partitioning is irrelevant, and the extra |E| shuffle cost ~25 %
+    # of the query. (In the no-hint huge-|V| fallback, reinstate it so
+    # the shuffle join co-locates on src.)
+    edges = scoped_persist(edges)
     seed = orders.agg(F.min("o_custkey").cast("bigint").alias("node")).select(
         "node", F.lit(0).cast("int").alias("level")
     )
@@ -195,11 +201,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = reached
     for lvl in range(1, _BFS_MAX_LEVEL + 1):
         nxt = (
-            frontier.select("node")
+            F.broadcast(frontier.select("node"))
             .join(edges, F.col("node") == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(reached.select("node"), "node", "left_anti")
+            .join(F.broadcast(reached.select("node")), "node", "left_anti")
             .select("node", F.lit(lvl).cast("int").alias("level"))
         )
         nxt = scoped_persist(nxt)
