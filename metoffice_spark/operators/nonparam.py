@@ -209,7 +209,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(lvl).cast("int").alias("level"))
         )
         nxt = scoped_persist(nxt)
-        reached = scoped_persist(reached.unionByName(nxt))
+        # reached is a union of ALREADY-persisted per-level frames —
+        # persisting the union again would re-materialize every level
+        # each round (quadratic cache churn)
+        reached = reached.unionByName(nxt)
         frontier = nxt
     return (
         reached.groupBy("level")
