@@ -765,3 +765,104 @@ WHERE n * sxx - sx * sx > 0 AND pn * psxx - psx * psx > 0
 """
 
 QUERIES["q_simpson_check"] = (q_simpson_check, ORACLE_SIMPSON)
+
+
+# --- q_rolling_regression: trailing-window OLS slope per entity --------------
+#
+# The rolling model fit: for every event, the OLS slope of value
+# against time over the user's trailing 8 observations — the
+# time-local trend estimate behind drift monitors and technical
+# indicators. All five sufficient statistics are EXACT windowed
+# BIGINT sums (x = epoch seconds RE-BASED to the user's first
+# observation so x² sums stay far from the int64 edge; y = cents);
+# the slope is the one shared double expression (q_cov_stats form).
+# Windows with < 3 points or zero time variance emit NULL — honest
+# undefined, not 0.
+#
+# Scale: one user-bounded ordered window evaluates all five sums in
+# a single WindowExec pass (Spark merges same-frame aggregates);
+# nothing shuffles but the (user_id) key. The trailing frame is ROWS
+# (count-based), deterministic under the (es, event_id) total order.
+
+_ROLL_N = 8
+
+
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: trailing-8 OLS slope of value-cents per second
+    (double; NULL when undefined), plus the window's row count."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    w_first = Window.partitionBy("user_id").orderBy("es", "event_id")
+    based = ev.select(
+        "user_id",
+        "event_id",
+        "y",
+        (F.col("es") - F.first("es").over(w_first)).cast("bigint").alias("x"),
+    )
+    w_roll = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), Window.currentRow)
+    )
+    sums = based.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w_roll).cast("bigint").alias("n"),
+        F.sum("x").over(w_roll).cast("bigint").alias("sx"),
+        F.sum("y").over(w_roll).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w_roll).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w_roll).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        "CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN"
+        " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " ELSE NULL END"
+    )
+    return sums.select(
+        "user_id", "event_id", "n", F.expr(slope).alias("slope")
+    )
+
+
+ORACLE_ROLLING_REG = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+based AS (
+  SELECT user_id, event_id, y,
+         CAST(es - first_value(es) OVER (PARTITION BY user_id
+              ORDER BY es, event_id) AS BIGINT) AS x
+  FROM ev
+),
+sums AS (
+  SELECT user_id, event_id,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM based
+  WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+               ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       ELSE NULL END AS slope
+FROM sums
+"""
+
+QUERIES["q_rolling_regression"] = (q_rolling_regression, ORACLE_ROLLING_REG)

@@ -56,3 +56,45 @@ def test_null_imputation_audit(spark, sf_smoke):
         mean = obs_sum // obs_n if obs_sum >= 0 else -((-obs_sum) // obs_n)
         assert probe["s_filled"] == obs_sum + masked_n * mean
         assert probe["n_filled"] == obs_n + masked_n
+
+
+def test_rolling_regression_recount_one_user(spark, sf_smoke):
+    """Recompute the trailing-8 slope for one user's last event in
+    plain Python; windows below 3 points yield NULL."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.mining import _ROLL_N, q_rolling_regression
+
+    rows = q_rolling_regression(spark, sf_smoke).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    uid, urows = max(by_user.items(), key=lambda kv: len(kv[1]))
+    ev = sorted(
+        (
+            (int(r["ts"].timestamp()), math.floor(r["value"] * 100 + 0.5), r["event_id"])
+            for r in load(spark, sf_smoke, "events")
+            .filter(f"user_id = {uid}")
+            .select("ts", "value", "event_id")
+            .collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    base = ev[0][0]
+    pts = [(es - base, y, eid) for es, y, eid in ev]
+    by_eid = {r["event_id"]: r for r in urows}
+    for i, (_, _, eid) in enumerate(pts):
+        win = pts[max(0, i - _ROLL_N + 1): i + 1]
+        n = len(win)
+        r = by_eid[eid]
+        assert r["n"] == n
+        sx = sum(x for x, _, _ in win)
+        sy = sum(y for _, y, _ in win)
+        sxx = sum(x * x for x, _, _ in win)
+        sxy = sum(x * y for x, y, _ in win)
+        det = n * sxx - sx * sx
+        if n >= 3 and det > 0:
+            expect = (n * sxy - sx * sy) / det
+            assert math.isclose(r["slope"], expect, rel_tol=1e-12)
+        else:
+            assert r["slope"] is None
