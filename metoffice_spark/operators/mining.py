@@ -35,6 +35,29 @@ from metoffice_spark.session import scoped_persist, tune
 QUERIES: dict = {}
 
 
+def _ols_num(n: str, sxy: str, sx: str, sy: str) -> str:
+    """n·Sxy − Sx·Sy in DOUBLE — the OLS slope / correlation
+    numerator over exact BIGINT sums. Defined ONCE and interpolated
+    into BOTH dialects (the _WIDTH_CASE pattern, prep.py): the
+    bitwise-parity guarantee depends on the texts being identical,
+    and an all-BIGINT form would overflow int64 at ~1e5 rows per
+    group (n·Sxy re-multiplies n into an already-n²-scaled sum)."""
+    return (
+        f"(CAST({n} AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    )
+
+
+def _ols_den(n: str, sxx: str, sx: str) -> str:
+    """n·Sxx − Sx² in DOUBLE (variance scale); also the degeneracy
+    guard — comparing it > 0 in DOUBLE avoids the BIGINT overflow a
+    raw integer guard hits at ~5e4 rows per group."""
+    return (
+        f"(CAST({n} AS DOUBLE) * CAST({sxx} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+    )
+
+
 # --- q_benford_test: first-significant-digit conformance ---------------------
 #
 # Do order totals follow Benford's law? First significant digit from
@@ -168,26 +191,28 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
     )
     rho = (
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        f"{_ols_num('n', 'sxy', 'sx', 'sy')}"
+        f" / sqrt({_ols_den('n', 'sxx', 'sx')}"
+        f" * {_ols_den('n', 'syy', 'sy')})"
     )
-    return g.filter(
-        "n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
-    ).select("source", "n", F.expr(rho).alias("rho"))
+    # guards in DOUBLE: the integer form n*sxx - sx*sx wraps int64 at
+    # ~5e4 rows per source (n·Sxx ~ (4/3)n⁴ over 2n-scaled ranks)
+    guard = (
+        f"{_ols_den('n', 'sxx', 'sx')} > 0"
+        f" AND {_ols_den('n', 'syy', 'sy')} > 0"
+    )
+    return g.filter(guard).select("source", "n", F.expr(rho).alias("rho"))
 
 
 def _spearman_oracle() -> str:
     rho = (
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        f"{_ols_num('n', 'sxy', 'sx', 'sy')}"
+        f" / sqrt({_ols_den('n', 'sxx', 'sx')}"
+        f" * {_ols_den('n', 'syy', 'sy')})"
+    )
+    guard = (
+        f"{_ols_den('n', 'sxx', 'sx')} > 0"
+        f" AND {_ols_den('n', 'syy', 'sy')} > 0"
     )
     return f"""
 WITH base AS (
@@ -215,7 +240,7 @@ g AS (
 )
 SELECT source, n, {rho} AS rho
 FROM g
-WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+WHERE {guard}
 """
 
 
@@ -244,29 +269,14 @@ _KCORE_ROUNDS = 3
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per pruning round: surviving node/edge counts of the 3-core
     iteration: (round, n_nodes, n_edges)."""
+    from metoffice_spark.operators.scale import bipartite_edges
+
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("bigint").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
-        )
-        .distinct()
-    )
-    edges = fwd.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # shared graph-family edge substrate (scale.py:bipartite_edges);
     # no repartition(src): the keep sets broadcast into both prune
     # joins, so edge partitioning is irrelevant (q_graph_bfs lesson);
     # the degree aggregate re-shuffles by src regardless.
-    edges = scoped_persist(edges)
+    edges = scoped_persist(bipartite_edges(spark, sf_dir))
 
     # One degree aggregate per round serves BOTH the next prune and
     # the previous round's stats: deg over the round-r edge set has
@@ -323,17 +333,10 @@ e{rnd} AS (
         f" CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e{r}"
         for r in range(1, _KCORE_ROUNDS + 1)
     )
+    from metoffice_spark.operators.scale import EDGES_CTE
+
     return f"""
-WITH fwd AS (
-  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
-         CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
-edges AS (
-  SELECT src, dst FROM fwd
-  UNION ALL
-  SELECT dst AS src, src AS dst FROM fwd
-),
+WITH {EDGES_CTE},
 {",".join(rounds)}
 SELECT * FROM ({selects}) ORDER BY round
 """
@@ -653,18 +656,21 @@ QUERIES["q_text_keyphrase"] = (q_text_keyphrase, _keyphrase_oracle())
 # --- q_simpson_check: Simpson's-reversal detector ----------------------------
 #
 # Does the pooled association between quantity and line price
-# reverse inside any return-flag stratum? Slope numerators
-# n·Sxy − Sx·Sy stay exact BIGINT per group AND pooled (the pooled
-# statistics are just the summed group partials — one aggregation
-# tree, no second scan); the sign comparison is pure integer logic,
-# and the two reported slopes come from the one shared double
-# expression (q_cov_stats' OLS form).
+# reverse inside any return-flag stratum? The SUFFICIENT STATISTICS
+# (Sx, Sy, Sxx, Sxy) stay exact BIGINT per group AND pooled (the
+# pooled statistics are just the summed group partials — one
+# aggregation tree, no second scan); slopes, signs, AND the
+# degeneracy guards all evaluate through the shared _ols_num /
+# _ols_den DOUBLE helpers — the integer forms n·Sxy − Sx·Sy would
+# wrap int64 at ~1.4e5 rows per group (review r05), with DuckDB
+# hard-erroring while Spark wraps silently.
 #
 # Scale: one (flag)-keyed aggregate with map-side combine + a
 # broadcast 1-row pooled total assembled FROM the group partials.
 # Overflow documented: x = quantity (<= 50), y = cents (~1e7), so
-# Sxy <= n·5e8 — safe to ~1.8e10 rows; beyond that, center x and y
-# on pre-aggregated global means (house q_cov_stats prescription).
+# the BIGINT sums are safe to ~1.8e10 rows; beyond that, center x
+# and y on pre-aggregated global means (house q_cov_stats
+# prescription).
 
 
 def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,23 +702,25 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxx").cast("bigint").alias("psxx"),
         F.sum("sxy").cast("bigint").alias("psxy"),
     )
-    slope_g = (
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    )
+    # all slope/sign/guard arithmetic in DOUBLE via the shared
+    # helpers: the integer forms (n*sxy - sx*sy etc.) wrap int64 at
+    # ~1.4e5 lineitem rows per group — DuckDB would hard-error while
+    # Spark silently wraps, the exact cross-engine split the house
+    # rules exist to prevent
+    slope_g = f"{_ols_num('n', 'sxy', 'sx', 'sy')} / {_ols_den('n', 'sxx', 'sx')}"
     slope_p = (
-        "(CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)"
-        " - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))"
-        " / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)"
-        " - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))"
+        f"{_ols_num('pn', 'psxy', 'psx', 'psy')}"
+        f" / {_ols_den('pn', 'psxx', 'psx')}"
     )
-    sign_g = "sign(n * sxy - sx * sy)"
-    sign_p = "sign(pn * psxy - psx * psy)"
+    sign_g = f"sign({_ols_num('n', 'sxy', 'sx', 'sy')})"
+    sign_p = f"sign({_ols_num('pn', 'psxy', 'psx', 'psy')})"
+    guard = (
+        f"{_ols_den('n', 'sxx', 'sx')} > 0"
+        f" AND {_ols_den('pn', 'psxx', 'psx')} > 0"
+    )
     return (
         g.crossJoin(F.broadcast(pooled))
-        .filter("n * sxx - sx * sx > 0 AND pn * psxx - psx * psx > 0")
+        .filter(guard)
         .select(
             "l_returnflag",
             "n",
@@ -725,7 +733,8 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SIMPSON = """
+def _simpson_oracle() -> str:
+    return f"""
 WITH li AS (
   SELECT l_returnflag,
          CAST(l_quantity AS BIGINT) AS x,
@@ -750,21 +759,20 @@ pooled AS (
   FROM g
 )
 SELECT l_returnflag, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_group,
-       (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
-        - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
-       / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
-        - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS slope_pooled,
-       CAST(CASE WHEN sign(n * sxy - sx * sy) * sign(pn * psxy - psx * psy) < 0
+       {_ols_num('n', 'sxy', 'sx', 'sy')}
+       / {_ols_den('n', 'sxx', 'sx')} AS slope_group,
+       {_ols_num('pn', 'psxy', 'psx', 'psy')}
+       / {_ols_den('pn', 'psxx', 'psx')} AS slope_pooled,
+       CAST(CASE WHEN sign({_ols_num('n', 'sxy', 'sx', 'sy')})
+                      * sign({_ols_num('pn', 'psxy', 'psx', 'psy')}) < 0
                  THEN 1 ELSE 0 END AS INT) AS reversed
 FROM g CROSS JOIN pooled
-WHERE n * sxx - sx * sx > 0 AND pn * psxx - psx * psx > 0
+WHERE {_ols_den('n', 'sxx', 'sx')} > 0
+  AND {_ols_den('pn', 'psxx', 'psx')} > 0
 """
 
-QUERIES["q_simpson_check"] = (q_simpson_check, ORACLE_SIMPSON)
+
+QUERIES["q_simpson_check"] = (q_simpson_check, _simpson_oracle())
 
 
 # --- q_rolling_regression: trailing-window OLS slope per entity --------------
@@ -785,6 +793,14 @@ QUERIES["q_simpson_check"] = (q_simpson_check, ORACLE_SIMPSON)
 # (count-based), deterministic under the (es, event_id) total order.
 
 _ROLL_N = 8
+
+# ONE slope text for both dialects (the _ols helper discipline): the
+# trailing-window OLS slope, NULL when the window is degenerate.
+_ROLL_SLOPE = (
+    f"CASE WHEN n >= 3 AND {_ols_den('n', 'sxx', 'sx')} > 0 THEN"
+    f" {_ols_num('n', 'sxy', 'sx', 'sy')} / {_ols_den('n', 'sxx', 'sx')}"
+    f" ELSE NULL END"
+)
 
 
 def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,16 +834,8 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(w_roll).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).over(w_roll).cast("bigint").alias("sxy"),
     )
-    slope = (
-        "CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN"
-        " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        " ELSE NULL END"
-    )
     return sums.select(
-        "user_id", "event_id", "n", F.expr(slope).alias("slope")
+        "user_id", "event_id", "n", F.expr(_ROLL_SLOPE).alias("slope")
     )
 
 
@@ -856,12 +864,7 @@ sums AS (
                ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id, n,
-       CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN
-         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       ELSE NULL END AS slope
+       {_ROLL_SLOPE} AS slope
 FROM sums
 """
 

@@ -52,9 +52,15 @@ QUERIES: dict = {}
 # not just frequency shifts across predefined categories.
 #
 # Scale: one (source, x) pre-aggregate (map-side combinable) shrinks
-# the window input to |distinct values| rows per source; the cumsum
-# window partitions by source — no global sort. Overflow bound:
-# ca*n_b ≤ n_a*n_b < 9.2e18 → safe to ~3e9 docs per side per source.
+# the window input to |distinct values| rows per source AND supplies
+# the per-source totals by re-aggregation (no second scan of the
+# base table); the cumsum window partitions by source — no global
+# sort. Overflow bound: ca*n_b ≤ n_a*n_b < 9.2e18 → ~3e9 docs per
+# side per source; the final 1e6 fixed-point divide uses the
+# two-stage _fp_div_1e6 refine (stats.py:31) so d_num·1000 — not
+# d_num·1e6 — is the largest product (d_num can reach n_a·n_b when
+# the supports are disjoint, so a one-shot 1e6 multiply would cap
+# the bound at ~3e6 per side).
 
 
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +86,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_x").over(w_cum).cast("bigint").alias("ca"),
         F.sum("nb_x").over(w_cum).cast("bigint").alias("cb"),
     )
-    totals = docs.groupBy("source").agg(
-        F.sum("a").cast("bigint").alias("n_a"),
-        F.sum(1 - F.col("a")).cast("bigint").alias("n_b"),
+    totals = per_x.groupBy("source").agg(
+        F.sum("na_x").cast("bigint").alias("n_a"),
+        F.sum("nb_x").cast("bigint").alias("n_b"),
     )
     # co-partitioned on source with the window output; totals is tiny
     # (one row per source) and broadcasts
@@ -97,15 +103,22 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_a", "n_b")
         .agg(F.max("d").cast("bigint").alias("d_num"))
     )
+    from metoffice_spark.operators.stats import _fp_div_1e6
+
     return d_num.filter("n_a > 0 AND n_b > 0").select(
         "source",
         "n_a",
         "n_b",
-        F.expr("CAST((d_num * 1000000) div (n_a * n_b) AS BIGINT)").alias("ks_fp"),
+        F.expr(
+            f"CAST({_fp_div_1e6('d_num', '(n_a * n_b)', 'div')} AS BIGINT)"
+        ).alias("ks_fp"),
     )
 
 
-ORACLE_KS_TEST = """
+def _ks_oracle() -> str:
+    from metoffice_spark.operators.stats import _fp_div_1e6
+
+    return f"""
 WITH base AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,
          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a
@@ -126,9 +139,9 @@ cum AS (
   FROM per_x
 ),
 totals AS (
-  SELECT source, CAST(sum(a) AS BIGINT) AS n_a,
-         CAST(sum(1 - a) AS BIGINT) AS n_b
-  FROM base GROUP BY source
+  SELECT source, CAST(sum(na_x) AS BIGINT) AS n_a,
+         CAST(sum(nb_x) AS BIGINT) AS n_b
+  FROM per_x GROUP BY source
 ),
 d AS (
   SELECT c.source, t.n_a, t.n_b,
@@ -137,11 +150,12 @@ d AS (
   GROUP BY c.source, t.n_a, t.n_b
 )
 SELECT source, n_a, n_b,
-       CAST((d_num * 1000000) // (n_a * n_b) AS BIGINT) AS ks_fp
+       CAST({_fp_div_1e6('d_num', '(n_a * n_b)', '//')} AS BIGINT) AS ks_fp
 FROM d WHERE n_a > 0 AND n_b > 0
 """
 
-QUERIES["q_ks_test"] = (q_ks_test, ORACLE_KS_TEST)
+
+QUERIES["q_ks_test"] = (q_ks_test, _ks_oracle())
 
 
 # --- q_graph_bfs: multi-round BFS reachability -------------------------------
@@ -170,30 +184,16 @@ _BFS_MAX_LEVEL = 4
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS levels 0..4 from MIN(o_custkey) over the customer-supplier
     graph: (level, n_nodes, min_node, max_node)."""
+    from metoffice_spark.operators.scale import bipartite_edges
+
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("bigint").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
-        )
-        .distinct()
-    )
-    edges = fwd.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # shared graph-family edge substrate (scale.py:bipartite_edges);
     # no repartition(src): with broadcast frontier joins the edge
     # partitioning is irrelevant, and the extra |E| shuffle cost ~25 %
     # of the query. (In the no-hint huge-|V| fallback, reinstate it so
     # the shuffle join co-locates on src.)
-    edges = scoped_persist(edges)
+    edges = scoped_persist(bipartite_edges(spark, sf_dir))
+    orders = load(spark, sf_dir, "orders")
     seed = orders.agg(F.min("o_custkey").cast("bigint").alias("node")).select(
         "node", F.lit(0).cast("int").alias("level")
     )
@@ -225,17 +225,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GRAPH_BFS = f"""
-WITH RECURSIVE fwd AS (
-  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
-         CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-),
-edges AS (
-  SELECT src, dst FROM fwd
-  UNION ALL
-  SELECT dst AS src, src AS dst FROM fwd
-),
+def _bfs_oracle() -> str:
+    from metoffice_spark.operators.scale import EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
 bfs(node, level) AS (
   SELECT CAST(min(o_custkey) AS BIGINT) AS node, 0 AS level FROM orders
   UNION
@@ -252,14 +246,17 @@ SELECT level, count(*) AS n_nodes,
 FROM lvl GROUP BY level ORDER BY level
 """
 
-QUERIES["q_graph_bfs"] = (q_graph_bfs, ORACLE_GRAPH_BFS)
+
+QUERIES["q_graph_bfs"] = (q_graph_bfs, _bfs_oracle())
 
 
 # --- q_feature_hashing: hashing-trick bag-of-words ---------------------------
 #
 # The fixed-dimension sparse encoder for downstream linear models
-# (q_quality_classifier, q_ridge_normal): token -> bucket
-# (first two md5 nibbles of 'FH1|tok', mod 16), per-doc bucket
+# (q_quality_classifier, q_ridge_normal): token -> bucket = first
+# md5 BYTE of 'FH1|tok' mod 24 — 24, not a power of two, so BOTH
+# nibbles influence the bucket (with mod 16 the high nibble cancels
+# out of (hi*16 + lo) % 16 entirely — review r05); per-doc bucket
 # counts serialized as a 'bb:count' string sorted by bucket
 # (zero-padded so lexicographic == numeric order — and the string
 # form keeps the driver's pandas hasher off raw arrays, the
@@ -272,13 +269,13 @@ QUERIES["q_graph_bfs"] = (q_graph_bfs, ORACLE_GRAPH_BFS)
 # no global dictionary — the entire point of feature hashing at
 # 100 TB.
 
-_FH_BUCKETS = 16
+_FH_BUCKETS = 24  # not a power of two: both hash nibbles matter
 _FH_SEED = "FH1"
 _FH_NIBBLES = "0123456789abcdef"
 
 
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per doc: token count and the 16-bucket hashed bag-of-words as
+    """Per doc: token count and the 24-bucket hashed bag-of-words as
     a 'bb:count|bb:count' string (buckets ascending)."""
     spark = tune(spark)
     docs = _spread(
@@ -531,12 +528,17 @@ QUERIES["q_l_diversity"] = (q_l_diversity, ORACLE_L_DIVERSITY)
 #
 # Grouped (delete-one-priority-class) jackknife of the mean order
 # price: for each of the g groups, the leave-group-out mean in
-# 1e-4-dollar fixed point (cents * 100 stays exact BIGINT), then the
-# jackknife variance (g-1)/g * mean((theta_i - theta_bar)^2) in ONE
-# shared double expression over exact integer sums — the sum of
-# squares is computed as sum((g*theta_i - sum_theta)^2), still
-# integral, so the only double op is the final scale (correctly
-# rounded, bitwise-identical across engines).
+# 1e-4-dollar fixed point (cents * 100 stays exact BIGINT), plus a
+# per-group variance TERM such that the jackknife variance is the
+# plain SUM of the emitted jk_term column:
+#   var_jack = (g-1)/g * SUM_i (theta_i - theta_bar)^2
+#            = SUM_i jk_term,  jk_term = (g·theta_i - sum_theta)^2
+#                                         · (g-1) / g^3
+# (SUM, not mean — averaging the rows understates the estimator by
+# g; review r05). Each term is ONE shared double expression over
+# exact integer sums — (g*theta_i - sum_theta)^2 stays integral, so
+# the only double op is the final scale (correctly rounded,
+# bitwise-identical across engines).
 #
 # Scale: one groupBy over orders (map-side combinable), a broadcast
 # 1-row total, and a 5-row window — nothing shuffles more than the

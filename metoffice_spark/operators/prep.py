@@ -262,14 +262,15 @@ QUERIES["q_time_weighted_avg"] = (q_time_weighted_avg, ORACLE_TWAP)
 #
 # Map each document's n_chars to its within-source quantile in
 # [0, 1e6] using tie-averaged ranks (the q_eval_auc 2×avg-rank trick:
-# avg2 = 2*rank + tie_count - 1 stays integral), linearly rescaled so
-# the group minimum -> 0 and maximum -> 1e6. The standard rank-
-# transform step before quantile matching / copula features; exact,
-# no distributional assumption.
+# avg2 = 2*rank + tie_count - 1 stays integral), linearly rescaled
+# over the avg2 range [2, 2n]. An UNTIED group minimum maps to 0 and
+# an untied maximum to 1e6; rows TIED at either extreme land at the
+# tie group's average rank, strictly inside the interval (that is
+# the point of average ranks — review r05 doc fix).
 #
-# Scale: one per-source rank window (per-group distributed sort) +
-# one broadcast of per-source counts. Groups of one row are excluded
-# (normalization undefined).
+# Scale: one per-source rank window (per-group distributed sort);
+# the per-source count rides the SAME partition as one more window
+# aggregate — no second scan of the base table and no join.
 
 
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +282,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("source").orderBy("x")
     w_tie = Window.partitionBy("source", "x")
+    w_src = Window.partitionBy("source")
     ranked = docs.select(
         "doc_id",
         "source",
@@ -290,21 +292,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("avg2"),
+        F.count(F.lit(1)).over(w_src).cast("bigint").alias("n"),
     )
-    totals = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    return (
-        ranked.join(F.broadcast(totals), "source")
-        .filter("n > 1")
-        .select(
-            "doc_id",
-            "source",
-            F.col("x").alias("n_chars"),
-            F.expr("CAST(((avg2 - 2) * 1000000) div (2 * n - 2) AS BIGINT)").alias(
-                "pct_fp"
-            ),
-        )
+    return ranked.filter("n > 1").select(
+        "doc_id",
+        "source",
+        F.col("x").alias("n_chars"),
+        F.expr("CAST(((avg2 - 2) * 1000000) div (2 * n - 2) AS BIGINT)").alias(
+            "pct_fp"
+        ),
     )
 
 
@@ -313,16 +309,13 @@ WITH ranked AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
          CAST(2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
               + count(*) OVER (PARTITION BY source, n_chars) - 1
-           AS BIGINT) AS avg2
+           AS BIGINT) AS avg2,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
   FROM documents
-),
-totals AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
 )
-SELECT r.doc_id, r.source, r.x AS n_chars,
-       CAST(((r.avg2 - 2) * 1000000) // (2 * t.n - 2) AS BIGINT) AS pct_fp
-FROM ranked r JOIN totals t ON r.source = t.source
-WHERE t.n > 1
+SELECT doc_id, source, x AS n_chars,
+       CAST(((avg2 - 2) * 1000000) // (2 * n - 2) AS BIGINT) AS pct_fp
+FROM ranked WHERE n > 1
 """
 
 QUERIES["q_quantile_normalize"] = (q_quantile_normalize, ORACLE_QNORM)
@@ -538,7 +531,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
     per_v = li.groupBy("l_returnflag", "cents").agg(
-        F.sum("wt").cast("bigint").alias("w_v")
+        F.sum("wt").cast("bigint").alias("w_v"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_v"),
     )
     w_cum = (
         Window.partitionBy("l_returnflag")
@@ -548,9 +542,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per_v.select(
         "l_returnflag", "cents", F.sum("w_v").over(w_cum).cast("bigint").alias("cw")
     )
-    totals = li.groupBy("l_returnflag").agg(
-        F.sum("wt").cast("bigint").alias("w_tot"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # totals re-aggregate the (flag, cents) partials — no second
+    # scan of lineitem (the q_benford_test totals discipline)
+    totals = per_v.groupBy("l_returnflag").agg(
+        F.sum("w_v").cast("bigint").alias("w_tot"),
+        F.sum("cnt_v").cast("bigint").alias("n"),
     )
     return (
         cum.join(F.broadcast(totals), "l_returnflag")
@@ -569,7 +565,8 @@ WITH li AS (
   FROM lineitem
 ),
 per_v AS (
-  SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w_v
+  SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w_v,
+         CAST(count(*) AS BIGINT) AS cnt_v
   FROM li GROUP BY l_returnflag, cents
 ),
 cum AS (
@@ -579,9 +576,9 @@ cum AS (
   FROM per_v
 ),
 totals AS (
-  SELECT l_returnflag, CAST(sum(wt) AS BIGINT) AS w_tot,
-         CAST(count(*) AS BIGINT) AS n
-  FROM li GROUP BY l_returnflag
+  SELECT l_returnflag, CAST(sum(w_v) AS BIGINT) AS w_tot,
+         CAST(sum(cnt_v) AS BIGINT) AS n
+  FROM per_v GROUP BY l_returnflag
 )
 SELECT c.l_returnflag, t.n, t.w_tot,
        CAST(min(c.cents) AS BIGINT) AS wmedian_cents

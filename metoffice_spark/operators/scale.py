@@ -379,6 +379,53 @@ _PR_BASE = 1_000_000_000_000
 _PR_ROUNDS = 3
 
 
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected customer-supplier bipartite edge set shared by
+    the whole graph family (q_graph_pagerank here, q_graph_bfs in
+    nonparam.py, q_graph_kcore in mining.py): node -(s+1) is supplier
+    s — disjoint from the non-negative customer-id space at EVERY
+    corpus size (the q_contamination_ngram negated-id precedent).
+    Both directions come from ONE pass over the distinct forward
+    pairs (a self-union would plan the join+distinct subtree twice —
+    no CSE across union branches). Returned UNPERSISTED and
+    unpartitioned: each caller picks the layout its iteration shape
+    needs (pagerank hash-partitions on src; BFS/k-core broadcast
+    their |V|-bounded probe sides instead)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+# The matching oracle CTE text (defines `fwd` and `edges`), shared by
+# the same three graph-family oracles so the edge derivation cannot
+# silently diverge between them.
+EDGES_CTE = """fwd AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+)"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (d=0.85, 3 rounds): (node_id, rank_fp,
     rank) for every node of the customer-supplier graph.
@@ -390,26 +437,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (no mid-loop action). The 1-row node-count side crossJoins
     as a broadcast."""
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
-        )
-        .distinct()
-    )
-    # both directions in ONE pass over fwd (a self-union would plan
-    # the join+distinct subtree twice — no CSE across union branches)
-    edges = fwd.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    edges = bipartite_edges(spark, sf_dir)
     from metoffice_spark.session import scoped_persist
 
     # (src, dst, outdeg) cached HASH-PARTITIONED on src: every round's
@@ -461,15 +489,7 @@ def _pr_round_sql(prev: str, rnd: int) -> str:
 _PR_ROUNDS_SQL = ",\n".join(_pr_round_sql(f"r{i}", i + 1) for i in range(_PR_ROUNDS))
 
 ORACLE_GRAPH_PAGERANK = f"""
-WITH fwd AS (
-  SELECT DISTINCT o_custkey AS src, CAST(-(l_suppkey + 1) AS BIGINT) AS dst
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
-edges AS (
-  SELECT src, dst FROM fwd
-  UNION ALL
-  SELECT dst AS src, src AS dst FROM fwd
-),
+WITH {EDGES_CTE},
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
 nodes AS (SELECT DISTINCT src AS node FROM ed),
