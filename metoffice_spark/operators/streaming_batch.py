@@ -854,8 +854,118 @@ LEFT JOIN region r ON CAST(r.r_regionkey AS VARCHAR) = o.station_id
 """
 
 
+# --- q_stream_twap: running time-weighted average as per-key state -----------
+#
+# The prep.py q_time_weighted_avg trapezoid as a STREAMING stateful
+# operator: per station, the running time-weighted mean of tempc
+# after every observation, with the integration state
+# (first_es, prev_es, prev_vfp, num, n) carried across micro-batches
+# by ``applyInPandasWithState`` — a genuinely different state shape
+# from the rain machine's day-reset cells (an accumulating integral
+# that never resets). Replayed across TWO batches split a day before
+# the end so the state provably survives the checkpoint. The oracle
+# is the equivalent batch cumulative-window form — replay
+# determinism means streaming ≡ batch exactly (SURVEY §5.2.4).
+#
+# Exactness: vfp = floor(100·tempc + 0.5) cents, es = floored epoch
+# seconds (both floors match the oracle); tempc goes below zero, so
+# the truncating divide uses the sign-split idiom (corpus.py:434) in
+# BOTH the pandas fold and the SQL.
+
+
+def _twap_machine(key, pdf_iter, state: GroupState):
+    """Per-station running trapezoid: num accumulates
+    (v_prev + v_cur)·dt; twap_fp = num div (2·span), sign-split."""
+    import math as _math
+
+    if state.exists:
+        first_es, prev_es, prev_vfp, num, n = state.get
+    else:
+        first_es, prev_es, prev_vfp, num, n = -1, -1, 0, 0, 0
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "obs_id"])
+    out_rows = []
+    for row in pdf.itertuples():
+        es = int(row.ts.timestamp())
+        vfp = int(_math.floor(row.tempc * 100 + 0.5))
+        if n == 0:
+            first_es = es
+        else:
+            num += (prev_vfp + vfp) * (es - prev_es)
+        n += 1
+        prev_es, prev_vfp = es, vfp
+        span = es - first_es
+        if span > 0:
+            mag = num if num >= 0 else -num
+            twap = mag // (2 * span)
+            twap = twap if num >= 0 else -twap
+        else:
+            twap = None
+        out_rows.append((key[0], row.obs_id, n, span, twap))
+    state.update((first_es, prev_es, prev_vfp, num, n))
+    yield pd.DataFrame(
+        out_rows, columns=["station_id", "obs_id", "n_obs", "span_s", "twap_fp"]
+    )
+
+
+def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-station TWAP of tempc after each observation,
+    state carried across two micro-batches."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    input_dir, root = _replay(
+        spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    shaped = sdf.groupBy("station_id").applyInPandasWithState(
+        _twap_machine,
+        "station_id string, obs_id long, n_obs long, span_s long, twap_fp long",
+        "first_es long, prev_es long, prev_vfp long, num long, n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_parquet(shaped, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_TWAP = f"""{_CTE},
+base AS (
+  SELECT station_id, obs_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(tempc * 100 + 0.5) AS BIGINT) AS vfp
+  FROM observations
+),
+s1 AS (
+  SELECT station_id, obs_id, es, vfp,
+         CAST(row_number() OVER w AS BIGINT) AS n_obs,
+         CAST(es - first_value(es) OVER w AS BIGINT) AS span_s,
+         lag(es) OVER w AS pes,
+         lag(vfp) OVER w AS pvfp
+  FROM base
+  WINDOW w AS (PARTITION BY station_id ORDER BY es, obs_id)
+),
+s2 AS (
+  SELECT station_id, obs_id, n_obs, span_s,
+         CAST(coalesce(sum(CASE WHEN pes IS NULL THEN 0
+                                ELSE (pvfp + vfp) * (es - pes) END)
+           OVER (PARTITION BY station_id ORDER BY es, obs_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS BIGINT) AS num
+  FROM s1
+)
+SELECT station_id, obs_id, n_obs, span_s,
+       CASE WHEN span_s > 0 THEN
+         CASE WHEN num >= 0 THEN num // (2 * span_s)
+              ELSE -((-num) // (2 * span_s)) END
+       END AS twap_fp
+FROM s2
+"""
+
+
 QUERIES = {
     "q_stream_ingest": (q_stream_ingest, ORACLE_STREAM_INGEST),
+    "q_stream_twap": (q_stream_twap, ORACLE_STREAM_TWAP),
     "q_stream_static_join": (q_stream_static_join, ORACLE_STREAM_STATIC_JOIN),
     "q_stream_cagg": (q_stream_cagg, ORACLE_STREAM_CAGG),
     "q_stream_cep": (q_stream_cep, ORACLE_STREAM_CEP),

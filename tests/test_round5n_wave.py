@@ -98,3 +98,54 @@ def test_rolling_regression_recount_one_user(spark, sf_smoke):
             assert math.isclose(r["slope"], expect, rel_tol=1e-12)
         else:
             assert r["slope"] is None
+
+
+def test_stream_twap_state_survives_batch_split(spark, sf_smoke):
+    """The streaming running-TWAP must match the batch cumulative
+    trapezoid EXACTLY — including at the first rows of the second
+    micro-batch, which are correct only if (first_es, prev_es,
+    prev_vfp, num, n) survived the checkpoint."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metoffice_spark.obs import observations
+    from metoffice_spark.operators.streaming_batch import q_stream_twap
+
+    streamed = {
+        (r["station_id"], r["obs_id"]): (r["n_obs"], r["span_s"], r["twap_fp"])
+        for r in q_stream_twap(spark, sf_smoke).collect()
+    }
+    obs = observations(spark, sf_smoke).select(
+        "station_id",
+        "obs_id",
+        F.col("ts").cast("long").alias("es"),
+        F.floor(F.col("tempc") * 100 + F.lit(0.5)).cast("bigint").alias("vfp"),
+    )
+    w = Window.partitionBy("station_id").orderBy("es", "obs_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = obs.select(
+        "station_id",
+        "obs_id",
+        F.row_number().over(w).cast("bigint").alias("n_obs"),
+        (F.col("es") - F.first("es").over(w)).cast("bigint").alias("span_s"),
+        F.sum(
+            F.coalesce(
+                (F.lag("vfp").over(w) + F.col("vfp"))
+                * (F.col("es") - F.lag("es").over(w)),
+                F.lit(0),
+            )
+        )
+        .over(w_cum)
+        .cast("bigint")
+        .alias("num"),
+    ).collect()
+    assert len(batch) == len(streamed) and batch
+    for r in batch:
+        n, span, num = r["n_obs"], r["span_s"], r["num"]
+        if span > 0:
+            mag = num if num >= 0 else -num
+            twap = mag // (2 * span)
+            twap = twap if num >= 0 else -twap
+        else:
+            twap = None
+        assert streamed[(r["station_id"], r["obs_id"])] == (n, span, twap)
