@@ -978,3 +978,107 @@ QUERIES = {
     "q_stream_stateful": (q_stream_stateful, ORACLE_STREAM_STATEFUL),
     "q_stream_sink": (q_stream_sink, ORACLE_STREAM_SINK),
 }
+
+
+# --- q_stream_anomaly: prequential z-score anomaly detection ------------------
+#
+# Per station, each observation's z-score against the running
+# mean/variance of all PRIOR observations (prequential — the
+# detector never sees the point it judges), with the sufficient
+# statistics (n, sum_vfp, sum_vfp2) as exact BIGINT streaming state.
+# The z expression is ONE shared IEEE shape — Python floats and SQL
+# DOUBLEs are the same binary64 ops in the same order — and the
+# degeneracy guard (n >= 2 AND n·sum2 − sum² > 0) is exact integer,
+# never a float-rounded variance compare (a constant series must
+# yield NULL, not sqrt(-1e-12)). Oracle = the batch lagged-window
+# form; the anomaly flag is |z| > 3.
+#
+# Scale: state is three BIGINTs per station; overflow bound
+# n·sum2 ~ n²·2.5e7 → ~1.9e4 observations per station per the exact
+# guard (beyond that, widen the guard through the same double shape
+# as z — documented, not needed at the fixture's 3-day replay).
+
+
+def _anomaly_machine(key, pdf_iter, state: GroupState):
+    import math as _math
+
+    if state.exists:
+        n, s1, s2 = state.get
+    else:
+        n, s1, s2 = 0, 0, 0
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "obs_id"])
+    out_rows = []
+    for row in pdf.itertuples():
+        vfp = int(_math.floor(row.tempc * 100 + 0.5))
+        if n >= 2 and n * s2 - s1 * s1 > 0:
+            mean = s1 / n
+            z = (vfp - mean) / _math.sqrt(s2 / n - mean * mean)
+            flag = 1 if abs(z) > 3.0 else 0
+        else:
+            z, flag = None, None
+        out_rows.append((key[0], row.obs_id, n, z, flag))
+        n, s1, s2 = n + 1, s1 + vfp, s2 + vfp * vfp
+    state.update((n, s1, s2))
+    yield pd.DataFrame(
+        out_rows, columns=["station_id", "obs_id", "n_prior", "z", "is_anomaly"]
+    )
+
+
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per observation: prior-count, prequential z-score of tempc and
+    the |z| > 3 anomaly flag, state across two micro-batches."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    input_dir, root = _replay(
+        spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    shaped = sdf.groupBy("station_id").applyInPandasWithState(
+        _anomaly_machine,
+        "station_id string, obs_id long, n_prior long, z double,"
+        " is_anomaly int",
+        "n long, s1 long, s2 long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_parquet(shaped, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_ANOMALY = f"""{_CTE},
+base AS (
+  SELECT station_id, obs_id,
+         CAST(floor(tempc * 100 + 0.5) AS BIGINT) AS vfp,
+         ts
+  FROM observations
+),
+prior AS (
+  SELECT station_id, obs_id, vfp,
+         CAST(coalesce(count(vfp) OVER w, 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(vfp) OVER w, 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(vfp * vfp) OVER w, 0) AS BIGINT) AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY station_id ORDER BY ts, obs_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT station_id, obs_id, n AS n_prior,
+       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+         (CAST(vfp AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       END AS z,
+       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+         CAST(CASE WHEN abs(
+           (CAST(vfp AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) > 3.0
+           THEN 1 ELSE 0 END AS INT)
+       END AS is_anomaly
+FROM prior
+"""
+
+QUERIES["q_stream_anomaly"] = (q_stream_anomaly, ORACLE_STREAM_ANOMALY)

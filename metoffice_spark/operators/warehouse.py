@@ -292,3 +292,257 @@ FROM hashed GROUP BY ROLLUP (shard)
 
 
 QUERIES["q_dataset_fingerprint"] = (q_dataset_fingerprint, _fp_oracle())
+
+
+# --- q_lorenz_curve: decile concentration curve (round 5p) -------------------
+#
+# The curve behind q_gini_spend's scalar: customers ranked ascending
+# by lifetime spend into ntile(10) deciles (metric + custkey
+# tie-break — both engines distribute ntile remainders identically,
+# the q_rfm_segmentation precedent), then each decile's exact revenue
+# and the cumulative share of total revenue (1e-6 fixed point, exact
+# integer cross-multiplication — spend is non-negative cents so the
+# truncating divide is dialect-safe).
+#
+# Scale: one custkey aggregate, one decile ntile (per-group
+# distributed sort), one 10-row cumsum. The decile table IS the
+# Lorenz curve sampled at 10 points; at 100 TB the same shape runs
+# over approx_percentile cutoffs (q_rfm_segmentation's documented
+# swap).
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per spend decile (ascending): customers, revenue cents, and
+    cumulative revenue share (1e-6 fixed point)."""
+    spark = tune(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("s")
+    )
+    w = Window.orderBy(F.col("s").asc(), F.col("o_custkey").asc())
+    deciled = spend.select(
+        "o_custkey", "s", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    per_d = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("s").cast("bigint").alias("rev_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per_d.select(
+        "decile",
+        "n_custs",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.expr(
+            "CAST((sum(rev_cents) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
+            " div (sum(rev_cents) OVER ()) AS BIGINT)"
+        ).alias("cum_share_fp"),
+    ).orderBy("decile")
+
+
+ORACLE_LORENZ = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey
+),
+deciled AS (
+  SELECT o_custkey, s,
+         CAST(ntile(10) OVER (ORDER BY s ASC, o_custkey ASC) AS INT) AS decile
+  FROM spend
+),
+per_d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_custs,
+         CAST(sum(s) AS BIGINT) AS rev_cents
+  FROM deciled GROUP BY decile
+)
+SELECT decile, n_custs, rev_cents,
+       CAST(sum(rev_cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       CAST((sum(rev_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+            // (sum(rev_cents) OVER ()) AS BIGINT) AS cum_share_fp
+FROM per_d ORDER BY decile
+"""
+
+QUERIES["q_lorenz_curve"] = (q_lorenz_curve, ORACLE_LORENZ)
+
+
+# --- q_abc_classification: Pareto ABC inventory classes (round 5p) -----------
+#
+# Parts classed by cumulative revenue share in descending-revenue
+# order: A up to 70 %, B up to 90 %, C the tail — the inventory
+# staple. The class boundary test is an exact integer
+# cross-multiplication (cum*100 <= total*70), no percentage floats
+# anywhere; ties break by partkey for a total order.
+#
+# Scale: one partkey aggregate + one global cumsum over the part
+# dimension (|parts| rows, not |lineitem|) + a 3-row census.
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ABC class: parts, revenue cents, revenue share (1e-6),
+    min/max cumulative-share position."""
+    spark = tune(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("r"))
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("r").over(Window.partitionBy()).cast("bigint").alias("tot"),
+    )
+    classed = cum.select(
+        "l_partkey",
+        "r",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 70, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 90, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("rev_cents"),
+            F.max("tot").cast("bigint").alias("tot_cents"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            "rev_cents",
+            F.expr("CAST((rev_cents * 1000000) div tot_cents AS BIGINT)").alias(
+                "share_fp"
+            ),
+        )
+        .orderBy("abc")
+    )
+
+
+ORACLE_ABC = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, r,
+         CAST(sum(r) OVER (ORDER BY r DESC, l_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(r) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, r,
+         CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+              WHEN cum * 100 <= tot * 90 THEN 'B'
+              ELSE 'C' END AS abc,
+         tot
+  FROM cum
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS BIGINT) AS rev_cents,
+       CAST((sum(r) * 1000000) // max(tot) AS BIGINT) AS share_fp
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+QUERIES["q_abc_classification"] = (q_abc_classification, ORACLE_ABC)
+
+
+# --- q_hhi_concentration: Herfindahl market concentration (round 5p) ---------
+#
+# Per nation: the Herfindahl-Hirschman index of customer spend
+# shares, kept EXACT by quantizing shares to per-mille first
+# (share_pm = s_i*1000 div S, an integer 0..1000) and summing their
+# squares — a raw Σs_i² would overflow int64 at cents scale, and a
+# double Σ would be addition-order nondeterministic across
+# partitions. HHI_pm2 ranges 0 (atomistic) .. 1e6 (monopoly).
+#
+# Scale: two keyed aggregates (customer spend, then nation roll-up)
+# + a broadcast join of the |nations|-row totals.
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers, total spend cents, and the per-mille
+    Herfindahl index (0..1e6)."""
+    spark = tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("s"))
+    )
+    totals = spend.groupBy("c_nationkey").agg(
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+    )
+    shares = spend.join(F.broadcast(totals), "c_nationkey").select(
+        "c_nationkey",
+        "n_custs",
+        "s_tot",
+        F.expr("CAST((s * 1000) div s_tot AS BIGINT)").alias("share_pm"),
+    )
+    return (
+        shares.groupBy("c_nationkey", "n_custs", "s_tot")
+        .agg(
+            F.sum(F.col("share_pm") * F.col("share_pm"))
+            .cast("bigint")
+            .alias("hhi_pm2")
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nat"),
+            "n_custs",
+            F.col("s_tot").alias("spend_cents"),
+            "hhi_pm2",
+        )
+    )
+
+
+ORACLE_HHI = """
+WITH spend AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+totals AS (
+  SELECT c_nationkey, CAST(sum(s) AS BIGINT) AS s_tot,
+         CAST(count(*) AS BIGINT) AS n_custs
+  FROM spend GROUP BY c_nationkey
+),
+shares AS (
+  SELECT sp.c_nationkey, t.n_custs, t.s_tot,
+         CAST((sp.s * 1000) // t.s_tot AS BIGINT) AS share_pm
+  FROM spend sp JOIN totals t ON sp.c_nationkey = t.c_nationkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nat, n_custs,
+       s_tot AS spend_cents,
+       CAST(sum(share_pm * share_pm) AS BIGINT) AS hhi_pm2
+FROM shares GROUP BY c_nationkey, n_custs, s_tot
+"""
+
+QUERIES["q_hhi_concentration"] = (q_hhi_concentration, ORACLE_HHI)
