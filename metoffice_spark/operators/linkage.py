@@ -284,3 +284,131 @@ GROUP BY r.rid
 """
 
 QUERIES["q_join_spatial"] = (q_join_spatial, ORACLE_JOIN_SPATIAL)
+
+
+# --- q_er_blocking: blocking-quality audit for entity resolution (5q) --------
+#
+# The scale question q_link_editdist leaves open: its dictionary
+# cross-join is only feasible while the vocabulary is small. This
+# operator runs the BLOCKED form — candidate pairs share a blocking
+# key (first token, char_length div 4), verified by Levenshtein <= 2
+# — and AUDITS it against the unblocked ground truth on the same
+# dictionary: candidate counts, matches found/missed, and blocking
+# recall in 1e-6 fixed point. The audit is the point: at 100 TB only
+# the blocked path runs, and this query is the harness that
+# quantifies what the chosen key sacrifices.
+#
+# Scale: blocked candidates come from an equi-join on the block key
+# (never a cross join); the ground-truth side stays dictionary-sized
+# (the q_link_editdist precondition) and exists ONLY for the audit.
+
+_ER_MAXDIST = 2
+
+
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit row: names, blocks, candidate pairs, blocked vs
+    total matches, and blocking recall (1e-6 fixed point)."""
+    spark = tune(spark)
+    part = load(spark, sf_dir, "part")
+    names = scoped_persist(
+        part.select("p_name")
+        .distinct()
+        .select(
+            "p_name",
+            F.expr(
+                "concat(substring_index(p_name, ' ', 1), '|',"
+                " CAST(char_length(p_name) div 4 AS STRING))"
+            ).alias("blk"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b")
+    )
+    cand = (
+        a.join(b, F.col("blk_a") == F.col("blk_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+    )
+    blocked = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= _ER_MAXDIST)
+    truth = (
+        a.drop("blk_a")
+        .crossJoin(b.drop("blk_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _ER_MAXDIST)
+    )
+    stats = (
+        names.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.countDistinct("blk").cast("bigint").alias("n_blocks"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                blocked.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocked"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+            )
+        )
+    )
+    return stats.select(
+        "n_names",
+        "n_blocks",
+        "n_candidates",
+        "n_blocked",
+        "n_total",
+        F.expr(
+            "CASE WHEN n_total > 0 THEN"
+            " CAST((n_blocked * 1000000) div n_total AS BIGINT)"
+            " ELSE CAST(1000000 AS BIGINT) END"
+        ).alias("recall_fp"),
+    )
+
+
+ORACLE_ER_BLOCKING = f"""
+WITH names AS (
+  SELECT DISTINCT p_name,
+         string_split(p_name, ' ')[1] || '|'
+           || CAST(length(p_name) // 4 AS VARCHAR) AS blk
+  FROM part
+),
+cand AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b ON a.blk = b.blk
+  WHERE a.p_name < b.p_name
+),
+blocked AS (
+  SELECT * FROM cand WHERE levenshtein(name_a, name_b) <= {_ER_MAXDIST}
+),
+truth AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a CROSS JOIN names b
+  WHERE a.p_name < b.p_name
+    AND levenshtein(a.p_name, b.p_name) <= {_ER_MAXDIST}
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM names) AS n_names,
+         (SELECT CAST(count(DISTINCT blk) AS BIGINT) FROM names) AS n_blocks,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM blocked) AS n_blocked,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_total
+)
+SELECT n_names, n_blocks, n_candidates, n_blocked, n_total,
+       CASE WHEN n_total > 0 THEN
+         CAST((n_blocked * 1000000) // n_total AS BIGINT)
+       ELSE CAST(1000000 AS BIGINT) END AS recall_fp
+FROM stats
+"""
+
+QUERIES["q_er_blocking"] = (q_er_blocking, ORACLE_ER_BLOCKING)

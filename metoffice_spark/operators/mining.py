@@ -869,3 +869,125 @@ FROM sums
 """
 
 QUERIES["q_rolling_regression"] = (q_rolling_regression, ORACLE_ROLLING_REG)
+
+
+# --- q_graph_modularity: community modularity score (round 5q) ---------------
+#
+# Newman modularity of the nation partition over the shared
+# customer-supplier graph: with M the DIRECTED edge count (both
+# directions — the bipartite_edges convention), per community c
+#   q_term(c) = ein_c/M − (d_c/M)²
+# where ein_c counts directed edges with BOTH ends in c and d_c the
+# directed degree mass of c; Q = Σ q_term. Using directed counts
+# throughout is algebraically identical to the undirected e_c/m −
+# (d_c/2m)² form. Counts stay exact BIGINT; each q_term is one
+# shared double expression over them.
+#
+# Scale: the node→community map is |V|-bounded and broadcasts into
+# the two edge-end joins; the rest is two keyed aggregates + a
+# broadcast 1-row M. Suppliers map through s_nationkey, customers
+# through c_nationkey — the same disjoint-id encoding as the rest of
+# the graph family.
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation community: nodes, degree mass, within-community
+    edges, and the modularity term (double, shared expression)."""
+    from metoffice_spark.operators.scale import bipartite_edges
+
+    spark = tune(spark)
+    edges = scoped_persist(bipartite_edges(spark, sf_dir))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("node"),
+        F.col("c_nationkey").cast("bigint").alias("comm"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        (-(F.col("s_suppkey") + 1)).cast("bigint").alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("comm"),
+    )
+    comm = scoped_persist(cust.unionByName(supp))
+    tagged = (
+        edges.join(
+            F.broadcast(comm.withColumnRenamed("node", "src")), "src"
+        )
+        .withColumnRenamed("comm", "c_src")
+        .join(
+            F.broadcast(
+                comm.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "comm", "c_dst"
+                )
+            ),
+            "dst",
+        )
+    )
+    tagged = scoped_persist(tagged)
+    m_tot = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    per_c = tagged.groupBy(F.col("c_src").alias("comm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_c"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ein_c"),
+    )
+    nodes_c = comm.join(
+        F.broadcast(tagged.select(F.col("src").alias("node")).distinct()), "node"
+    ).groupBy("comm").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        per_c.join(nodes_c, "comm")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "comm",
+            "n_nodes",
+            "d_c",
+            "ein_c",
+            F.expr(
+                "CAST(ein_c AS DOUBLE) / CAST(m AS DOUBLE)"
+                " - (CAST(d_c AS DOUBLE) / CAST(m AS DOUBLE))"
+                " * (CAST(d_c AS DOUBLE) / CAST(m AS DOUBLE))"
+            ).alias("q_term"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    from metoffice_spark.operators.scale import EDGES_CTE
+
+    return f"""
+WITH {EDGES_CTE},
+comm AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         CAST(c_nationkey AS BIGINT) AS comm
+  FROM customer
+  UNION ALL
+  SELECT CAST(-(s_suppkey + 1) AS BIGINT) AS node,
+         CAST(s_nationkey AS BIGINT) AS comm
+  FROM supplier
+),
+tagged AS (
+  SELECT e.src, e.dst, cs.comm AS c_src, cd.comm AS c_dst
+  FROM edges e
+  JOIN comm cs ON e.src = cs.node
+  JOIN comm cd ON e.dst = cd.node
+),
+m_tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tagged),
+per_c AS (
+  SELECT c_src AS comm,
+         CAST(count(*) AS BIGINT) AS d_c,
+         CAST(sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS BIGINT) AS ein_c
+  FROM tagged GROUP BY c_src
+),
+nodes_c AS (
+  SELECT c.comm, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM comm c JOIN (SELECT DISTINCT src AS node FROM tagged) t
+    ON c.node = t.node
+  GROUP BY c.comm
+)
+SELECT p.comm, n.n_nodes, p.d_c, p.ein_c,
+       CAST(ein_c AS DOUBLE) / CAST(m AS DOUBLE)
+       - (CAST(d_c AS DOUBLE) / CAST(m AS DOUBLE))
+         * (CAST(d_c AS DOUBLE) / CAST(m AS DOUBLE)) AS q_term
+FROM per_c p JOIN nodes_c n ON p.comm = n.comm
+CROSS JOIN m_tot
+"""
+
+
+QUERIES["q_graph_modularity"] = (q_graph_modularity, _modularity_oracle())

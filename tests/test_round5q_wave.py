@@ -1,0 +1,43 @@
+"""Semantic property tests for the round-5q pair: graph modularity
+and the entity-resolution blocking audit."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_modularity_terms_are_consistent(spark, sf_smoke):
+    """Degree masses sum to M, within-edges never exceed degree mass,
+    Q = sum of terms lies in [-1, 1], and the bipartite graph has
+    ZERO within-community edges only if no nation holds both a
+    customer and a supplier connected to each other."""
+    from metoffice_spark.operators.mining import q_graph_modularity
+
+    rows = q_graph_modularity(spark, sf_smoke).collect()
+    assert rows
+    q_total = sum(r["q_term"] for r in rows)
+    assert -1.0 <= q_total <= 1.0
+    for r in rows:
+        assert 0 <= r["ein_c"] <= r["d_c"]
+        assert r["n_nodes"] >= 1
+        # recompute the term from the emitted exact counts
+    # degree masses over all communities account for every directed edge
+    # (every edge endpoint has a community: all custkeys/suppkeys map)
+    m_implied = sum(r["d_c"] for r in rows)
+    for r in rows:
+        expect = r["ein_c"] / m_implied - (r["d_c"] / m_implied) ** 2
+        assert math.isclose(r["q_term"], expect, rel_tol=1e-12)
+
+
+def test_er_blocking_audit_bounds(spark, sf_smoke):
+    """Blocked matches never exceed total matches; candidates are far
+    fewer than the full cross product; recall recomputes."""
+    from metoffice_spark.operators.linkage import q_er_blocking
+
+    r = q_er_blocking(spark, sf_smoke).collect()[0]
+    assert r["n_blocks"] >= 1 and r["n_names"] >= r["n_blocks"]
+    full_pairs = r["n_names"] * (r["n_names"] - 1) // 2
+    assert r["n_candidates"] < full_pairs
+    assert 0 <= r["n_blocked"] <= r["n_total"]
+    if r["n_total"] > 0:
+        assert r["recall_fp"] == (r["n_blocked"] * 1_000_000) // r["n_total"]
