@@ -991,3 +991,105 @@ CROSS JOIN m_tot
 
 
 QUERIES["q_graph_modularity"] = (q_graph_modularity, _modularity_oracle())
+
+
+# --- q_graph_assortativity: degree assortativity (round 5r) ------------------
+#
+# Pearson correlation of endpoint degrees across the directed edge
+# list — THE summary of whether hubs attach to hubs (assortative,
+# r > 0) or to leaves (disassortative, r < 0; typical of bipartite
+# commerce graphs). Sufficient statistics are exact BIGINT sums over
+# the |E|-row (deg_src, deg_dst) relation; numerator/denominators
+# evaluate through the shared _ols_num/_ols_den double helpers (the
+# int64-overflow lesson of review r05 applied from the start).
+#
+# Scale: one degree aggregate + two broadcast joins of the
+# |V|-bounded degree table onto the persisted edge list + one final
+# 1-row aggregate. The symmetric edge list makes Sx == Sy; both are
+# still computed so the expression stays the generic Pearson shape.
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: directed edge count, distinct nodes, and the degree
+    assortativity coefficient (double, shared expression)."""
+    from metoffice_spark.operators.scale import bipartite_edges
+
+    spark = tune(spark)
+    edges = scoped_persist(bipartite_edges(spark, sf_dir))
+    deg = scoped_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    paired = (
+        edges.join(
+            F.broadcast(deg.selectExpr("src", "deg AS dx")), "src"
+        )
+        .join(
+            F.broadcast(deg.selectExpr("src AS dst", "deg AS dy")), "dst"
+        )
+    )
+    g = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+    )
+    r_expr = (
+        f"CASE WHEN {_ols_den('n', 'sxx', 'sx')} > 0"
+        f" AND {_ols_den('n', 'syy', 'sy')} > 0 THEN"
+        f" {_ols_num('n', 'sxy', 'sx', 'sy')}"
+        f" / sqrt({_ols_den('n', 'sxx', 'sx')}"
+        f" * {_ols_den('n', 'syy', 'sy')}) END"
+    )
+    return g.select(
+        F.col("n").alias("n_edges"),
+        "n_nodes",
+        F.expr(r_expr).alias("assortativity"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    from metoffice_spark.operators.scale import EDGES_CTE
+
+    r_expr = (
+        f"CASE WHEN {_ols_den('n', 'sxx', 'sx')} > 0"
+        f" AND {_ols_den('n', 'syy', 'sy')} > 0 THEN"
+        f" {_ols_num('n', 'sxy', 'sx', 'sy')}"
+        f" / sqrt({_ols_den('n', 'sxx', 'sx')}"
+        f" * {_ols_den('n', 'syy', 'sy')}) END"
+    )
+    return f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+paired AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM edges e
+  JOIN deg dx ON e.src = dx.src
+  JOIN deg dy ON e.dst = dy.src
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM paired
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT g.n AS n_edges, nn.n_nodes, {r_expr} AS assortativity
+FROM g CROSS JOIN nn
+"""
+
+
+QUERIES["q_graph_assortativity"] = (
+    q_graph_assortativity,
+    _assortativity_oracle(),
+)

