@@ -327,13 +327,15 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = names.select(
         F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b")
     )
-    cand = (
+    # ONE pass over the block join: annotate distance and aggregate
+    # candidate + match counts together (review r05 — a separate
+    # blocked subtree re-executed the join)
+    cand = scoped_persist(
         a.join(b, F.col("blk_a") == F.col("blk_b"))
         .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
     )
-    blocked = cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).filter(F.col("dist") <= _ER_MAXDIST)
+    blocked = cand.filter(F.col("dist") <= _ER_MAXDIST)
     truth = (
         a.drop("blk_a")
         .crossJoin(b.drop("blk_b"))

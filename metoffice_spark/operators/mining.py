@@ -1007,6 +1007,11 @@ QUERIES["q_graph_modularity"] = (q_graph_modularity, _modularity_oracle())
 # |V|-bounded degree table onto the persisted edge list + one final
 # 1-row aggregate. The symmetric edge list makes Sx == Sy; both are
 # still computed so the expression stays the generic Pearson shape.
+# Overflow bound (review r05): Σ deg² over edges = Σ deg³ over
+# nodes — exact while max-degree³ · hub-count < 9.2e18 (a single
+# deg-2e6 hub already saturates it); past that, the house
+# prescription is the same statistic over log-bucketed degrees
+# (q_spearman_corr's sampled-rank fallback analog).
 
 
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -931,25 +931,29 @@ def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_TWAP = f"""{_CTE},
 base AS (
-  SELECT station_id, obs_id,
+  SELECT station_id, obs_id, ts,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(floor(tempc * 100 + 0.5) AS BIGINT) AS vfp
   FROM observations
 ),
+-- windows order by RAW ts (sub-second precision), matching the
+-- pandas machine's sort_values(["ts", "obs_id"]) — ordering by the
+-- floored second would diverge on same-second ties whose obs_id
+-- order differs from sub-second order (review r05)
 s1 AS (
-  SELECT station_id, obs_id, es, vfp,
+  SELECT station_id, obs_id, ts, es, vfp,
          CAST(row_number() OVER w AS BIGINT) AS n_obs,
          CAST(es - first_value(es) OVER w AS BIGINT) AS span_s,
          lag(es) OVER w AS pes,
          lag(vfp) OVER w AS pvfp
   FROM base
-  WINDOW w AS (PARTITION BY station_id ORDER BY es, obs_id)
+  WINDOW w AS (PARTITION BY station_id ORDER BY ts, obs_id)
 ),
 s2 AS (
   SELECT station_id, obs_id, n_obs, span_s,
          CAST(coalesce(sum(CASE WHEN pes IS NULL THEN 0
                                 ELSE (pvfp + vfp) * (es - pes) END)
-           OVER (PARTITION BY station_id ORDER BY es, obs_id
+           OVER (PARTITION BY station_id ORDER BY ts, obs_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
            AS BIGINT) AS num
   FROM s1

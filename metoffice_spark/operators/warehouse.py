@@ -336,15 +336,25 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     w_all = Window.partitionBy()
-    return per_d.select(
+    # each window defined ONCE; the share uses the two-stage
+    # _fp_div_1e6 refine (stats.py:31) — a one-shot cum*1e6 wraps
+    # int64 once total revenue passes ~9.2e12 cents (~TPC-H sf0.5)
+    from metoffice_spark.operators.stats import _fp_div_1e6
+
+    cum = per_d.select(
         "decile",
         "n_custs",
         "rev_cents",
         F.sum("rev_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).cast("bigint").alias("tot_cents"),
+    )
+    return cum.select(
+        "decile",
+        "n_custs",
+        "rev_cents",
+        "cum_cents",
         F.expr(
-            "CAST((sum(rev_cents) OVER (ORDER BY decile"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
-            " div (sum(rev_cents) OVER ()) AS BIGINT)"
+            f"CAST({_fp_div_1e6('cum_cents', 'tot_cents', 'div')} AS BIGINT)"
         ).alias("cum_share_fp"),
     ).orderBy("decile")
 
@@ -365,14 +375,17 @@ per_d AS (
          CAST(sum(s) AS BIGINT) AS rev_cents
   FROM deciled GROUP BY decile
 )
-SELECT decile, n_custs, rev_cents,
-       CAST(sum(rev_cents) OVER (ORDER BY decile
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_cents,
-       CAST((sum(rev_cents) OVER (ORDER BY decile
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
-            // (sum(rev_cents) OVER ()) AS BIGINT) AS cum_share_fp
-FROM per_d ORDER BY decile
+SELECT decile, n_custs, rev_cents, cum_cents,
+       CAST((1000 * (((cum_cents) * 1000) // (tot_cents)) + ((((cum_cents) * 1000) - (((cum_cents) * 1000) // (tot_cents)) * (tot_cents)) * 1000) // (tot_cents)) AS BIGINT)
+         AS cum_share_fp
+FROM (
+  SELECT decile, n_custs, rev_cents,
+         CAST(sum(rev_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS tot_cents
+  FROM per_d
+) ORDER BY decile
 """
 
 QUERIES["q_lorenz_curve"] = (q_lorenz_curve, ORACLE_LORENZ)
@@ -429,9 +442,11 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc",
             "n_parts",
             "rev_cents",
-            F.expr("CAST((rev_cents * 1000000) div tot_cents AS BIGINT)").alias(
-                "share_fp"
-            ),
+            # two-stage refine: rev_cents*1e6 wraps int64 past
+            # ~9.2e12 total cents (~TPC-H sf0.5)
+            F.expr(
+                "CAST((1000 * (((rev_cents) * 1000) div (tot_cents)) + ((((rev_cents) * 1000) - (((rev_cents) * 1000) div (tot_cents)) * (tot_cents)) * 1000) div (tot_cents)) AS BIGINT)"
+            ).alias("share_fp"),
         )
         .orderBy("abc")
     )
@@ -460,7 +475,7 @@ classed AS (
 )
 SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
        CAST(sum(r) AS BIGINT) AS rev_cents,
-       CAST((sum(r) * 1000000) // max(tot) AS BIGINT) AS share_fp
+       CAST((1000 * (((sum(r)) * 1000) // (max(tot))) + ((((sum(r)) * 1000) - (((sum(r)) * 1000) // (max(tot))) * (max(tot))) * 1000) // (max(tot))) AS BIGINT) AS share_fp
 FROM classed GROUP BY abc ORDER BY abc
 """
 
@@ -470,19 +485,24 @@ QUERIES["q_abc_classification"] = (q_abc_classification, ORACLE_ABC)
 # --- q_hhi_concentration: Herfindahl market concentration (round 5p) ---------
 #
 # Per nation: the Herfindahl-Hirschman index of customer spend
-# shares, kept EXACT by quantizing shares to per-mille first
-# (share_pm = s_i*1000 div S, an integer 0..1000) and summing their
+# shares, kept EXACT by quantizing shares to parts-per-million first
+# (the two-stage _fp_div_1e6 refine — a one-shot s*1e6 multiply
+# wraps int64 past ~9.2e12 cents of nation spend) and summing their
 # squares — a raw Σs_i² would overflow int64 at cents scale, and a
 # double Σ would be addition-order nondeterministic across
-# partitions. HHI_pm2 ranges 0 (atomistic) .. 1e6 (monopoly).
+# partitions. hhi_fp = Σ share_ppm² div 1e6 ranges 0 (atomistic)
+# .. 1e6 (monopoly). Resolution bound (review r05): a customer below
+# 1 ppm of nation spend quantizes to zero, so the index degrades
+# only past ~1e6 comparable customers per nation; the squared sums
+# stay exact to ~9.2e6 customers per nation (1e12 per term).
 #
 # Scale: two keyed aggregates (customer spend, then nation roll-up)
 # + a broadcast join of the |nations|-row totals.
 
 
 def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per nation: customers, total spend cents, and the per-mille
-    Herfindahl index (0..1e6)."""
+    """Per nation: customers, total spend cents, and the ppm-
+    resolution Herfindahl index (1e-6 fixed point, 0..1e6)."""
     spark = tune(spark)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load(spark, sf_dir, "orders").select(
@@ -504,20 +524,20 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "n_custs",
         "s_tot",
-        F.expr("CAST((s * 1000) div s_tot AS BIGINT)").alias("share_pm"),
+        F.expr("CAST((1000 * (((s) * 1000) div (s_tot)) + ((((s) * 1000) - (((s) * 1000) div (s_tot)) * (s_tot)) * 1000) div (s_tot)) AS BIGINT)").alias("share_ppm"),
     )
     return (
         shares.groupBy("c_nationkey", "n_custs", "s_tot")
         .agg(
-            F.sum(F.col("share_pm") * F.col("share_pm"))
-            .cast("bigint")
-            .alias("hhi_pm2")
+            F.expr(
+                "CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)"
+            ).alias("hhi_fp")
         )
         .select(
             F.col("c_nationkey").cast("bigint").alias("nat"),
             "n_custs",
             F.col("s_tot").alias("spend_cents"),
-            "hhi_pm2",
+            "hhi_fp",
         )
     )
 
@@ -536,12 +556,12 @@ totals AS (
 ),
 shares AS (
   SELECT sp.c_nationkey, t.n_custs, t.s_tot,
-         CAST((sp.s * 1000) // t.s_tot AS BIGINT) AS share_pm
+         CAST((1000 * (((sp.s) * 1000) // (t.s_tot)) + ((((sp.s) * 1000) - (((sp.s) * 1000) // (t.s_tot)) * (t.s_tot)) * 1000) // (t.s_tot)) AS BIGINT) AS share_ppm
   FROM spend sp JOIN totals t ON sp.c_nationkey = t.c_nationkey
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nat, n_custs,
        s_tot AS spend_cents,
-       CAST(sum(share_pm * share_pm) AS BIGINT) AS hhi_pm2
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_fp
 FROM shares GROUP BY c_nationkey, n_custs, s_tot
 """
 

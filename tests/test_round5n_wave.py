@@ -118,10 +118,12 @@ def test_stream_twap_state_survives_batch_split(spark, sf_smoke):
     obs = observations(spark, sf_smoke).select(
         "station_id",
         "obs_id",
+        "ts",
         F.col("ts").cast("long").alias("es"),
         F.floor(F.col("tempc") * 100 + F.lit(0.5)).cast("bigint").alias("vfp"),
     )
-    w = Window.partitionBy("station_id").orderBy("es", "obs_id")
+    # order by RAW ts like the machine — not the floored second
+    w = Window.partitionBy("station_id").orderBy("ts", "obs_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     batch = obs.select(
         "station_id",

@@ -50,7 +50,9 @@ def test_hhi_bounds_and_recount(spark, sf_smoke):
     rows = q_hhi_concentration(spark, sf_smoke).collect()
     assert rows
     for r in rows:
-        assert 0 < r["hhi_pm2"] <= 1_000_000
+        # strictly positive while every nation has < ~1e6 comparable
+        # customers (the documented ppm-resolution bound)
+        assert 0 < r["hhi_fp"] <= 1_000_000
     probe = rows[0]
     cust = {
         r["c_custkey"]: r["c_nationkey"]
@@ -62,8 +64,15 @@ def test_hhi_bounds_and_recount(spark, sf_smoke):
             spend[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
     s_tot = sum(spend.values())
     assert probe["spend_cents"] == s_tot and probe["n_custs"] == len(spend)
-    hhi = sum(((s * 1000) // s_tot) ** 2 for s in spend.values())
-    assert probe["hhi_pm2"] == hhi
+
+    def ppm(num: int, den: int) -> int:
+        # the two-stage _fp_div_1e6 refine, re-derived locally
+        q1 = (num * 1000) // den
+        rem = num * 1000 - q1 * den
+        return 1000 * q1 + (rem * 1000) // den
+
+    hhi = sum(ppm(s, s_tot) ** 2 for s in spend.values()) // 1_000_000
+    assert probe["hhi_fp"] == hhi
 
 
 def test_stream_anomaly_prequential_and_stateful(spark, sf_smoke):
