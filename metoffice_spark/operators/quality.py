@@ -850,3 +850,76 @@ GROUP BY c_mktsegment
 """
 
 QUERIES["q_k_anonymity"] = (q_k_anonymity, ORACLE_K_ANONYMITY)
+
+
+# --- q_gap_islands: key-sequence completeness audit (round 5s) ---------------
+#
+# The classic gaps-and-islands report turned DQ check: o_orderkey is
+# a dense sequence, so any missing ranges mean lost loads. Islands
+# come from the rank trick (key − row_number is constant within a
+# contiguous run — no self-join, no recursion); the output is the
+# island inventory: islands found, their spans, and the gap ranges
+# between consecutive islands. Complements q_dq_checks (column
+# rules) with SEQUENCE-level completeness.
+#
+# Scale: one distinct-key projection (key column only), one global
+# rank window over the KEY DIMENSION (distinct keys, not fact rows;
+# the same cost class as q_percentile_exact's rank pick), one
+# island aggregate. At 100 TB the window partitions by key div 2^20
+# blocks whose boundary islands merge in a second tiny pass
+# (documented; the fixture's key space fits the exact form).
+
+
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Island inventory of the o_orderkey sequence: per island its
+    range and size plus the gap to the next island."""
+    spark = tune(spark)
+    from pyspark.sql import Window
+
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    islands = (
+        keys.select("k", (F.col("k") - F.row_number().over(w)).alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("k").cast("bigint").alias("island_start"),
+            F.max("k").cast("bigint").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+    )
+    w_next = Window.orderBy("island_start")
+    return (
+        islands.select(
+            "island_start",
+            "island_end",
+            "n_keys",
+            (F.lead("island_start").over(w_next) - F.col("island_end") - 1)
+            .cast("bigint")
+            .alias("gap_to_next"),
+        )
+        .orderBy("island_start")
+    )
+
+
+ORACLE_GAP_ISLANDS = """
+WITH keys AS (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+),
+islands AS (
+  SELECT min(k) AS island_start, max(k) AS island_end,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM keys)
+  GROUP BY grp
+)
+SELECT CAST(island_start AS BIGINT) AS island_start,
+       CAST(island_end AS BIGINT) AS island_end, n_keys,
+       CAST(lead(island_start) OVER (ORDER BY island_start)
+            - island_end - 1 AS BIGINT) AS gap_to_next
+FROM islands ORDER BY island_start
+"""
+
+QUERIES["q_gap_islands"] = (q_gap_islands, ORACLE_GAP_ISLANDS)

@@ -1086,3 +1086,86 @@ FROM prior
 """
 
 QUERIES["q_stream_anomaly"] = (q_stream_anomaly, ORACLE_STREAM_ANOMALY)
+
+
+# --- q_stream_gap_detector: missed-tick detection (round 5s) -----------------
+#
+# The monitoring query the reference itself needs: its contract is
+# one observation per station every 15 minutes (observ_exec_freq=4,
+# MWC:34-39), and a production deployment must ALERT when ticks go
+# missing. Per station, state = the previous floored epoch second;
+# every arrival whose gap exceeds 1.5 cadences emits a missed-tick
+# row with the gap and how many ticks were lost. Pure integer state
+# and output; oracle = the batch lag-window form.
+#
+# Scale: one BIGINT per station of state; output is bounded by the
+# number of GAPS, not observations.
+
+_TICK_S = 3600 // OBS_PER_HOUR  # the 15-min cadence in seconds
+_GAP_TOL = _TICK_S + _TICK_S // 2  # 1.5 cadences
+
+
+def _gap_machine(key, pdf_iter, state: GroupState):
+    if state.exists:
+        (prev_es,) = state.get
+    else:
+        prev_es = -1
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "obs_id"])
+    out_rows = []
+    for row in pdf.itertuples():
+        es = int(row.ts.timestamp())
+        if prev_es >= 0:
+            gap = es - prev_es
+            if gap > _GAP_TOL:
+                # ticks missed: whole cadences hidden inside the gap
+                out_rows.append(
+                    (key[0], row.obs_id, gap, (gap - 1) // _TICK_S)
+                )
+        prev_es = es
+    state.update((prev_es,))
+    yield pd.DataFrame(
+        out_rows, columns=["station_id", "obs_id", "gap_s", "n_missed"]
+    )
+
+
+def q_stream_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-tick alerts: observations arriving more than 1.5
+    cadences after their predecessor, with the implied missed count;
+    state across two micro-batches."""
+    spark = tune(spark)
+    obs = observations(spark, sf_dir)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    input_dir, root = _replay(
+        spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
+    )
+    sdf = _read_stream(spark, input_dir, one_file_batches=True)
+    shaped = sdf.groupBy("station_id").applyInPandasWithState(
+        _gap_machine,
+        "station_id string, obs_id long, gap_s long, n_missed long",
+        "prev_es long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_parquet(shaped, root)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_GAP = f"""{_CTE},
+base AS (
+  SELECT station_id, obs_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM observations
+),
+gaps AS (
+  SELECT station_id, obs_id,
+         es - lag(es) OVER (PARTITION BY station_id
+                            ORDER BY ts, obs_id) AS gap_s
+  FROM base
+)
+SELECT station_id, obs_id, CAST(gap_s AS BIGINT) AS gap_s,
+       CAST((gap_s - 1) // {_TICK_S} AS BIGINT) AS n_missed
+FROM gaps WHERE gap_s > {_GAP_TOL}
+"""
+
+QUERIES["q_stream_gap_detector"] = (q_stream_gap_detector, ORACLE_STREAM_GAP)

@@ -54,3 +54,60 @@ def test_assortativity_in_range_and_disassortative(spark, sf_smoke):
     assert r["assortativity"] < 0
     assert r["n_edges"] % 2 == 0  # both directions present
     assert r["n_nodes"] >= 2
+
+
+def test_gap_islands_covers_key_space(spark, sf_smoke):
+    """Island spans partition the observed keys exactly; sizes sum to
+    the distinct key count; gaps are positive between islands and
+    NULL after the last."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.quality import q_gap_islands
+
+    rows = sorted(
+        q_gap_islands(spark, sf_smoke).collect(), key=lambda r: r["island_start"]
+    )
+    n_keys = load(spark, sf_smoke, "orders").select("o_orderkey").distinct().count()
+    assert sum(r["n_keys"] for r in rows) == n_keys
+    for r in rows[:-1]:
+        assert r["gap_to_next"] >= 1
+        assert r["island_end"] - r["island_start"] + 1 == r["n_keys"]
+    assert rows[-1]["gap_to_next"] is None
+
+
+def test_stream_gap_detector_matches_batch_lag(spark, sf_smoke):
+    """Streaming missed-tick alerts equal the batch lag recount —
+    across the two-batch split — and every alert exceeds 1.5
+    cadences with a consistent missed count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metoffice_spark.obs import observations
+    from metoffice_spark.operators.streaming_batch import (
+        _GAP_TOL,
+        _TICK_S,
+        q_stream_gap_detector,
+    )
+
+    streamed = {
+        (r["station_id"], r["obs_id"]): (r["gap_s"], r["n_missed"])
+        for r in q_stream_gap_detector(spark, sf_smoke).collect()
+    }
+    assert streamed
+    w = Window.partitionBy("station_id").orderBy("ts", "obs_id")
+    batch = (
+        observations(spark, sf_smoke)
+        .select(
+            "station_id",
+            "obs_id",
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+                "gap_s"
+            ),
+        )
+        .filter(F.col("gap_s") > _GAP_TOL)
+        .collect()
+    )
+    assert len(batch) == len(streamed)
+    for r in batch:
+        gap, missed = streamed[(r["station_id"], r["obs_id"])]
+        assert gap == r["gap_s"] and gap > _GAP_TOL
+        assert missed == (gap - 1) // _TICK_S >= 1
