@@ -437,7 +437,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (no mid-loop action). The 1-row node-count side crossJoins
     as a broadcast."""
     spark = tune(spark)
-    edges = bipartite_edges(spark, sf_dir)
+    # persist ALREADY hash-partitioned on src: the degree aggregate
+    # and the ed join both reuse the cached partitioning (zero extra
+    # |E| exchanges — the old unpartitioned-persist-then-repartition
+    # form shuffled the edge list twice)
+    edges = bipartite_edges(spark, sf_dir).repartition(F.col("src"))
     from metoffice_spark.session import scoped_persist
 
     # (src, dst, outdeg) cached HASH-PARTITIONED on src: every round's
@@ -448,7 +452,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # src inside WindowExec; the aggregate ships |nodes| rows instead.)
     edges = scoped_persist(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = scoped_persist(edges.repartition(F.col("src")).join(deg, "src"))
+    ed = scoped_persist(edges.join(deg, "src"))
 
     nodes = ed.select(F.col("src").alias("node")).distinct()
     # Setup scalar (same discipline as the streaming replay bounds):
