@@ -773,3 +773,74 @@ FROM joined GROUP BY nat
 """
 
 QUERIES["q_null_imputation"] = (q_null_imputation, ORACLE_NULL_IMPUTATION)
+
+
+# --- q_lag_features: ML feature-frame materialization (round 5t) -------------
+#
+# The feature-store staple: per event, the entity's lag-1/lag-2
+# values, the trailing-3 mean, and the portable day-of-week — the
+# exact frame a training pipeline joins onto labels. All integer
+# exact: values in cents, the trailing mean as a truncating
+# fixed-point divide over the window sum/count (values are
+# non-negative in the fixture, so div/​// agree), dow via the
+# (epoch_days + 4) % 7 portable form (behavior.py:547 — Spark
+# dayofweek() and DuckDB dow() number days differently).
+#
+# Scale: ONE user-bounded ordered window evaluates every feature in
+# a single WindowExec pass; output is map-sized (one row per event,
+# no shuffle beyond the user_id key).
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: cents value, lag-1/lag-2 cents, trailing-3 mean
+    (1e-2 fixed point), and portable dow (0=Sunday)."""
+    spark = tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.lag("cents", 1).over(w).cast("bigint").alias("lag1_cents"),
+        F.lag("cents", 2).over(w).cast("bigint").alias("lag2_cents"),
+        F.expr(
+            "CAST(sum(cents) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) div"
+            " count(cents) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("trail3_mean_cents"),
+        F.expr(
+            "CAST((datediff(to_date(ts), date'1970-01-01') + 4) % 7 AS INT)"
+        ).alias("dow"),
+    )
+
+
+ORACLE_LAG_FEATURES = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, cents,
+       CAST(lag(cents, 1) OVER w AS BIGINT) AS lag1_cents,
+       CAST(lag(cents, 2) OVER w AS BIGINT) AS lag2_cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            // count(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trail3_mean_cents,
+       CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+         AS INT) AS dow
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["q_lag_features"] = (q_lag_features, ORACLE_LAG_FEATURES)

@@ -566,3 +566,76 @@ FROM shares GROUP BY c_nationkey, n_custs, s_tot
 """
 
 QUERIES["q_hhi_concentration"] = (q_hhi_concentration, ORACLE_HHI)
+
+
+# --- q_skyline_pareto: 2-D dominance skyline (round 5t) ----------------------
+#
+# The Pareto frontier of parts minimizing (retail price, size): p is
+# dominated iff some q has q.price <= p.price AND q.size <= p.size
+# with strict inequality in at least one dimension. NO pairwise
+# self-join: in 2-D the dominance test collapses to two window
+# minima — min(size) over STRICTLY cheaper rows (a RANGE frame on
+# exact price cents, offset 1) and min(size) over same-price rows —
+# the sort-based skyline algorithm as a declarative plan.
+#
+# Scale: one global window over the PART dimension ordered by price
+# (the q_percentile_exact cost class; at 100 TB the window
+# partitions by price band with per-band frontiers merged in a tiny
+# second pass — documented). Exact integer cents; ties on both
+# dimensions are mutually non-dominating and all kept.
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price/size Pareto frontier of parts: (p_partkey,
+    price_cents, p_size), dominated rows removed."""
+    spark = tune(spark)
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    flagged = part.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.min("size").over(w_cheaper).alias("min_cheaper"),
+        F.min("size").over(w_same).alias("min_same"),
+    )
+    return (
+        flagged.filter(
+            (F.col("min_cheaper").isNull() | (F.col("min_cheaper") > F.col("size")))
+            & (F.col("min_same") == F.col("size"))
+        )
+        .select("p_partkey", "price_cents", F.col("size").alias("p_size"))
+    )
+
+
+ORACLE_SKYLINE = """
+WITH part_p AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+flagged AS (
+  SELECT p_partkey, price_cents, size,
+         min(size) OVER (ORDER BY price_cents
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_cheaper,
+         min(size) OVER (PARTITION BY price_cents) AS min_same
+  FROM part_p
+)
+SELECT p_partkey, price_cents, size AS p_size
+FROM flagged
+WHERE (min_cheaper IS NULL OR min_cheaper > size)
+  AND min_same = size
+"""
+
+QUERIES["q_skyline_pareto"] = (q_skyline_pareto, ORACLE_SKYLINE)

@@ -73,9 +73,9 @@ _MODULES = (
 # q_null_imputation, q_rolling_regression, q_stream_twap,
 # q_lorenz_curve, q_abc_classification, q_hhi_concentration,
 # q_stream_anomaly, q_graph_modularity, q_er_blocking,
-# q_graph_assortativity, q_gap_islands, q_stream_gap_detector),
-# all local-gate green at sf0.001 AND sf0.01. Prioritize (a) then
-# (b) oldest-first.
+# q_graph_assortativity, q_gap_islands, q_stream_gap_detector,
+# q_skyline_pareto, q_lag_features), all local-gate green at
+# sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
 # qids registered first, in this order (driver checks the first 50).
 # Round-5 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never

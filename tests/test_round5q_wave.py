@@ -111,3 +111,63 @@ def test_stream_gap_detector_matches_batch_lag(spark, sf_smoke):
         gap, missed = streamed[(r["station_id"], r["obs_id"])]
         assert gap == r["gap_s"] and gap > _GAP_TOL
         assert missed == (gap - 1) // _TICK_S >= 1
+
+
+def test_skyline_is_exact_pareto_frontier(spark, sf_smoke):
+    """Brute-force dominance recount: the returned set is exactly the
+    non-dominated set, and every returned point is mutually
+    non-dominating."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.warehouse import q_skyline_pareto
+
+    sky = {
+        (r["p_partkey"], r["price_cents"], r["p_size"])
+        for r in q_skyline_pareto(spark, sf_smoke).collect()
+    }
+    pts = [
+        (r["p_partkey"], math.floor(r["p_retailprice"] * 100 + 0.5), r["p_size"])
+        for r in load(spark, sf_smoke, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+            if q[0] != p[0]
+        )
+
+    expect = {p for p in pts if not dominated(p)}
+    assert sky == expect
+
+
+def test_lag_features_recount_one_user(spark, sf_smoke):
+    """Lags and the trailing-3 mean recompute for a probe user; dow
+    is in 0..6."""
+    from metoffice_spark.io import load
+    from metoffice_spark.operators.prep import q_lag_features
+
+    rows = q_lag_features(spark, sf_smoke).collect()
+    assert rows and all(0 <= r["dow"] <= 6 for r in rows)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    uid, urows = max(by_user.items(), key=lambda kv: len(kv[1]))
+    ev = sorted(
+        (
+            (r["ts"], r["event_id"], math.floor(r["value"] * 100 + 0.5))
+            for r in load(spark, sf_smoke, "events")
+            .filter(f"user_id = {uid}")
+            .select("ts", "event_id", "value")
+            .collect()
+        ),
+    )
+    by_eid = {r["event_id"]: r for r in urows}
+    for i, (_, eid, cents) in enumerate(ev):
+        r = by_eid[eid]
+        assert r["cents"] == cents
+        assert r["lag1_cents"] == (ev[i - 1][2] if i >= 1 else None)
+        assert r["lag2_cents"] == (ev[i - 2][2] if i >= 2 else None)
+        win = [c for _, _, c in ev[max(0, i - 2): i + 1]]
+        assert r["trail3_mean_cents"] == sum(win) // len(win)
