@@ -55,104 +55,29 @@ _MODULES = (
     "mining",
 )
 
-# R06 ROTATION NOTE (for the next round's single rotation): after the
-# r05 window below is graded, the never-driver-checked tail is (a) the
-# 12 remaining r03 events-loader reds listed just past the window,
-# (b) the round-5 late waves (collab_filter/winsorize/metric_decompose/
-# ohlc_bars and the 5e-5i additions: stats.py x13, olap2.py x10,
-# warehouse.py x3, curation2.py x3, q_random_projection,
-# q_heavy_hitters_mg, q_funnel_latency; plus the 5j wave:
-# nonparam.py x6 — q_ks_test, q_graph_bfs, q_feature_hashing,
-# q_eval_ndcg, q_l_diversity, q_jackknife_var; plus the 5k wave:
-# prep.py x6 — q_pmi_collocations, q_time_weighted_avg,
-# q_quantile_normalize, q_rare_label_encode, q_delta_encode,
-# q_weighted_median; plus the 5l wave: mining.py x6 —
-# q_benford_test, q_spearman_corr, q_graph_kcore, q_als_step,
-# q_cohort_ltv, q_text_keyphrase; plus the 5m/5n pairs —
-# q_attribution_linear, q_simpson_check, q_split_temporal,
-# q_null_imputation, q_rolling_regression, q_stream_twap,
-# q_lorenz_curve, q_abc_classification, q_hhi_concentration,
-# q_stream_anomaly, q_graph_modularity, q_er_blocking,
-# q_graph_assortativity, q_gap_islands, q_stream_gap_detector,
-# q_skyline_pareto, q_lag_features), all local-gate green at
-# sf0.001 AND sf0.01. Prioritize (a) then (b) oldest-first.
-# qids registered first, in this order (driver checks the first 50).
-# Round-5 rotation (ONE rotation per round — the driver checks once at
+# Round-6 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
-# get a row). After r04 every qid had at least one driver row EXCEPT
-# the 10 round-4b corpus/ingest qids (landed after the r04 window was
-# fixed). Priorities: (1) those 10 never-checked qids; (2) FOUR
-# representatives of the 16 r03 driver-reds of the events-loader
-# class — the class shares ONE root cause, fixed in r04 (io.py
-# schema-adaptive load, commit f00db15), already proven against the
-# driver by q_rain_daily_delta/q_sketch_hll going green in r04; four
-# more module-diverse representatives beat re-checking all 16 while
-# 16 brand-new round-5 qids would sit rowless; (3) 36 round-5 qids
-# (classify/behavior/sketches/linkage/evaluation/streaming waves).
-# The remaining 12 events-loader reds and the oldest stale-green r01
-# rows queue just past the window.
+# get a row). R06 is a VERIFICATION round: the operator registry is
+# FROZEN at 292 qids and the window is spent converting local-green
+# into driver-green. Priorities (VERDICT r05 item 1):
+#   (1) the 13 qids whose ONLY driver row is a stale r03 FAIL from the
+#       events-loader era — the sole reds in the driver's books; the
+#       shared root cause (io.py schema-adaptive load, f00db15) was
+#       proven fixed by the r04/r05 representative rows, but each qid
+#       deserves its own green row;
+#   (2) the 17 TPC-H-completion OLAP qids (subqueries.py x6,
+#       olap2.py x10, q_olap_disjunctive) — the surface a relational-
+#       engine user hits first, never driver-checked;
+#   (3) the 3 streaming state machines + the 2 custom-UDF qids;
+#   (4) the 4 oldest never-checked round-5 qids;
+#   (5) 5 stats.py never-checked (oldest of the 5e wave);
+#   (6) 6 re-window insurance picks (VERDICT item 4): events-era
+#       r03-green rows that predate two testdata/code generations.
+# The remaining 63 never-checked qids queue just past the window,
+# oldest-wave-first, as the ready-made r07 rotation.
 _PRIORITY = (
-    # (1) round-4b corpus/ingest wave — never driver-checked
-    "q_src_schema_merge",
-    "q_lm_bigram_score",
-    "q_repetition_ngram",
-    "q_rank_rrf_fusion",
-    "q_semdedup_centroid",
-    "q_minhash_est_audit",
-    "q_sample_reservoir",
-    "q_dataset_card",
-    "q_dedup_incremental",
-    "q_fn_url_suite",
-    # (2) r03 events-loader-red representatives (module-diverse)
-    "q_agg_histogram",
-    "q_ts_gapfill",
-    "q_sketch_cms",
-    "q_scd2_build",
-    # (3) round-5 waves: classify / behavior / sketches / streaming
-    "q_nb_langid",
-    "q_quality_classifier",
-    "q_dedup_lines",
-    "q_bool_retrieval",
-    "q_attribution",
-    "q_markov_transitions",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
-    "q_cdc_apply",
-    "q_sketch_setops",
-    "q_sketch_hll_merge",
-    "q_stream_static_join",
-    "q_mmr_diversify",
-    "q_win_rolling_median",
-    "q_link_editdist",
-    "q_skew_diag",
-    "q_graph_triangles",
-    "q_eval_pr",
-    "q_ab_ztest",
-    "q_multimodal_framesample",
-    "q_fn_null_suite",
-    "q_fn_datetime_suite",
-    "q_stream_cagg",
-    "q_hierarchy_expand",
-    "q_ts_seasonal_profile",
-    "q_pca_power",
-    "q_stats_collect",
-    "q_join_spatial",
-    "q_behavior_e2e",
-    "q_pattern_match",
-    "q_percentile_cont",
-    "q_win_range_interval",
-    "q_agg_bitmap_distinct",
-    "q_pseudonymize",
-    "q_dp_release",
-    "q_stream_cep",
-    # --- driver window ends here (50) ---
-    # newest round-5 qids queue first for the r06 rotation
-    "q_collab_filter",
-    "q_winsorize",
-    "q_metric_decompose",
-    "q_ohlc_bars",
-    # remaining r03 events-loader reds (same proven root cause as the
-    # four representatives above; local-gate green)
+    # (1) stale r03 reds — the only FAILs in the driver's books
+    "q_rollup_hypertable",
     "q_ts_interpolate",
     "q_percentile_exact",
     "q_funnel_steps",
@@ -165,23 +90,127 @@ _PRIORITY = (
     "q_win_ewma",
     "q_cov_stats",
     "q_fn_json_suite",
-    # (4) re-checks queue just past the window, all exercised every
-    # round by bench/entry anyway. q_rollup_hypertable (an events-
-    # loader-class r03 red whose shared root cause was proven fixed by
-    # the r04 representative rows) leads; then the oldest stale-green
-    # r01 rows.
-    "q_rollup_hypertable",
-    "q_sink_http_form",
-    "q_win_lag",
-    "q_join_asof",
-    "q_fn_array_map_json",
-    "q_fn_dewpoint",
-    "q_fn_winddir",
-    "q_fn_baro_reduce",
-    "q_rain_rate",
-    "q_join_bucketed",
-    "q_sink_partitioned",
-    "q_src_multiformat",
+    # (2) TPC-H completion tail — never driver-checked
+    "q_olap_scalar_subquery",
+    "q_olap_exists",
+    "q_olap_having_in",
+    "q_olap_top_supplier",
+    "q_olap_market_share",
+    "q_olap_avg_balance",
+    "q_olap_min_cost_supp",
+    "q_olap_revenue_delta",
+    "q_olap_volume_shipping",
+    "q_olap_product_profit",
+    "q_olap_important_stock",
+    "q_olap_ship_latency",
+    "q_olap_cust_distribution",
+    "q_olap_promo_share",
+    "q_olap_part_promotion",
+    "q_olap_waiting_supplier",
+    "q_olap_disjunctive",
+    # (3) streaming state machines + custom-UDF pair
+    "q_stream_twap",
+    "q_stream_anomaly",
+    "q_stream_gap_detector",
+    "q_udf_grouped_map",
+    "q_udf_cogrouped",
+    # (4) oldest never-checked round-5 qids
+    "q_collab_filter",
+    "q_winsorize",
+    "q_metric_decompose",
+    "q_ohlc_bars",
+    # (5) stats.py 5e wave, oldest never-checked
+    "q_eval_auc",
+    "q_chi2_terms",
+    "q_gini_spend",
+    "q_ridge_normal",
+    "q_graph_jaccard",
+    # (6) re-window insurance: r01/r03-era greens two generations old
+    "q_ann_pq",
+    "q_tfidf",
+    "q_kmeans_step",
+    "q_shard_assign",
+    "q_mix_rebalance",
+    "q_pipeline_e2e",
+    # --- driver window ends here (50) ---
+    # R07 ROTATION QUEUE: the remaining never-checked qids, oldest
+    # wave first. Rotate these into the front next round.
+    # stats.py remainder (5e wave)
+    "q_survival_hazard",
+    "q_compress_dict",
+    "q_sink_jsonl",
+    "q_forecast_snaive",
+    "q_target_encoding",
+    "q_drift_chi2",
+    "q_eval_multiclass",
+    "q_text_readability",
+    # warehouse.py (5f/5m waves)
+    "q_rfm_segmentation",
+    "q_event_paths",
+    "q_dataset_fingerprint",
+    "q_lorenz_curve",
+    "q_abc_classification",
+    "q_hhi_concentration",
+    "q_skyline_pareto",
+    # curation2.py
+    "q_quality_ensemble",
+    "q_hard_negatives",
+    "q_span_corruption",
+    # singles from the 5g-5i waves
+    "q_random_projection",
+    "q_heavy_hitters_mg",
+    "q_funnel_latency",
+    "q_knn_classify",
+    "q_sketch_quantile",
+    "q_er_blocking",
+    # nonparam.py (5j wave)
+    "q_ks_test",
+    "q_graph_bfs",
+    "q_feature_hashing",
+    "q_eval_ndcg",
+    "q_l_diversity",
+    "q_jackknife_var",
+    # prep.py (5k wave)
+    "q_pmi_collocations",
+    "q_time_weighted_avg",
+    "q_quantile_normalize",
+    "q_rare_label_encode",
+    "q_delta_encode",
+    "q_weighted_median",
+    "q_split_temporal",
+    "q_null_imputation",
+    "q_lag_features",
+    # mining.py (5l wave)
+    "q_benford_test",
+    "q_spearman_corr",
+    "q_graph_kcore",
+    "q_als_step",
+    "q_cohort_ltv",
+    "q_text_keyphrase",
+    "q_simpson_check",
+    "q_rolling_regression",
+    "q_graph_modularity",
+    "q_graph_assortativity",
+    # behavior/quality/pipeline/relational/etc. never-checked tail
+    "q_time_travel",
+    "q_mad_outlier",
+    "q_ts_trend",
+    "q_attribution_linear",
+    "q_gap_islands",
+    "q_bloom_file_index",
+    "q_profile_columns",
+    "q_k_anonymity",
+    "q_agg_cube",
+    "q_fn_bitwise_suite",
+    "q_batch_length_buckets",
+    "q_mix_temperature",
+    "q_sft_template",
+    "q_pref_pairs",
+    "q_bpe_train",
+    "q_dedup_containment",
+    "q_eval_rouge",
+    "q_eval_calibration",
+    "q_sample_coordinated",
 )
 
 
