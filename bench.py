@@ -84,12 +84,29 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, one light action
     reg[qids[0]](spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for qid in qids:
-        t0 = time.perf_counter()
-        materialize(reg[qid](spark, sf_dir))
-        timings[qid] = round(time.perf_counter() - t0, 3)
+    # Median of SPARK_GRAFT_BENCH_REPS full sweeps (default 3).
+    # Rationale (r06 drift analysis): single-sweep per-query wall time
+    # swings up to 1.5x run-to-run on an otherwise idle local[32] box
+    # with zero code change — the r04→r05 "1.23x regression" on the
+    # common-20 was measurement noise (three local sweeps bracketed
+    # the r04 number: 31.1/33.7/34.8 s vs r04's 33.3 s). Medians over
+    # interleaved sweeps absorb transient machine load; note they are
+    # warm-cache figures, so mildly lower than the r01–r05 cold
+    # single-sweep rounds.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {qid: [] for qid in qids}
+    for _ in range(reps):
+        for qid in qids:
+            t0 = time.perf_counter()
+            materialize(reg[qid](spark, sf_dir))
+            samples[qid].append(time.perf_counter() - t0)
 
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {qid: round(median(v), 3) for qid, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
             }
         )
     )
