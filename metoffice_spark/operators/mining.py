@@ -62,8 +62,11 @@ def _ols_den(n: str, sxx: str, sx: str) -> str:
 #
 # Do order totals follow Benford's law? First significant digit from
 # the exact-cents integer's decimal string (no float log10 anywhere:
-# leading digit of floor(100x + 0.5) is the leading significant digit
-# of x for x >= 0.01). Expected shares log10(1 + 1/d) are Python-
+# leading digit of floor(100x + 0.5) equals the leading significant
+# digit of x for x >= 0.01 EXCEPT at half-cent round-up boundaries
+# that carry into a new power of ten, e.g. x = 9.999 -> 1000 -> digit
+# 1, not 9; both dialects share the identical derivation, so parity
+# is unaffected by the edge). Expected shares log10(1 + 1/d) are Python-
 # precomputed 1e-6 literals; per-digit chi² contributions
 # (obs - exp)² / exp come out of ONE shared double expression over
 # the exact integer counts.

@@ -885,7 +885,9 @@ def _twap_machine(key, pdf_iter, state: GroupState):
     pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "obs_id"])
     out_rows = []
     for row in pdf.itertuples():
-        es = int(row.ts.timestamp())
+        # exact ns→s floor; .timestamp() round-trips through a double
+        # and can truncate to the wrong second at sub-us precision
+        es = row.ts.value // 10**9
         vfp = int(_math.floor(row.tempc * 100 + 0.5))
         if n == 0:
             first_es = es
@@ -997,10 +999,13 @@ QUERIES = {
 # yield NULL, not sqrt(-1e-12)). Oracle = the batch lagged-window
 # form; the anomaly flag is |z| > 3.
 #
-# Scale: state is three BIGINTs per station; overflow bound
-# n·sum2 ~ n²·2.5e7 → ~1.9e4 observations per station per the exact
-# guard (beyond that, widen the guard through the same double shape
-# as z — documented, not needed at the fixture's 3-day replay).
+# Scale: state is three BIGINTs per station; the guard product
+# n·sum2 ~ n²·2.5e7 would pass a BIGINT at ~1.9e4 observations per
+# station, so the oracle computes it in HUGEINT (int128) — the same
+# arbitrary-precision semantics as the Python machine's int — which
+# is exact to n ~ 1e9 per station, far past any real replay. Both
+# sides therefore stay bit-identical instead of degrading into a
+# float-rounded variance compare.
 
 
 def _anomaly_machine(key, pdf_iter, state: GroupState):
@@ -1068,13 +1073,13 @@ prior AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT station_id, obs_id, n AS n_prior,
-       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+       CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0 THEN
          (CAST(vfp AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
          / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
        END AS z,
-       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0 THEN
+       CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0 THEN
          CAST(CASE WHEN abs(
            (CAST(vfp AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
            / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
@@ -1113,7 +1118,7 @@ def _gap_machine(key, pdf_iter, state: GroupState):
     pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "obs_id"])
     out_rows = []
     for row in pdf.itertuples():
-        es = int(row.ts.timestamp())
+        es = row.ts.value // 10**9  # exact ns→s floor (see _twap_machine)
         if prev_es >= 0:
             gap = es - prev_es
             if gap > _GAP_TOL:

@@ -181,7 +181,7 @@ def test_5j_plan_shapes(spark, sf_smoke):
     assert "Join" not in p and "CartesianProduct" not in p
 
     p = plan(q_ks_test(spark, sf_smoke))
-    assert "PartitionBy: [source" in p or "source" in p  # window keyed
+    assert "windowspecdefinition(source" in p  # window keyed on source
     assert "CartesianProduct" not in p
 
     p = plan(q_eval_ndcg(spark, sf_smoke))
