@@ -61,6 +61,9 @@ HEADLINE = [
     # sf0.01, just not a wall-clock headliner)
     "q_graph_bfs",        # frontier-join BFS levels (round 5j)
     "q_time_weighted_avg",  # irregular-timestamp TWAP windows (round 5k)
+    # TPC-H completion tail (r06 driver window; VERDICT r05 item 8)
+    "q_olap_scalar_subquery",  # TPC-H Q17 correlated scalar subquery
+    "q_olap_min_cost_supp",    # TPC-H Q2 per-part min-cost decorrelation
 ]
 
 
