@@ -11,22 +11,31 @@ These helpers compute the SAME total-order statistics with the
 classic two-phase distributed prefix pattern:
 
 1. ``repartitionByRange`` on the sort key — partition p holds keys
-   strictly below partition p+1 (one wide shuffle, the same data
+   ordered before partition p+1's (one wide shuffle, the same data
    movement the single-partition sort would have needed anyway);
 2. a PARTITIONED window per range-partition id computes the local
-   statistic (row_number / running sum) in parallel;
+   statistic (row_number / running sum / prefix min) in parallel;
 3. per-partition totals — at most ``spark.sql.shuffle.partitions``
    rows — are turned into cumulative offsets with a global window
    over that BOUNDED table and broadcast back.
 
-The two branches share the range exchange (ReusedExchange), so the
-plan costs one wide shuffle + one tiny agg + one broadcast join.
+The two branches share the range exchange (ReusedExchange). Cost
+shape: TWO distributed full-data exchanges (the range shuffle that
+discovers boundaries, plus the hash-by-partition-id clustering the
+local window demands — Spark cannot be told the range output is
+already clustered by ``spark_partition_id``), one tiny agg, one
+broadcast join. Two parallel passes over the wire versus a
+single-task sort that simply cannot finish at 1e8+ rows.
+``global_order_stats`` computes a row number plus any number of
+running sums in that one pipeline.
 
 REQUIREMENT: ``order_cols`` must be a deterministic TOTAL order
 (include a tiebreaker). Rows comparing equal may straddle a range
 boundary, so only a total order makes the assigned rank/prefix
 reproducible — the same requirement oracle parity already imposes on
-every call site.
+every call site. (``global_strict_prefix_min`` is the exception: it
+keys on ONE column and relies on range partitioning never splitting
+equal keys across partitions.)
 """
 
 from __future__ import annotations
@@ -35,8 +44,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__gpid"
-_LOCAL = "__glocal"
-_OFF = "__goff"
 _TOT = "__gtot"
 
 
@@ -47,17 +54,71 @@ def _ranged(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     )
 
 
-def _offsets(d: DataFrame, per_part: Column) -> DataFrame:
-    """Per-range-partition cumulative offsets: ≤ shuffle-partitions
-    rows, the ONLY place a global window appears (bounded by conf,
-    not by data)."""
-    per = d.groupBy(_PID).agg(per_part.alias("_n"))
-    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    return per.select(
-        _PID,
-        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("bigint").alias(_OFF),
-        F.sum("_n").over(Window.partitionBy()).cast("bigint").alias(_TOT),
+def global_order_stats(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn: str | None = None,
+    running: dict[str, Column] | None = None,
+    total: str | None = None,
+    grand: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Row number (``rn``) and/or inclusive running sums (``running``:
+    out-name → value column) over one global total order, in ONE range
+    shuffle. ``total`` optionally adds the grand ROW COUNT and
+    ``grand`` (out-name → value column) grand SUMS — both read off the
+    same bounded offsets table, never a second global window."""
+    running = running or {}
+    grand = grand or {}
+    d = _ranged(df, order_cols)
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix = []  # (local_col, per-partition agg, out)
+    if rn is not None:
+        d = d.withColumn("__l_rn", F.row_number().over(w_local).cast("bigint"))
+        prefix.append(("__l_rn", F.count(F.lit(1)).cast("bigint"), rn))
+    for out, val in running.items():
+        lc, vc = f"__l_{out}", f"__v_{out}"
+        d = d.withColumn(vc, val.cast("bigint"))
+        d = d.withColumn(lc, F.sum(vc).over(w_run).cast("bigint"))
+        prefix.append((lc, F.sum(vc).cast("bigint"), out))
+    for out, val in grand.items():
+        d = d.withColumn(f"__g_{out}", val.cast("bigint"))
+    # bounded offsets table: one row per range partition
+    per = d.groupBy(_PID).agg(
+        *[agg.alias(f"__n_{out}") for _, agg, out in prefix],
+        *[F.sum(f"__g_{out}").cast("bigint").alias(f"__s_{out}") for out in grand],
+        F.count(F.lit(1)).cast("bigint").alias("__n_rows"),
     )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()  # bounded: ≤ shuffle-partitions rows
+    off_cols = [_PID] + [
+        F.coalesce(F.sum(f"__n_{out}").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias(f"__o_{out}")
+        for _, _, out in prefix
+    ]
+    if total is not None:
+        off_cols.append(
+            F.sum("__n_rows").over(w_all).cast("bigint").alias(_TOT)
+        )
+    off_cols += [
+        F.sum(f"__s_{out}").over(w_all).cast("bigint").alias(f"__t_{out}")
+        for out in grand
+    ]
+    off = per.select(*off_cols)
+    res = d.join(F.broadcast(off), _PID)
+    drop = [_PID]
+    for lc, _, out in prefix:
+        res = res.withColumn(out, (F.col(lc) + F.col(f"__o_{out}")).cast("bigint"))
+        drop += [lc, f"__o_{out}"]
+    drop += [c for c in res.columns if c.startswith(("__v_", "__g_"))]
+    if total is not None:
+        res = res.withColumn(total, F.col(_TOT))
+        drop.append(_TOT)
+    for out in grand:
+        res = res.withColumn(out, F.col(f"__t_{out}"))
+        drop.append(f"__t_{out}")
+    return res.drop(*drop)
 
 
 def global_row_number(
@@ -65,15 +126,7 @@ def global_row_number(
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_cols)`` without a global
     single-partition window. ``order_cols`` must be a total order."""
-    d = _ranged(df, order_cols)
-    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
-    d = d.withColumn(_LOCAL, F.row_number().over(w_local).cast("bigint"))
-    off = _offsets(d, F.count(F.lit(1)).cast("bigint"))
-    return (
-        d.join(F.broadcast(off), _PID)
-        .withColumn(out, (F.col(_LOCAL) + F.col(_OFF)).cast("bigint"))
-        .drop(_PID, _LOCAL, _OFF, _TOT)
-    )
+    return global_order_stats(df, order_cols, rn=out)
 
 
 def global_ntile(
@@ -82,25 +135,16 @@ def global_ntile(
     """``ntile(n) OVER (ORDER BY order_cols)`` distributed: derived
     from the global row number and total count with the ANSI bucket
     rule (first ``cnt % n`` buckets get ``cnt div n + 1`` rows)."""
-    d = _ranged(df, order_cols)
-    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
-    d = d.withColumn(_LOCAL, F.row_number().over(w_local).cast("bigint"))
-    off = _offsets(d, F.count(F.lit(1)).cast("bigint"))
-    rn = F.col(_LOCAL) + F.col(_OFF)
-    small = F.floor(F.col(_TOT) / n)  # rows per small bucket
-    big = (F.col(_TOT) % n) * (small + 1)  # rows covered by big buckets
-    tile = F.when(
-        F.col(_TOT) < n, rn  # fewer rows than tiles: bucket == rn
-    ).otherwise(
+    d = global_order_stats(df, order_cols, rn="__nt_rn", total="__nt_cnt")
+    rn, cnt = F.col("__nt_rn"), F.col("__nt_cnt")
+    small = F.floor(cnt / n)  # rows per small bucket
+    big = (cnt % n) * (small + 1)  # rows covered by big buckets
+    tile = F.when(cnt < n, rn).otherwise(
         F.when(rn <= big, F.ceil(rn / (small + 1))).otherwise(
-            (F.col(_TOT) % n) + F.ceil((rn - big) / small)
+            (cnt % n) + F.ceil((rn - big) / small)
         )
     )
-    return (
-        d.join(F.broadcast(off), _PID)
-        .withColumn(out, tile.cast("int"))
-        .drop(_PID, _LOCAL, _OFF, _TOT)
-    )
+    return d.withColumn(out, tile.cast("int")).drop("__nt_rn", "__nt_cnt")
 
 
 def global_running_sum(
@@ -111,20 +155,34 @@ def global_running_sum(
     with_total: str | None = None,
 ) -> DataFrame:
     """``sum(val) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
-    TO CURRENT ROW)`` distributed; optionally also the grand total
-    (``with_total`` column name) from the same bounded offsets table
+    TO CURRENT ROW)`` distributed; optionally also the grand SUM of
+    ``val`` (``with_total``) from the same bounded offsets table
     instead of a second global window."""
-    d = _ranged(df, order_cols).withColumn("__gval", val.cast("bigint"))
+    grand = {with_total: val} if with_total is not None else {}
+    return global_order_stats(df, order_cols, running={out: val}, grand=grand)
+
+
+def global_strict_prefix_min(
+    df: DataFrame, key: Column, val: Column, out: str
+) -> DataFrame:
+    """``min(val) OVER (ORDER BY key RANGE UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` — the minimum of ``val`` over all rows whose ``key``
+    is STRICTLY smaller — distributed. Range partitioning never
+    splits equal keys across partitions, so the strict frame composes:
+    global = least(local strict-prefix min, min over all preceding
+    partitions). NULL when no strictly-smaller row exists."""
+    d = _ranged(df, [key.asc()]).withColumn("__gv", val.cast("bigint"))
     w_local = (
         Window.partitionBy(_PID)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(key.asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    d = d.withColumn(_LOCAL, F.sum("__gval").over(w_local).cast("bigint"))
-    off = _offsets(d, F.sum("__gval").cast("bigint"))
-    res = d.join(F.broadcast(off), _PID).withColumn(
-        out, (F.col(_LOCAL) + F.col(_OFF)).cast("bigint")
+    d = d.withColumn("__l_min", F.min("__gv").over(w_local))
+    per = d.groupBy(_PID).agg(F.min("__gv").alias("__p_min"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(_PID, F.min("__p_min").over(w_off).alias("__o_min"))
+    return (
+        d.join(F.broadcast(off), _PID)
+        .withColumn(out, F.least("__l_min", "__o_min"))
+        .drop(_PID, "__gv", "__l_min", "__o_min")
     )
-    if with_total is not None:
-        res = res.withColumn(with_total, F.col(_TOT))
-    return res.drop(_PID, _LOCAL, _OFF, _TOT, "__gval")

@@ -8,6 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import (
+    global_ntile,
+    global_running_sum,
+    global_strict_prefix_min,
+)
 from metoffice_spark.io import load
 from metoffice_spark.session import scoped_persist, tune
 
@@ -39,11 +44,11 @@ def _hexn(h: str, n: int) -> str:
 # then a named segment from the score triple. Output is the segment
 # census plus each segment's exact metric means (fixed point).
 #
-# Scale: one orders shuffle on custkey; the three ntile windows are
-# global sorts of the CUSTOMER table (small next to orders) — at
-# 100 TB the quintile cutoffs would come from approx_percentile
-# instead; the exact form is what the oracle can check bitwise. The
-# observation-date scalar broadcasts via 1-row crossJoin.
+# Scale: one orders shuffle on custkey; each quintile assignment is a
+# distributed global_ntile (functions/distributed.py: range-partition
+# + per-partition row_number + broadcast offsets) — no single-task
+# global sort even though the customer table grows linearly with SF.
+# The observation-date scalar broadcasts via 1-row crossJoin.
 
 
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,23 +74,21 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "money",
     )
-    scored = rfm.select(
-        "o_custkey",
-        "rec",
-        "freq",
-        "money",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rec").desc(), F.col("o_custkey").asc()))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").asc(), F.col("o_custkey").asc()))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("money").asc(), F.col("o_custkey").asc()))
-        .cast("int")
-        .alias("m_score"),
+    scored = global_ntile(
+        global_ntile(
+            global_ntile(
+                rfm,
+                [F.col("rec").desc(), F.col("o_custkey").asc()],
+                5,
+                out="r_score",
+            ),
+            [F.col("freq").asc(), F.col("o_custkey").asc()],
+            5,
+            out="f_score",
+        ),
+        [F.col("money").asc(), F.col("o_custkey").asc()],
+        5,
+        out="m_score",
     )
     seg = (
         "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
@@ -304,11 +307,10 @@ QUERIES["q_dataset_fingerprint"] = (q_dataset_fingerprint, _fp_oracle())
 # integer cross-multiplication — spend is non-negative cents so the
 # truncating divide is dialect-safe).
 #
-# Scale: one custkey aggregate, one decile ntile (per-group
-# distributed sort), one 10-row cumsum. The decile table IS the
-# Lorenz curve sampled at 10 points; at 100 TB the same shape runs
-# over approx_percentile cutoffs (q_rfm_segmentation's documented
-# swap).
+# Scale: one custkey aggregate, one distributed global_ntile over the
+# per-customer spend (range-partition + broadcast offsets — no
+# single-task sort), one 10-row cumsum over the bounded decile table.
+# The decile table IS the Lorenz curve sampled at 10 points.
 
 
 def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,10 +326,12 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum("cents").cast("bigint").alias("s")
     )
-    w = Window.orderBy(F.col("s").asc(), F.col("o_custkey").asc())
-    deciled = spend.select(
-        "o_custkey", "s", F.ntile(10).over(w).cast("int").alias("decile")
-    )
+    deciled = global_ntile(
+        spend,
+        [F.col("s").asc(), F.col("o_custkey").asc()],
+        10,
+        out="decile",
+    ).select("o_custkey", "s", "decile")
     per_d = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         F.sum("s").cast("bigint").alias("rev_cents"),
@@ -399,8 +403,10 @@ QUERIES["q_lorenz_curve"] = (q_lorenz_curve, ORACLE_LORENZ)
 # cross-multiplication (cum*100 <= total*70), no percentage floats
 # anywhere; ties break by partkey for a total order.
 #
-# Scale: one partkey aggregate + one global cumsum over the part
-# dimension (|parts| rows, not |lineitem|) + a 3-row census.
+# Scale: one partkey aggregate + one DISTRIBUTED cumsum over the part
+# dimension (global_running_sum: range-partition + broadcast offsets,
+# which also yields the grand total for free — no single-task sort
+# even though |parts| grows linearly with SF) + a 3-row census.
 
 
 def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,14 +420,13 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     rev = li.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("r"))
-    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc())
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = rev.select(
-        "l_partkey",
-        "r",
-        F.sum("r").over(w_cum).cast("bigint").alias("cum"),
-        F.sum("r").over(Window.partitionBy()).cast("bigint").alias("tot"),
-    )
+    cum = global_running_sum(
+        rev,
+        [F.col("r").desc(), F.col("l_partkey").asc()],
+        F.col("r"),
+        out="cum",
+        with_total="tot",
+    ).select("l_partkey", "r", "cum", "tot")
     classed = cum.select(
         "l_partkey",
         "r",
@@ -578,11 +583,13 @@ QUERIES["q_hhi_concentration"] = (q_hhi_concentration, ORACLE_HHI)
 # exact price cents, offset 1) and min(size) over same-price rows —
 # the sort-based skyline algorithm as a declarative plan.
 #
-# Scale: one global window over the PART dimension ordered by price
-# (the q_percentile_exact cost class; at 100 TB the window
-# partitions by price band with per-band frontiers merged in a tiny
-# second pass — documented). Exact integer cents; ties on both
-# dimensions are mutually non-dominating and all kept.
+# Scale: the strictly-cheaper minimum is a DISTRIBUTED strict-range
+# prefix min (global_strict_prefix_min: range-partition by price —
+# equal prices never split across range partitions — local strict
+# frame + broadcast prefix of per-partition minima); the same-price
+# minimum is an ordinary partitioned window. No single-task sort on
+# the part dimension. Exact integer cents; ties on both dimensions
+# are mutually non-dominating and all kept.
 
 
 def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,16 +603,14 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w_cheaper = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
     w_same = Window.partitionBy("price_cents")
-    flagged = part.select(
+    flagged = global_strict_prefix_min(
+        part, F.col("price_cents"), F.col("size"), out="min_cheaper"
+    ).select(
         "p_partkey",
         "price_cents",
         "size",
-        F.min("size").over(w_cheaper).alias("min_cheaper"),
+        "min_cheaper",
         F.min("size").over(w_same).alias("min_same"),
     )
     return (

@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from metoffice_spark.functions.distributed import (
     global_ntile,
+    global_order_stats,
     global_row_number,
     global_running_sum,
+    global_strict_prefix_min,
 )
 
 
@@ -66,6 +68,51 @@ def test_desc_order_and_empty_input(spark, skewed):
     empty = skewed.filter(F.lit(False))
     assert global_row_number(empty, _naive_order()).count() == 0
     assert global_running_sum(empty, _naive_order(), F.col("v")).count() == 0
+
+
+def test_combined_stats_one_shuffle(skewed):
+    w = Window.orderBy(*_naive_order())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = skewed.select(
+        "k",
+        "i",
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v").over(w_run).cast("bigint").alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("v").over(Window.partitionBy()).cast("bigint").alias("tot"),
+    )
+    dist = global_order_stats(
+        skewed,
+        _naive_order(),
+        rn="rn",
+        running={"cum": F.col("v")},
+        total="n",
+        grand={"tot": F.col("v")},
+    ).select("k", "i", "v", "rn", "cum", "n", "tot")
+    assert sorted(naive.collect()) == sorted(dist.collect())
+    # Both branches stem from the same range repartition; AQE reuses
+    # the exchange when stage boundaries line up (run-dependent), so
+    # assert only the hard bound: never more than the two declared
+    # range shuffles in the final plan (AQE toString appends the
+    # pre-AQE plan — cut it off first).
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert 1 <= final.count("Exchange rangepartitioning") <= 2
+
+
+def test_strict_prefix_min_matches_naive(skewed):
+    # duplicate keys everywhere: strict-range frame must exclude ties
+    w = Window.orderBy(F.col("k").asc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = skewed.select(
+        "k", "i", "v", F.min(F.col("v").cast("bigint")).over(w).alias("m")
+    )
+    dist = global_strict_prefix_min(
+        skewed, F.col("k"), F.col("v"), out="m"
+    ).select("k", "i", "v", "m")
+    assert sorted(naive.collect(), key=str) == sorted(dist.collect(), key=str)
 
 
 def _unbounded_global_windows(df):
