@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_row_number
 from metoffice_spark.io import load
 from metoffice_spark.session import scoped_persist, tune
 
@@ -1241,10 +1242,10 @@ QUERIES["q_ts_trend"] = (q_ts_trend, ORACLE_TS_TREND)
 # statistic is a value that actually occurred).
 #
 # Scale: two user_id-keyed aggregates (click min, conditional
-# purchase min) — one shuffle each; the rank selection runs on the
-# converting-users table (≤ |users| rows) with a deliberate global
-# window over the already-aggregated latencies; the n-row scalar
-# broadcasts via 1-row crossJoin.
+# purchase min) — one shuffle each; the rank selection uses the
+# DISTRIBUTED global_row_number (functions/distributed.py) over the
+# converting-users table, which grows with |users| — no single-task
+# sort; the n-row scalar broadcasts via 1-row crossJoin.
 
 
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,10 +1271,13 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", (F.col("p0") - F.col("c0")).alias("lat_s"))
     )
     n = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = Window.orderBy(F.col("lat_s").asc(), F.col("user_id").asc())
-    ranked = lat.select(
-        "lat_s", F.row_number().over(w).cast("bigint").alias("rn")
-    ).crossJoin(F.broadcast(n))
+    ranked = (
+        global_row_number(
+            lat, [F.col("lat_s").asc(), F.col("user_id").asc()], out="rn"
+        )
+        .select("lat_s", "rn")
+        .crossJoin(F.broadcast(n))
+    )
     return ranked.groupBy("n").agg(
         F.min("lat_s").cast("bigint").alias("min_s"),
         F.max(F.expr("case when rn = (n + 1) div 2 then lat_s end"))

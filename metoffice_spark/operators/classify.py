@@ -511,10 +511,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    w_top = Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    # distributed top-k candidate cut (TakeOrderedAndProject) — no
+    # full-corpus global rank window
     cands = scoped_persist(
-        tf.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _MMR_CANDS)
+        tf.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .limit(_MMR_CANDS)
         .crossJoin(tf.agg(F.max("tf").alias("max_tf")))
         .select(
             "doc_id",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_row_number
 from metoffice_spark.io import load
 from metoffice_spark.operators.llm import (
     DOT_DUCK,
@@ -257,12 +258,15 @@ def q_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = scoped_persist(
         docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
     )
-    freq_rank = (
-        toks.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t")))
-        )
+    # every full ranking below is a distributed global_row_number —
+    # the term vocabulary and the candidate set both grow with the
+    # corpus, so none may funnel through a single-task window; the
+    # final top-10 is a TakeOrderedAndProject (distributed top-k),
+    # with the rank assigned over the bounded 10-row result
+    freq_rank = global_row_number(
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("freq")),
+        [F.desc("freq"), F.asc("t")],
+        out="rnk",
     )
     qterms = freq_rank.filter(F.col("rnk").isin(*_RRF_RANKS)).select("t")
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -275,10 +279,12 @@ def q_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(dl, "doc_id")
     )
-    w_a = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
-    w_b = Window.orderBy(F.desc("n_terms"), F.asc("dl"), F.asc("doc_id"))
-    ranked = cand.withColumn("rank_a", F.row_number().over(w_a)).withColumn(
-        "rank_b", F.row_number().over(w_b)
+    ranked = global_row_number(
+        global_row_number(
+            cand, [F.desc("tf_total"), F.asc("doc_id")], out="rank_a"
+        ),
+        [F.desc("n_terms"), F.asc("dl"), F.asc("doc_id")],
+        out="rank_b",
     )
     fused = ranked.withColumn(
         "rrf_fp",
@@ -286,17 +292,14 @@ def q_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"1000000 div ({_RRF_K} + rank_a) + 1000000 div ({_RRF_K} + rank_b)"
         ).cast("bigint"),
     )
-    w_f = Window.orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
-        .filter(F.col("rnk") <= _RRF_TOPK)
-        .select(
-            "rnk",
-            "doc_id",
-            "rrf_fp",
-            F.col("rank_a").cast("int").alias("rank_a"),
-            F.col("rank_b").cast("int").alias("rank_b"),
-        )
+    top = fused.orderBy(F.desc("rrf_fp"), F.asc("doc_id")).limit(_RRF_TOPK)
+    w_f = Window.orderBy(F.desc("rrf_fp"), F.asc("doc_id"))  # 10-row input
+    return top.withColumn("rnk", F.row_number().over(w_f).cast("int")).select(
+        "rnk",
+        "doc_id",
+        "rrf_fp",
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
     )
 
 

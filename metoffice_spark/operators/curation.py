@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_row_number
 from metoffice_spark.io import load
 from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK, _ivec_duck, _ivec_spark
 from metoffice_spark.session import scoped_persist, tune
@@ -172,11 +173,12 @@ def q_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     counts = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    # distributed top-k (TakeOrderedAndProject); the rank window runs
+    # over the bounded _BPE_TOP-row result, never the full pair vocab
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOP)
     w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= _BPE_TOP)
-        .select("rnk", "pair", "n")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "rnk", "pair", "n"
     )
 
 
@@ -860,12 +862,12 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scalars (setup literals, llm.py discipline)
     a_total, d_docs = toks.count(), docs.count()
 
-    freq_rank = (
-        toks.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("t")))
-        )
+    # distributed vocab rank (functions/distributed.py): the term
+    # vocabulary grows with the corpus — no single-task global window
+    freq_rank = global_row_number(
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("freq")),
+        [F.desc("freq"), F.asc("t")],
+        out="rnk",
     )
     qterms = freq_rank.filter(F.col("rnk").isin(*_BM25_RANKS)).select("t")
 
@@ -898,11 +900,12 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_score_fp").cast("bigint").alias("score_fp"),
         F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
     )
+    # distributed top-k (TakeOrderedAndProject), rank assigned over
+    # the bounded k-row result — never a full-corpus global window
+    top = per_doc.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(_BM25_TOPK)
     w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= _BM25_TOPK)
-        .select("rnk", "doc_id", "score_fp", "n_terms_hit")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "rnk", "doc_id", "score_fp", "n_terms_hit"
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_order_stats
 from metoffice_spark.io import load
 from metoffice_spark.operators.classify import _QC_BUCKET, _QC_WEIGHT
 from metoffice_spark.operators.corpus import _BIGRAMS_DUCK
@@ -40,12 +41,10 @@ QUERIES: dict = {}
 # The proxy ground-truth label is lang = 'en' (fixed, so the
 # evaluation is deterministic and self-contained).
 #
-# Scale: the ranked prefix sums use ONE global total order — right
-# at the driver-table scale here; at 100 TB the same curve comes from
-# a score histogram (q_agg_histogram's equi-width bins) whose
-# cumulative counts approximate the decile cutoffs without a global
-# sort. Documented tradeoff; the exact form is what the oracle can
-# check bitwise.
+# Scale: the rank and the true-positive prefix sum come from ONE
+# distributed global_order_stats pass (range-partition + broadcast
+# offsets — no single-task sort over the document table); the decile
+# join probes 10 exact ranks against it.
 
 
 def q_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,14 +72,12 @@ def q_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         )
     )
-    w_rank = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
-    ranked = labeled.select(
-        F.row_number().over(w_rank).alias("rn"),
-        F.sum("pos")
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("cum_tp"),
-    )
+    ranked = global_order_stats(
+        labeled,
+        [F.col("score_fp").desc(), F.col("doc_id").asc()],
+        rn="rn",
+        running={"cum_tp": F.col("pos")},
+    ).select("rn", "cum_tp")
     totals = labeled.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_row_number
 from metoffice_spark.io import load
 from metoffice_spark.session import scoped_persist, tune
 
@@ -108,14 +109,16 @@ def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = scoped_persist(
         ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    w_rank = Window.orderBy("cnt", "user_id")
-    w_hot = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
-    ranked = freq.select(
-        "user_id",
-        "cnt",
-        F.row_number().over(w_rank).alias("rn"),
-        F.row_number().over(w_hot).alias("hot_rn"),
-    )
+    # two distributed rank passes (functions/distributed.py) — the
+    # per-key frequency table grows with |keys|, so neither rank may
+    # funnel through a single-task global window
+    ranked = global_row_number(
+        global_row_number(
+            freq, [F.col("cnt").asc(), F.col("user_id").asc()], out="rn"
+        ),
+        [F.col("cnt").desc(), F.col("user_id").asc()],
+        out="hot_rn",
+    ).select("user_id", "cnt", "rn", "hot_rn")
     base = freq.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),

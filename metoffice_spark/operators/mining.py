@@ -588,11 +588,11 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(total_w div freq AS BIGINT)").alias("score_fp"),
         )
     )
+    # distributed top-k; rank over the bounded _RAKE_TOP-row result
+    top = phrases.orderBy(F.desc("score_fp"), F.asc("phrase")).limit(_RAKE_TOP)
     w_top = Window.orderBy(F.desc("score_fp"), F.asc("phrase"))
-    return (
-        phrases.withColumn("rnk", F.row_number().over(w_top).cast("int"))
-        .filter(F.col("rnk") <= _RAKE_TOP)
-        .select("rnk", "phrase", "n_words", "freq", "score_fp")
+    return top.withColumn("rnk", F.row_number().over(w_top).cast("int")).select(
+        "rnk", "phrase", "n_words", "freq", "score_fp"
     )
 
 

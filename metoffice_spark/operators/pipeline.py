@@ -1068,13 +1068,17 @@ def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"size({TOKS_SPARK})").cast("bigint").alias("n_toks"),
     )
-    batched = docs.select(
+    # distributed global rank (functions/distributed.py) — the doc
+    # table grows with the corpus, so the length-sort rank must not
+    # funnel through a single-task window
+    from metoffice_spark.functions.distributed import global_row_number
+
+    batched = global_row_number(
+        docs, [F.desc("n_toks"), F.asc("doc_id")], out="__rn"
+    ).select(
         "doc_id",
         "n_toks",
-        F.expr(
-            f"cast((row_number() over (order by n_toks desc, doc_id asc) - 1)"
-            f" div {_BLB_BATCH} as int)"
-        ).alias("batch_id"),
+        F.expr(f"cast((__rn - 1) div {_BLB_BATCH} as int)").alias("batch_id"),
     )
     return batched.groupBy("batch_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

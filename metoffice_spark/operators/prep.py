@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metoffice_spark.functions.distributed import global_running_sum
 from metoffice_spark.io import load
 from metoffice_spark.operators.llm import TOKS_DUCK, TOKS_SPARK, _spread
 from metoffice_spark.session import scoped_persist, tune
@@ -130,11 +131,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_fp"),
         )
     )
+    # distributed top-k; rank over the bounded _PMI_TOP-row result
+    top = scored.orderBy(F.desc("lift_fp"), F.asc("pair")).limit(_PMI_TOP)
     w = Window.orderBy(F.desc("lift_fp"), F.asc("pair"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= _PMI_TOP)
-        .select("rnk", "pair", "pair_cnt", "cnt_a", "cnt_b", "lift_fp")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "rnk", "pair", "pair_cnt", "cnt_a", "cnt_b", "lift_fp"
     )
 
 
@@ -601,10 +602,12 @@ QUERIES["q_weighted_median"] = (q_weighted_median, ORACLE_WEIGHTED_MEDIAN)
 # 80th-percentile epoch second, picked by rank from a (ts, count)
 # pre-aggregate — deterministic, no sampling.
 #
-# Scale: the cutoff comes from a cumulative count over the DISTINCT
-# second-level timestamps (a far smaller relation than events);
-# the split itself is one broadcast-scalar comparison per row, no
-# shuffle beyond the final per-split aggregate.
+# Scale: the cutoff comes from a DISTRIBUTED cumulative count
+# (global_running_sum) over the distinct second-level timestamps —
+# smaller than events but still growing with the time span, so no
+# single-task window; the split itself is one broadcast-scalar
+# comparison per row, no shuffle beyond the final per-split
+# aggregate.
 
 _EMBARGO_S = 86_400
 
@@ -617,12 +620,10 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("long").alias("es")
     )
     per_s = ev.groupBy("es").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w_cum = Window.orderBy("es").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     n_total = per_s.agg(F.sum("c").cast("bigint").alias("n"))
     cutoff = (
-        per_s.select("es", F.sum("c").over(w_cum).cast("bigint").alias("cum"))
+        global_running_sum(per_s, [F.col("es").asc()], F.col("c"), out="cum")
+        .select("es", "cum")
         .crossJoin(F.broadcast(n_total))
         .filter(F.col("cum") * 5 >= F.col("n") * 4)  # first ts covering 80 %
         .agg(F.min("es").cast("bigint").alias("cut"))

@@ -876,14 +876,19 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     from pyspark.sql import Window
 
+    from metoffice_spark.functions.distributed import global_row_number
+
     keys = (
         load(spark, sf_dir, "orders")
         .select(F.col("o_orderkey").cast("bigint").alias("k"))
         .distinct()
     )
-    w = Window.orderBy("k")
+    # k - global rank is the classic island key; the rank comes from
+    # the DISTRIBUTED global_row_number — the key inventory grows
+    # with |orders|, so no single-task window
     islands = (
-        keys.select("k", (F.col("k") - F.row_number().over(w)).alias("grp"))
+        global_row_number(keys, [F.col("k").asc()], out="__rn")
+        .select("k", (F.col("k") - F.col("__rn")).alias("grp"))
         .groupBy("grp")
         .agg(
             F.min("k").cast("bigint").alias("island_start"),
@@ -891,13 +896,23 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         )
     )
-    w_next = Window.orderBy("island_start")
+    # lead() over a global order, distributed: rank the islands, then
+    # self-join rank r against r+1 (both sides shuffle on the rank —
+    # no single-task window even when the island count is large)
+    ranked = global_row_number(
+        islands, [F.col("island_start").asc()], out="irn"
+    )
+    nxt = ranked.select(
+        (F.col("irn") - 1).alias("irn"),
+        F.col("island_start").alias("next_start"),
+    )
     return (
-        islands.select(
+        ranked.join(nxt, "irn", "left")
+        .select(
             "island_start",
             "island_end",
             "n_keys",
-            (F.lead("island_start").over(w_next) - F.col("island_end") - 1)
+            (F.col("next_start") - F.col("island_end") - 1)
             .cast("bigint")
             .alias("gap_to_next"),
         )

@@ -35,6 +35,7 @@ sort-merge vs broadcast from the aggregate's actual size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from metoffice_spark.io import register_views
 from metoffice_spark.session import tune
@@ -160,11 +161,12 @@ QUERIES["q_olap_having_in"] = (q_olap_having_in, SQL_OLAP_HAVING_IN)
 #
 # Supplier(s) with the maximum 3-month revenue. TPC-H phrases this
 # as a scalar subquery re-reading the revenue view; that plans as
-# TWO scans of lineitem under CTE inlining. The window form below
-# (max(...) OVER () on the ~|suppliers|-row aggregate) is the
-# single-scan equivalent — the right plan at 100 TB, where the
-# second fact scan is the cost that matters. The unbounded window
-# moves only the tiny aggregate to one partition.
+# TWO scans of lineitem under CTE inlining. The Spark side instead
+# persists the per-supplier aggregate (scoped_persist barrier: ONE
+# lineitem scan), computes the max as a tree-reduced 1-row aggregate,
+# and broadcasts it back — no max(...) OVER () funneling the
+# |suppliers|-row aggregate (linear in SF) through a single task.
+# The oracle keeps the window phrasing (DuckDB, bounded input).
 
 SQL_OLAP_TOP_SUPPLIER = f"""
 WITH revenue AS (
@@ -190,12 +192,39 @@ ORDER BY s.s_suppkey
 
 
 def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15: top revenue supplier via a single-scan window max over
-    the per-supplier aggregate (the two-scan scalar-subquery form's
-    scale-correct equivalent)."""
+    """Q15: top revenue supplier — persisted single-scan revenue
+    aggregate, distributed 1-row max, broadcast filter join."""
+    from metoffice_spark.session import scoped_persist
+
     spark = tune(spark)
     register_views(spark, sf_dir, ("supplier", "lineitem"))
-    return spark.sql(SQL_OLAP_TOP_SUPPLIER)
+    revenue = scoped_persist(
+        spark.sql(
+            f"""
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum({_REV_CENTS}) AS BIGINT) AS rev_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+            """
+        )
+    )
+    mx = revenue.agg(F.max("rev_cents").alias("max_cents"))
+    supplier = spark.table("supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 QUERIES["q_olap_top_supplier"] = (q_olap_top_supplier, SQL_OLAP_TOP_SUPPLIER)

@@ -387,11 +387,11 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    # distributed top-k; rank over the bounded 30-row result only
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(30)
     w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 30)
-        .select("pair", "cnt", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "pair", "cnt", "rnk"
     )
 
 
