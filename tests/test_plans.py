@@ -353,13 +353,27 @@ def test_triangles_joins_are_hash_equi(spark, sf_smoke):
 
 
 def test_eval_pr_single_ranked_pass(spark, sf_smoke):
-    """The PR curve must rank once (one window over the labeled set)
-    and probe decile cutoffs against it — no per-decile re-sorts."""
+    """The PR curve must rank once and probe decile cutoffs against
+    it — no per-decile re-sorts. With the distributed
+    global_order_stats pass, "rank once" means ONE range shuffle on
+    the score order carries both the row number and the TP prefix
+    sum (the offsets branch reuses it), and no unpartitioned window
+    runs over the document-scale input (every full-table window is
+    keyed on the range-partition id)."""
     from metoffice_spark.operators.evaluation import q_eval_pr
 
     plan = _plan(q_eval_pr(spark, sf_smoke))
-    # one ranking window (row_number + running sum share one sort)
-    assert plan.count("Window [") <= 1, plan
+    # pre-AQE both branches print their own range exchange; AQE
+    # collapses them to one + ReusedExchange at runtime (locked for
+    # the helper itself in test_distributed_windows). Bound: never
+    # more than the two declared branches, and only the ONE order.
+    assert 1 <= plan.count("rangepartitioning(score_fp") <= 2, plan
+    # document-scale windows are all __gpid-partitioned; the only
+    # empty-partition windows run over the bounded offsets aggregate
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__gpid") or frag.startswith(
+            "specifiedwindowframe"
+        ) or frag.startswith("_w0"), frag[:80]
 
 
 def test_framesample_is_map_only(spark, sf_smoke):
@@ -453,17 +467,18 @@ def test_subquery_decorrelation_shapes(spark, sf_smoke):
 
 
 def test_top_supplier_single_lineitem_scan(spark, sf_smoke):
-    """Q15 via window-max must scan lineitem ONCE (the two-scan
-    scalar-subquery form is the plan this test forbids)."""
+    """Q15 must scan lineitem ONCE (the two-scan scalar-subquery form
+    is the plan this test forbids): the per-supplier revenue aggregate
+    is persisted, so BOTH the 1-row max branch and the filter branch
+    read InMemoryTableScan — the FileScan text appears only inside the
+    shared InMemoryRelation's cached lineage. The old max-over-window
+    form is also forbidden (no unpartitioned window anywhere)."""
     from metoffice_spark.operators.subqueries import q_olap_top_supplier
 
     plan = _plan(q_olap_top_supplier(spark, sf_smoke))
-    scans = [
-        ln
-        for ln in plan.splitlines()
-        if "FileScan parquet" in ln and "lineitem" in ln
-    ]
-    assert len(scans) == 1, scans
+    # both references to the revenue aggregate hit the cache
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_olap2_decorrelation_shapes(spark, sf_smoke):
