@@ -36,12 +36,23 @@ reproducible — the same requirement oracle parity already imposes on
 every call site. (``global_strict_prefix_min`` is the exception: it
 keys on ONE column and relies on range partitioning never splitting
 equal keys across partitions.)
+
+CORRECTNESS BARRIER: the partitioned frame is ``scoped_persist``-ed
+before the offsets branch reads it. Without the barrier the two
+branches plan two SEPARATE range exchanges (column pruning makes the
+subtrees non-identical, defeating exchange reuse), and
+``RangePartitioner`` samples each with a different seed — on data
+larger than its sample the two exchanges can pick DIFFERENT
+boundaries, silently misaligning offsets with partition ids. The
+persist pins one materialization (and runs the local window once).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from metoffice_spark.session import scoped_persist
 
 _PID = "__gpid"
 _TOT = "__gtot"
@@ -83,6 +94,11 @@ def global_order_stats(
         prefix.append((lc, F.sum(vc).cast("bigint"), out))
     for out, val in grand.items():
         d = d.withColumn(f"__g_{out}", val.cast("bigint"))
+    # persist barrier: ONE materialization of the ranged+windowed
+    # frame feeds both the offsets aggregate and the final join (see
+    # module docstring — two range exchanges may sample different
+    # boundaries)
+    d = scoped_persist(d)
     # bounded offsets table: one row per range partition
     per = d.groupBy(_PID).agg(
         *[agg.alias(f"__n_{out}") for _, agg, out in prefix],
@@ -177,7 +193,8 @@ def global_strict_prefix_min(
         .orderBy(key.asc())
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    d = d.withColumn("__l_min", F.min("__gv").over(w_local))
+    # same persist barrier as global_order_stats (module docstring)
+    d = scoped_persist(d.withColumn("__l_min", F.min("__gv").over(w_local)))
     per = d.groupBy(_PID).agg(F.min("__gv").alias("__p_min"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     off = per.select(_PID, F.min("__p_min").over(w_off).alias("__o_min"))
