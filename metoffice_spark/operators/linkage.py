@@ -20,7 +20,7 @@ q_percentile_exact; every ordering carries a total tie-break.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metoffice_spark.functions.distributed import global_row_number
