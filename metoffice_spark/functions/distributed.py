@@ -77,7 +77,11 @@ def global_order_stats(
     out-name → value column) over one global total order, in ONE range
     shuffle. ``total`` optionally adds the grand ROW COUNT and
     ``grand`` (out-name → value column) grand SUMS — both read off the
-    same bounded offsets table, never a second global window."""
+    same bounded offsets table, never a second global window.
+
+    Caller columns must not start with the reserved scratch prefixes
+    ``__g``/``__l``/``__v``/``__o``/``__n``/``__s``/``__t`` (dropped
+    or shadowed internally)."""
     running = running or {}
     grand = grand or {}
     d = _ranged(df, order_cols)
