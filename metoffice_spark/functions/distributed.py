@@ -79,23 +79,27 @@ def global_order_stats(
     ``grand`` (out-name → value column) grand SUMS — both read off the
     same bounded offsets table, never a second global window.
 
-    Caller columns must not start with the reserved scratch prefixes
-    ``__g``/``__l``/``__v``/``__o``/``__n``/``__s``/``__t`` (dropped
-    or shadowed internally)."""
+    Caller columns must not start with a double underscore — all
+    ``__``-prefixed names are reserved scratch (dropped or shadowed
+    internally)."""
     running = running or {}
     grand = grand or {}
     d = _ranged(df, order_cols)
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prefix = []  # (local_col, per-partition agg, out)
     if rn is not None:
         d = d.withColumn("__l_rn", F.row_number().over(w_local).cast("bigint"))
-        prefix.append(("__l_rn", F.count(F.lit(1)).cast("bigint"), rn))
     for out, val in running.items():
-        lc, vc = f"__l_{out}", f"__v_{out}"
+        vc = f"__v_{out}"
         d = d.withColumn(vc, val.cast("bigint"))
-        d = d.withColumn(lc, F.sum(vc).over(w_run).cast("bigint"))
-        prefix.append((lc, F.sum(vc).cast("bigint"), out))
+        # local running sum AND local non-null count: SQL running sums
+        # are NULL while the prefix holds no non-null value, so the
+        # recombination below must know whether any non-null exists in
+        # the preceding partitions + local frame (a bare
+        # "NULL + offset" or a blanket coalesce both diverge from the
+        # single-partition window on NULL-leading data)
+        d = d.withColumn(f"__l_{out}", F.sum(vc).over(w_run).cast("bigint"))
+        d = d.withColumn(f"__c_{out}", F.count(vc).over(w_run).cast("bigint"))
     for out, val in grand.items():
         d = d.withColumn(f"__g_{out}", val.cast("bigint"))
     # persist barrier: ONE materialization of the ranged+windowed
@@ -104,19 +108,40 @@ def global_order_stats(
     # boundaries)
     d = scoped_persist(d)
     # bounded offsets table: one row per range partition
-    per = d.groupBy(_PID).agg(
-        *[agg.alias(f"__n_{out}") for _, agg, out in prefix],
-        *[F.sum(f"__g_{out}").cast("bigint").alias(f"__s_{out}") for out in grand],
-        F.count(F.lit(1)).cast("bigint").alias("__n_rows"),
-    )
+    per_aggs = []
+    if rn is not None:
+        per_aggs.append(F.count(F.lit(1)).cast("bigint").alias(f"__n_{rn}"))
+    for out in running:
+        per_aggs.append(
+            F.sum(f"__v_{out}").cast("bigint").alias(f"__n_{out}")
+        )
+        per_aggs.append(
+            F.count(f"__v_{out}").cast("bigint").alias(f"__k_{out}")
+        )
+    per_aggs += [
+        F.sum(f"__g_{out}").cast("bigint").alias(f"__s_{out}") for out in grand
+    ]
+    per_aggs.append(F.count(F.lit(1)).cast("bigint").alias("__n_rows"))
+    per = d.groupBy(_PID).agg(*per_aggs)
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy()  # bounded: ≤ shuffle-partitions rows
-    off_cols = [_PID] + [
-        F.coalesce(F.sum(f"__n_{out}").over(w_off), F.lit(0))
-        .cast("bigint")
-        .alias(f"__o_{out}")
-        for _, _, out in prefix
-    ]
+    off_cols = [_PID]
+    if rn is not None:
+        off_cols.append(
+            F.coalesce(F.sum(f"__n_{rn}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"__o_{rn}")
+        )
+    for out in running:
+        # preceding-partition sum stays NULL-aware (F.sum skips NULLs,
+        # returns NULL only when every preceding value is NULL); the
+        # non-null count decides the final NULL
+        off_cols.append(F.sum(f"__n_{out}").over(w_off).alias(f"__o_{out}"))
+        off_cols.append(
+            F.coalesce(F.sum(f"__k_{out}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"__ok_{out}")
+        )
     if total is not None:
         off_cols.append(
             F.sum("__n_rows").over(w_all).cast("bigint").alias(_TOT)
@@ -128,9 +153,23 @@ def global_order_stats(
     off = per.select(*off_cols)
     res = d.join(F.broadcast(off), _PID)
     drop = [_PID]
-    for lc, _, out in prefix:
-        res = res.withColumn(out, (F.col(lc) + F.col(f"__o_{out}")).cast("bigint"))
-        drop += [lc, f"__o_{out}"]
+    if rn is not None:
+        res = res.withColumn(
+            rn, (F.col("__l_rn") + F.col(f"__o_{rn}")).cast("bigint")
+        )
+        drop += ["__l_rn", f"__o_{rn}"]
+    for out in running:
+        lc, cc, oc, okc = f"__l_{out}", f"__c_{out}", f"__o_{out}", f"__ok_{out}"
+        res = res.withColumn(
+            out,
+            F.when(
+                (F.col(cc) + F.col(okc)) == 0, F.lit(None).cast("bigint")
+            ).otherwise(
+                (F.coalesce(F.col(lc), F.lit(0)) + F.coalesce(F.col(oc), F.lit(0)))
+                .cast("bigint")
+            ),
+        )
+        drop += [lc, cc, oc, okc]
     drop += [c for c in res.columns if c.startswith(("__v_", "__g_"))]
     if total is not None:
         res = res.withColumn(total, F.col(_TOT))

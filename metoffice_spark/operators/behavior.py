@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metoffice_spark.functions.distributed import global_row_number
+from metoffice_spark.functions.distributed import global_order_stats
 from metoffice_spark.io import load
 from metoffice_spark.session import scoped_persist, tune
 
@@ -1242,10 +1242,10 @@ QUERIES["q_ts_trend"] = (q_ts_trend, ORACLE_TS_TREND)
 # statistic is a value that actually occurred).
 #
 # Scale: two user_id-keyed aggregates (click min, conditional
-# purchase min) — one shuffle each; the rank selection uses the
-# DISTRIBUTED global_row_number (functions/distributed.py) over the
-# converting-users table, which grows with |users| — no single-task
-# sort; the n-row scalar broadcasts via 1-row crossJoin.
+# purchase min) — one shuffle each; the rank AND the converting-user
+# count come from ONE distributed global_order_stats pass
+# (functions/distributed.py) over the converting-users table, which
+# grows with |users| — no single-task sort, no second pass for n.
 
 
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,14 +1270,15 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("epoch_s").cast("bigint").alias("p0"))
         .select("user_id", (F.col("p0") - F.col("c0")).alias("lat_s"))
     )
-    n = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = (
-        global_row_number(
-            lat, [F.col("lat_s").asc(), F.col("user_id").asc()], out="rn"
-        )
-        .select("lat_s", "rn")
-        .crossJoin(F.broadcast(n))
-    )
+    # rank AND the converting-user count come out of the SAME range
+    # shuffle (total= reads the bounded offsets table) — a separate
+    # count aggregate would re-run the unpersisted click⋈purchase join
+    ranked = global_order_stats(
+        lat,
+        [F.col("lat_s").asc(), F.col("user_id").asc()],
+        rn="rn",
+        total="n",
+    ).select("lat_s", "rn", "n")
     return ranked.groupBy("n").agg(
         F.min("lat_s").cast("bigint").alias("min_s"),
         F.max(F.expr("case when rn = (n + 1) div 2 then lat_s end"))

@@ -1020,30 +1020,19 @@ _UNRESOLVED = object()
 _PIL_IMAGE = _UNRESOLVED
 
 
-def _sniff_codec(payload: bytes) -> str | None:
-    """Codec container sniff by magic bytes. Deliberately limited to
-    magics containing non-ASCII bytes (PNG \\x89PNG, JPEG \\xff\\xd8)
-    so the pure-ASCII synthetic corpus (locked by
-    tests/test_testdata_schema.py::test_documents_text_is_pure_ascii)
-    can NEVER sniff as codec — the RAW path stays deterministic and
-    oracle-parity-safe regardless of installed codecs."""
-    if payload[:4] == b"\x89PNG":
-        return "png"
-    if payload[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    return None
-
-
 def _decode_batches(batches):
     """Arrow-batched decode of opaque binary payloads.
 
-    RAW payloads are treated as 8-bit luminance buffers — for that
-    format this IS the real decode, done with numpy over the Arrow
-    batch (no per-row Python): byte mean (brightness), byte min/max,
-    and the dark-pixel fraction all come from the actual bytes of the
-    binary column. Payloads whose magic bytes sniff as a codec
-    container (PNG/JPEG) route through ``_codec_decode`` — a real
-    PIL luminance decode when PIL is installed, a loud
+    Routing is CONTRACTUAL, on the typed metadata's ``enc`` field —
+    never sniffed from payload bytes, since a genuine RAW luminance
+    buffer may legally begin with any byte sequence, including a
+    codec magic (round-6 review). ``enc='raw'`` payloads are 8-bit
+    luminance buffers — for that format this IS the real decode, done
+    with numpy over the Arrow batch (no per-row Python): byte mean
+    (brightness), byte min/max, and the dark-pixel fraction all come
+    from the actual bytes of the binary column. Any other ``enc``
+    (png/jpeg/...) routes through ``_codec_decode`` — a real PIL
+    luminance decode when PIL is installed, a loud
     NotImplementedError when it is not (compressed bytes must never
     be silently scored as luminance); frame count for 'video' comes
     from the typed metadata."""
@@ -1051,11 +1040,11 @@ def _decode_batches(batches):
 
     for pdf in batches:
         mins, maxs, sums, darks, lens = [], [], [], [], []
-        for payload in pdf["payload"]:
-            if _sniff_codec(payload) is not None:
-                px = _codec_decode(payload)
-            else:
+        for payload, meta in zip(pdf["payload"], pdf["meta"]):
+            if meta["enc"] == "raw":
                 px = np.frombuffer(payload, dtype=np.uint8)
+            else:
+                px = _codec_decode(payload)
             lens.append(px.size)
             mins.append(int(px.min()) if px.size else 0)
             maxs.append(int(px.max()) if px.size else 0)
@@ -1113,8 +1102,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only (zero shuffles) — each Arrow batch of binary
     blobs is decoded executor-side; at 100 TB this is the
     decode/resize/frame-sample stage of a media training pipeline.
-    Codec-compressed formats are the one stubbed branch
-    (``_codec_decode``: no PIL/ffmpeg in this container)."""
+    The metadata's ``enc`` field (here always 'raw') contractually
+    selects the decode branch; codec encodings route to
+    ``_codec_decode`` (real with PIL, loud NotImplementedError in
+    this codec-less container)."""
     docs = load(tune(spark), sf_dir, "documents")
     assets = docs.select(
         "doc_id",
@@ -1124,6 +1115,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
             .otherwise(F.lit("video"))
             .alias("fmt"),
+            F.lit("raw").alias("enc"),
             ((F.col("n_chars") % 64) + 16).cast("int").alias("width"),
             (((F.col("doc_id") * 7) % 64) + 16).cast("int").alias("height"),
         ).alias("meta"),

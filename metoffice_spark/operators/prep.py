@@ -620,11 +620,13 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("long").alias("es")
     )
     per_s = ev.groupBy("es").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n_total = per_s.agg(F.sum("c").cast("bigint").alias("n"))
+    # cum AND the grand total come out of the SAME range-shuffle pass
+    # (with_total reads the bounded offsets table) — a separate
+    # n_total aggregate would re-run the unpersisted events groupBy
     cutoff = (
-        global_running_sum(per_s, [F.col("es").asc()], F.col("c"), out="cum")
-        .select("es", "cum")
-        .crossJoin(F.broadcast(n_total))
+        global_running_sum(
+            per_s, [F.col("es").asc()], F.col("c"), out="cum", with_total="n"
+        )
         .filter(F.col("cum") * 5 >= F.col("n") * 4)  # first ts covering 80 %
         .agg(F.min("es").cast("bigint").alias("cut"))
     )

@@ -168,15 +168,20 @@ QUERIES["q_olap_having_in"] = (q_olap_having_in, SQL_OLAP_HAVING_IN)
 # |suppliers|-row aggregate (linear in SF) through a single task.
 # The oracle keeps the window phrasing (DuckDB, bounded input).
 
-SQL_OLAP_TOP_SUPPLIER = f"""
-WITH revenue AS (
+# ONE revenue-CTE body shared by the oracle text and the Spark
+# builder below — an edit to either the date window or the cents
+# expression cannot desynchronize the two engines
+_Q15_REVENUE_SQL = f"""
   SELECT l_suppkey AS supplier_no,
          CAST(sum({_REV_CENTS}) AS BIGINT) AS rev_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
-), ranked AS (
+"""
+
+SQL_OLAP_TOP_SUPPLIER = f"""
+WITH revenue AS ({_Q15_REVENUE_SQL}), ranked AS (
   SELECT supplier_no, rev_cents,
          max(rev_cents) OVER () AS max_cents
   FROM revenue
@@ -198,18 +203,7 @@ def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = tune(spark)
     register_views(spark, sf_dir, ("supplier", "lineitem"))
-    revenue = scoped_persist(
-        spark.sql(
-            f"""
-            SELECT l_suppkey AS supplier_no,
-                   CAST(sum({_REV_CENTS}) AS BIGINT) AS rev_cents
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-            GROUP BY l_suppkey
-            """
-        )
-    )
+    revenue = scoped_persist(spark.sql(_Q15_REVENUE_SQL))
     mx = revenue.agg(F.max("rev_cents").alias("max_cents"))
     supplier = spark.table("supplier")
     return (

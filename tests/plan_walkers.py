@@ -1,0 +1,67 @@
+"""Shared physical-plan walker for the global-window scale locks.
+
+ONE boundedness rule, used by both test_no_unbounded_global_windows
+(repo-wide tripwire) and test_distributed_windows (helper plan lock),
+so the two suites cannot drift apart (r06 review).
+
+An empty-partition Window node is SANCTIONED only when, somewhere
+below it in the physical plan, there is:
+
+- a Limit node (Global/Local/TakeOrdered) — post-top-k results are
+  bounded by the literal k; or
+- an Aggregate grouped on the ``__gpid`` range-partition id — the
+  per-partition offsets tables of functions/distributed.py, bounded
+  by ``spark.sql.shuffle.partitions``.
+
+An Aggregate on arbitrary keys does NOT sanction (r06 review: the
+pre-migration scale-killers — global ranks over per-customer /
+per-key aggregate tables — all had exactly that shape), and neither
+does an ungrouped 1-row aggregate (those ride along under every
+``crossJoin(broadcast(agg))`` scalar and would sanction the same
+reverted shapes). Queries whose
+global window runs over a genuinely bounded non-pid aggregate (decile
+tables, calendar days, sketch registers) must be listed explicitly in
+the caller's allowlist with their expected window count.
+"""
+
+from __future__ import annotations
+
+
+def _sanctions(node) -> bool:
+    name = node.nodeName()
+    if "Limit" in name or "TakeOrdered" in name:
+        return True
+    if "Aggregate" in name:
+        head = node.toString().splitlines()[0] if node.toString() else ""
+        if "keys=[__gpid" in head:
+            return True
+    return False
+
+
+def _has_sanction_below(node) -> bool:
+    for j in range(node.children().length()):
+        ch = node.children().apply(j)
+        if _sanctions(ch) or _has_sanction_below(ch):
+            return True
+    return False
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Names of empty-partition Window nodes with no sanctioning node
+    below them in ``df``'s physical plan."""
+    bad: list[str] = []
+
+    def walk(node):
+        if "Window" in node.nodeName():
+            try:
+                if node.partitionSpec().isEmpty() and not _has_sanction_below(
+                    node
+                ):
+                    bad.append(node.nodeName())
+            except Exception:
+                pass
+        for j in range(node.children().length()):
+            walk(node.children().apply(j))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return bad

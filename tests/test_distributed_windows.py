@@ -70,6 +70,24 @@ def test_desc_order_and_empty_input(spark, skewed):
     assert global_running_sum(empty, _naive_order(), F.col("v")).count() == 0
 
 
+def test_running_sum_null_prefix_matches_naive(spark):
+    """A NULL-leading range partition must yield the carried prefix,
+    and a globally-NULL prefix must stay NULL — exactly the naive
+    window's semantics (the round-6 review reproduction: NULLs
+    spanning a partition boundary made the distributed sum NULL where
+    the naive window carried 8)."""
+    rows = [
+        Row(k=i, i=i, v=(None if 8 <= i <= 14 else 1)) for i in range(40)
+    ] + [Row(k=-1 - i, i=100 + i, v=None) for i in range(6)]  # NULL head
+    df = spark.createDataFrame(rows, "k int, i int, v int").repartition(7)
+    w = Window.orderBy("k", "i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.withColumn("cum", F.sum("v").over(w).cast("bigint"))
+    dist = global_running_sum(df, [F.col("k").asc(), F.col("i").asc()], F.col("v"))
+    assert sorted(naive.collect(), key=str) == sorted(dist.collect(), key=str)
+
+
 def test_combined_stats_one_shuffle(skewed):
     w = Window.orderBy(*_naive_order())
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,43 +133,33 @@ def test_strict_prefix_min_matches_naive(skewed):
     assert sorted(naive.collect(), key=str) == sorted(dist.collect(), key=str)
 
 
-def _unbounded_global_windows(df):
-    """Global-window nodes whose input is NOT the bounded offsets agg:
-    walk the physical plan; a Window with empty partitionSpec is OK
-    only if an Aggregate (the per-partition-id offsets groupBy) sits
-    somewhere below it."""
-    bad = []
-
-    def has_agg_below(node):
-        for j in range(node.children().length()):
-            ch = node.children().apply(j)
-            if "Aggregate" in ch.nodeName() or has_agg_below(ch):
-                return True
-        return False
-
-    def walk(node):
-        if "Window" in node.nodeName():
-            try:
-                if node.partitionSpec().isEmpty() and not has_agg_below(node):
-                    bad.append(node.nodeName())
-            except Exception:
-                pass
-        for j in range(node.children().length()):
-            walk(node.children().apply(j))
-
-    walk(df._jdf.queryExecution().sparkPlan())
-    return bad
-
-
 def test_plan_has_no_unbounded_global_window(skewed):
+    # shared boundedness rule — see plan_walkers.py (r06 review: one
+    # walker for both this helper lock and the repo-wide tripwire)
+    from plan_walkers import unbounded_global_windows
+
     for df in (
         global_row_number(skewed, _naive_order()),
         global_ntile(skewed, _naive_order(), 5),
         global_running_sum(skewed, _naive_order(), F.col("v")),
     ):
-        assert _unbounded_global_windows(df) == []
-    # and the naive shape IS flagged by the detector (it tests something)
+        assert unbounded_global_windows(df) == []
+    # the naive shape IS flagged by the detector (it tests something)
     naive = skewed.withColumn(
         "rn", F.row_number().over(Window.orderBy(*_naive_order()))
     )
-    assert _unbounded_global_windows(naive) != []
+    assert unbounded_global_windows(naive) != []
+    # ...including over a per-key AGGREGATE table — the exact
+    # pre-migration scale-killer shape the r06 review showed the old
+    # Aggregate-below heuristic could not see
+    agg_then_rank = (
+        skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+            ),
+        )
+    )
+    assert unbounded_global_windows(agg_then_rank) != []

@@ -1,9 +1,10 @@
 """Optional-codec decode path for q_multimodal_decode (VERDICT r05
-item 7): payloads whose magic bytes sniff as PNG/JPEG route through a
-real PIL luminance decode when PIL is installed, and fail LOUDLY when
-it is not — compressed bytes must never be silently scored as raw
-luminance. The synthetic corpus is pure ASCII, so it can never sniff
-as codec and the RAW path stays the live, parity-gated decode."""
+item 7, hardened by the r06 review): routing is CONTRACTUAL on the
+metadata's ``enc`` field — a RAW luminance buffer may legally begin
+with any bytes, including a codec magic, so content sniffing would
+misroute it. ``enc='raw'`` always decodes byte-domain; any codec
+``enc`` decodes via PIL when installed and fails LOUDLY when not —
+compressed bytes must never be silently scored as raw luminance."""
 
 from __future__ import annotations
 
@@ -15,12 +16,12 @@ from metoffice_spark.operators.llm import (
     _codec_decode,
     _decode_batches,
     _pil_image,
-    _sniff_codec,
 )
+
 
 def _make_png_2x2() -> bytes:
     """A valid 2x2 8-bit grayscale PNG (pixels 0,64 / 128,255) built
-    from the spec with only the stdlib, so the sniff/raise tests run
+    from the spec with only the stdlib, so the raise tests run
     codec-free and the blob is spec-correct when PIL IS present."""
     import struct
     import zlib
@@ -46,24 +47,26 @@ def _make_png_2x2() -> bytes:
 _PNG_2X2 = _make_png_2x2()
 
 
-def test_sniff_is_ascii_blind():
-    # no pure-ASCII payload may ever route to the codec branch
-    assert _sniff_codec(b"GIF87a pretend header in plain text") is None
-    assert _sniff_codec(b"ordinary document text") is None
-    assert _sniff_codec(b"") is None
-    assert _sniff_codec(_PNG_2X2) == "png"
-    assert _sniff_codec(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+def _batch(payload: bytes, enc: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": [7],
+            "payload": [payload],
+            "meta": [{"fmt": "image", "enc": enc, "width": 2, "height": 2}],
+        }
+    )
+
+
+def test_raw_payload_with_codec_magic_stays_byte_domain():
+    # a RAW buffer that HAPPENS to start with the PNG magic must NOT
+    # be rerouted — enc='raw' is the contract
+    (out,) = list(_decode_batches([_batch(_PNG_2X2, "raw")]))
+    assert out.loc[0, "n_bytes"] == len(_PNG_2X2)
+    assert out.loc[0, "px_min"] == 0  # the IHDR length bytes
 
 
 def test_raw_path_ignores_codec_availability():
-    pdf = pd.DataFrame(
-        {
-            "doc_id": [7],
-            "payload": [b"abc"],
-            "meta": [{"fmt": "image", "width": 16, "height": 16}],
-        }
-    )
-    (out,) = list(_decode_batches([pdf]))
+    (out,) = list(_decode_batches([_batch(b"abc", "raw")]))
     assert out.loc[0, "n_bytes"] == 3
     assert out.loc[0, "px_min"] == ord("a")
     assert out.loc[0, "px_max"] == ord("c")
@@ -73,15 +76,8 @@ def test_raw_path_ignores_codec_availability():
 def test_codec_payload_fails_loudly_without_pil():
     with pytest.raises(NotImplementedError):
         _codec_decode(_PNG_2X2)
-    pdf = pd.DataFrame(
-        {
-            "doc_id": [1],
-            "payload": [_PNG_2X2],
-            "meta": [{"fmt": "image", "width": 2, "height": 2}],
-        }
-    )
     with pytest.raises(NotImplementedError):
-        list(_decode_batches([pdf]))
+        list(_decode_batches([_batch(_PNG_2X2, "png")]))
 
 
 @pytest.mark.skipif(_pil_image() is None, reason="PIL not installed")
@@ -89,14 +85,7 @@ def test_codec_payload_decodes_with_pil():
     px = _codec_decode(_PNG_2X2)
     assert px.dtype == np.uint8
     assert sorted(px.tolist()) == [0, 64, 128, 255]
-    pdf = pd.DataFrame(
-        {
-            "doc_id": [1],
-            "payload": [_PNG_2X2],
-            "meta": [{"fmt": "image", "width": 2, "height": 2}],
-        }
-    )
-    (out,) = list(_decode_batches([pdf]))
+    (out,) = list(_decode_batches([_batch(_PNG_2X2, "png")]))
     assert out.loc[0, "n_bytes"] == 4
     assert out.loc[0, "px_min"] == 0
     assert out.loc[0, "px_max"] == 255
