@@ -46,9 +46,9 @@ def _has_sanction_below(node) -> bool:
     return False
 
 
-def unbounded_global_windows(df) -> list[str]:
+def unbounded_global_windows_in(plan) -> list[str]:
     """Names of empty-partition Window nodes with no sanctioning node
-    below them in ``df``'s physical plan."""
+    below them in a physical plan node."""
     bad: list[str] = []
 
     def walk(node):
@@ -63,5 +63,25 @@ def unbounded_global_windows(df) -> list[str]:
         for j in range(node.children().length()):
             walk(node.children().apply(j))
 
-    walk(df._jdf.queryExecution().sparkPlan())
+    walk(plan)
     return bad
+
+
+def unbounded_global_windows(df) -> list[str]:
+    return unbounded_global_windows_in(df._jdf.queryExecution().sparkPlan())
+
+
+def nested_loop_join_count(plan) -> int:
+    """CartesianProduct + BroadcastNestedLoopJoin nodes in a physical
+    plan node — the per-row join shapes that explode at scale unless
+    one side is a bounded broadcast (1-row scalars, vocab grids)."""
+    count = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "CartesianProduct" in name or "BroadcastNestedLoop" in name:
+            count += 1
+        for j in range(node.children().length()):
+            stack.append(node.children().apply(j))
+    return count

@@ -1,26 +1,37 @@
-"""Repo-wide scale tripwire: no registered query may plan an
-UNBOUNDED single-partition window (``WindowExec`` with an empty
-partitionSpec over data-sized input). The boundedness rule lives in
-``plan_walkers.unbounded_global_windows`` (shared with
-test_distributed_windows): only a Limit or a ``__gpid``-keyed offsets
-aggregate below the window sanctions it — an aggregate on arbitrary
-keys does NOT, because the pre-migration scale-killers (global ranks
-over per-customer / per-key aggregate tables) all had exactly that
-shape (r06 review hardening).
+"""Repo-wide physical-plan scale tripwires, one plan build per query.
 
-Two queries legitimately window over bounded non-pid aggregates and
-are allowlisted with their exact window counts; growing either count,
-or any new flagged query, fails the test. Builder errors fail too —
-a query this test cannot plan is not covered (r06 review)."""
+1. No registered query may plan an UNBOUNDED single-partition window
+   (``WindowExec`` with empty partitionSpec over data-sized input).
+   The boundedness rule lives in ``plan_walkers`` (shared with
+   test_distributed_windows): only a Limit or a ``__gpid``-keyed
+   offsets aggregate below the window sanctions it — aggregates on
+   arbitrary keys and 1-row scalars do NOT, because the
+   pre-migration scale-killers (global ranks over per-key aggregate
+   tables, usually crossJoined with a broadcast scalar) had exactly
+   those shapes (r06 review hardening). Two queries window over
+   genuinely bounded non-pid aggregates and are allowlisted by exact
+   count.
+
+2. Nested-loop-join RATCHET: every CartesianProduct /
+   BroadcastNestedLoopJoin in the registry is pinned per-qid at its
+   audited count (all are bounded broadcasts: 1-row ``crossJoin(
+   broadcast(agg))`` scalars, |langs|/|centroids|-bounded grids, and
+   q_sim_search's sanctioned exact-baseline BNLJ). A NEW nested loop
+   anywhere — or one more in an audited query — fails; when a
+   refactor removes one, ratchet the number DOWN here.
+
+Builder errors fail loudly — a query these tests cannot plan is not
+covered (r06 review)."""
 
 from __future__ import annotations
 
-from plan_walkers import unbounded_global_windows
+import pytest
+from plan_walkers import nested_loop_join_count, unbounded_global_windows_in
 
 from metoffice_spark.registry import all_queries
 
 # qid -> exact expected count of flagged-but-justified global windows
-_ALLOWLIST = {
+_WINDOW_ALLOWLIST = {
     # cumulative offsets over the systematic-sampling bucket table:
     # bucket count is the fixed sampling constant, not data-sized
     "q_sample_weighted": 1,
@@ -29,22 +40,88 @@ _ALLOWLIST = {
     "q_survival_hazard": 1,
 }
 
+# qid -> audited nested-loop-join count (see module docstring)
+_NLJ_RATCHET = {
+    "q_benford_test": 1,
+    "q_bpe_train": 4,
+    "q_chi2_terms": 1,
+    "q_drift_chi2": 3,
+    "q_er_blocking": 4,
+    "q_eval_calibration": 1,
+    "q_eval_multiclass": 2,
+    "q_eval_pr": 1,
+    "q_forecast_snaive": 1,
+    "q_graph_assortativity": 1,
+    "q_graph_modularity": 1,
+    "q_graph_triangles": 3,
+    "q_hard_negatives": 1,
+    "q_heavy_hitters_mg": 1,
+    "q_jackknife_var": 1,
+    "q_join_salted": 1,
+    "q_join_theta_range": 1,
+    "q_kmeans_step": 1,
+    "q_kmeans_train": 3,
+    "q_knn_classify": 2,
+    "q_link_editdist": 1,
+    "q_mix_rebalance": 1,
+    "q_mix_temperature": 2,
+    "q_nb_langid": 4,
+    "q_negative_sample": 1,
+    "q_olap_avg_balance": 1,
+    "q_pca_power": 10,
+    "q_pipeline_e2e": 1,
+    "q_pmi_collocations": 1,
+    "q_pseudonymize": 1,
+    "q_rare_label_encode": 1,
+    "q_sample_weighted": 1,
+    "q_sim_search": 1,
+    "q_simpson_check": 1,
+    "q_sketch_hll": 1,
+    "q_sketch_hll_merge": 4,
+    "q_sketch_setops": 3,
+    "q_skew_diag": 4,
+    "q_split_temporal": 1,
+    "q_target_encoding": 1,
+    "q_tfidf": 1,
+    "q_time_travel": 1,
+    "q_ts_seasonal_profile": 1,
+}
 
-def test_no_registered_query_plans_an_unbounded_global_window(spark, sf_smoke):
-    offenders = {}
-    errors = {}
+
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_smoke):
+    """One physical plan per registered query (streaming excluded:
+    building one RUNS the replay, and its sink-read plan is a bare
+    parquet scan). Builder failures fail here, visibly."""
+    plans, errors = {}, {}
     for qid, fn in all_queries().items():
         if qid.startswith("q_stream_"):
-            # building a streaming query RUNS the replay (minutes in
-            # aggregate); their returned sink-read plans are parquet
-            # scans that cannot contain window nodes
             continue
         try:
-            bad = unbounded_global_windows(fn(spark, sf_smoke))
+            plans[qid] = fn(spark, sf_smoke)._jdf.queryExecution().sparkPlan()
         except Exception as e:  # noqa: BLE001 - report, don't skip
             errors[qid] = f"{type(e).__name__}: {e}"
-            continue
-        if len(bad) != _ALLOWLIST.get(qid, 0):
-            offenders[qid] = bad
     assert errors == {}, f"builders failed to plan: {errors}"
+    return plans
+
+
+def test_no_registered_query_plans_an_unbounded_global_window(registry_plans):
+    offenders = {
+        qid: bad
+        for qid, plan in registry_plans.items()
+        if len(bad := unbounded_global_windows_in(plan))
+        != _WINDOW_ALLOWLIST.get(qid, 0)
+    }
     assert offenders == {}
+
+
+def test_nested_loop_join_ratchet(registry_plans):
+    offenders = {}
+    for qid, plan in registry_plans.items():
+        n = nested_loop_join_count(plan)
+        if n > _NLJ_RATCHET.get(qid, 0):
+            offenders[qid] = n
+    assert offenders == {}, (
+        "new or additional nested-loop joins (audit them, then either "
+        f"fix the plan or raise the ratchet consciously): {offenders}"
+    )
