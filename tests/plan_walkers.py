@@ -27,14 +27,17 @@ the caller's allowlist with their expected window count.
 from __future__ import annotations
 
 
+def _head(node) -> str:
+    s = node.toString()
+    return s.splitlines()[0] if s else ""
+
+
 def _sanctions(node) -> bool:
     name = node.nodeName()
     if "Limit" in name or "TakeOrdered" in name:
         return True
-    if "Aggregate" in name:
-        head = node.toString().splitlines()[0] if node.toString() else ""
-        if "keys=[__gpid" in head:
-            return True
+    if "Aggregate" in name and "keys=[__gpid" in _head(node):
+        return True
     return False
 
 
@@ -46,20 +49,38 @@ def _has_sanction_below(node) -> bool:
     return False
 
 
+def _first_agg_head_below(node) -> str:
+    """Head line of the shallowest Aggregate below ``node`` (BFS), or
+    'no-aggregate-below' — identifies WHICH bounded table an
+    allowlisted global window runs over, so swapping it for a
+    data-sized input changes the descriptor and trips the test."""
+    queue = [node.children().apply(j) for j in range(node.children().length())]
+    while queue:
+        ch = queue.pop(0)
+        if "Aggregate" in ch.nodeName():
+            return _head(ch)[:160]
+        queue += [ch.children().apply(j) for j in range(ch.children().length())]
+    return "no-aggregate-below"
+
+
 def unbounded_global_windows_in(plan) -> list[str]:
-    """Names of empty-partition Window nodes with no sanctioning node
-    below them in a physical plan node."""
+    """Descriptors ('<node name> over <first agg head below>') of
+    empty-partition Window nodes with no sanctioning node below them.
+    A Window-looking node whose partitionSpec cannot be read is
+    REPORTED, not skipped — a walker that goes blind after a Spark
+    upgrade must fail the suite, not pass it vacuously."""
     bad: list[str] = []
 
     def walk(node):
-        if "Window" in node.nodeName():
+        name = node.nodeName()
+        if "Window" in name:
             try:
-                if node.partitionSpec().isEmpty() and not _has_sanction_below(
-                    node
-                ):
-                    bad.append(node.nodeName())
-            except Exception:
-                pass
+                empty = node.partitionSpec().isEmpty()
+            except Exception as e:  # noqa: BLE001 - surface, don't skip
+                bad.append(f"{name} (partitionSpec unreadable: {type(e).__name__})")
+                empty = False
+            if empty and not _has_sanction_below(node):
+                bad.append(f"{name} over {_first_agg_head_below(node)}")
         for j in range(node.children().length()):
             walk(node.children().apply(j))
 
