@@ -1,0 +1,77 @@
+"""Lock the driver's 50-qid correctness window (registration order).
+
+The driver grades the FIRST 50 registered qids each round; an
+accidental reordering — a module added to _MODULES ahead of others, a
+_PRIORITY edit, an import-order change — would silently burn the
+round's verification window on the wrong queries. The window is
+rotated deliberately ONCE per round; when rotating, update this list
+in the same commit."""
+
+from __future__ import annotations
+
+from metoffice_spark.registry import all_queries
+
+_R06_WINDOW = [
+    "q_rollup_hypertable",
+    "q_ts_interpolate",
+    "q_percentile_exact",
+    "q_funnel_steps",
+    "q_cohort_retention",
+    "q_sessionize_batch",
+    "q_agg_distinct_twophase",
+    "q_anomaly_zscore",
+    "q_sink_compact",
+    "q_join_temporal",
+    "q_win_ewma",
+    "q_cov_stats",
+    "q_fn_json_suite",
+    "q_olap_scalar_subquery",
+    "q_olap_exists",
+    "q_olap_having_in",
+    "q_olap_top_supplier",
+    "q_olap_market_share",
+    "q_olap_avg_balance",
+    "q_olap_min_cost_supp",
+    "q_olap_revenue_delta",
+    "q_olap_volume_shipping",
+    "q_olap_product_profit",
+    "q_olap_important_stock",
+    "q_olap_ship_latency",
+    "q_olap_cust_distribution",
+    "q_olap_promo_share",
+    "q_olap_part_promotion",
+    "q_olap_waiting_supplier",
+    "q_olap_disjunctive",
+    "q_stream_twap",
+    "q_stream_anomaly",
+    "q_stream_gap_detector",
+    "q_udf_grouped_map",
+    "q_udf_cogrouped",
+    "q_collab_filter",
+    "q_winsorize",
+    "q_metric_decompose",
+    "q_ohlc_bars",
+    "q_eval_auc",
+    "q_chi2_terms",
+    "q_gini_spend",
+    "q_ridge_normal",
+    "q_graph_jaccard",
+    "q_ann_pq",
+    "q_tfidf",
+    "q_kmeans_step",
+    "q_shard_assign",
+    "q_mix_rebalance",
+    "q_pipeline_e2e",
+]
+
+
+def test_driver_window_is_exactly_the_planned_rotation():
+    assert list(all_queries())[:50] == _R06_WINDOW
+
+
+def test_registry_is_complete_and_fully_oracled():
+    from metoffice_spark.registry import all_oracles
+
+    qids = all_queries()
+    assert len(qids) == 292
+    assert set(all_oracles()) == set(qids)
