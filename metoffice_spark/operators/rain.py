@@ -326,12 +326,25 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All measures re-aggregate losslessly: counts sum, integer
     fixed-point windspeed sums sum, counter min/max nest. Output =
-    union of the three levels tagged by resolution."""
+    union of the three levels tagged by resolution.
+
+    Exchange sharing (r06): every level groups by (station_id, day,
+    bucket) where ``day`` is the substrate's chunk column — it is
+    functionally determined by each bucket (UTC day boundaries are
+    multiples of 15 min), so adding it never splits a group, and
+    hash-partitioning on the SUBSET (station_id, day) satisfies each
+    level's clustering requirement. The substrate's within-day rain
+    window already leaves the stream partitioned on exactly
+    (station_id, day), so the entire three-level tree re-aggregates
+    IN PLACE: zero exchanges beyond the derivation chain (was one
+    shuffle per level). That (station, day) chunk grain is the
+    hypertable layout itself at 100 TB — partitions stay bounded by
+    one station-day regardless of total history."""
     obs = observations(tune(spark), sf_dir)
     ws_fp = F.floor(F.col("windspeed_ms") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
     b15 = (
         obs.groupBy(
-            F.col("station_id"), F.window("ts", "15 minutes").alias("w")
+            "station_id", "day", F.window("ts", "15 minutes")["start"].alias("bucket")
         )
         .agg(
             F.count("*").alias("n_obs"),
@@ -339,11 +352,10 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rain_counter_mm").alias("r_min"),
             F.max("rain_counter_mm").alias("r_max"),
         )
-        .select(F.col("station_id"), F.col("w.start").alias("bucket"), "n_obs", "ws_sum_fp", "r_min", "r_max")
     )
     def up(df: DataFrame, trunc: str) -> DataFrame:
         return (
-            df.groupBy("station_id", F.date_trunc(trunc, "bucket").alias("bucket"))
+            df.groupBy("station_id", "day", F.date_trunc(trunc, "bucket").alias("bucket"))
             .agg(
                 F.sum("n_obs").alias("n_obs"),
                 F.sum("ws_sum_fp").alias("ws_sum_fp"),
@@ -351,12 +363,20 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("r_max").alias("r_max"),
             )
         )
-    # persist = the materialized continuous aggregate: each level is
-    # written once and read by BOTH its own output branch and the next
-    # coarser level (without it, the raw scan + substrate re-runs per
-    # union branch — 3x the work, verified in the plan)
+    # persist + count = the materialized continuous aggregate: each
+    # level is REFRESHED eagerly (the hypertable refresh step), written
+    # once, and read by BOTH its own output branch and the next coarser
+    # level. The count() is not a driver data fetch — it forces the
+    # cache so the level's (station_id, day) output partitioning is
+    # statically known to Catalyst (an unmaterialized AQE cached plan
+    # reports UnknownPartitioning), which is what lets b1h/b1d
+    # re-aggregate with no exchange at all. Without the barrier the
+    # raw scan + substrate re-runs per union branch (3x the work) AND
+    # each level re-shuffles — verified in the plan lock.
     b15 = scoped_persist(b15)
+    b15.count()
     b1h = scoped_persist(up(b15, "hour"))
+    b1h.count()
     b1d = up(b1h, "day")
     lvl = lambda df, name: df.select(
         F.lit(name).alias("level"), "station_id", "bucket", "n_obs", "ws_sum_fp", "r_min", "r_max"

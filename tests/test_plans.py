@@ -97,6 +97,18 @@ def test_rollup_tree_reuses_cached_levels(spark, sf_smoke):
     # final plan
     n_cached = plan.count("InMemoryTableScan")
     assert n_cached >= 3, f"rollup levels not cached: {n_cached} InMemoryTableScan"
+    # r06 exchange sharing: all three levels group by (station_id, day,
+    # bucket) so they re-aggregate in place on the substrate's
+    # (station_id, day) partitioning — the tree itself must add NO
+    # exchange. Any hashpartitioning on a window/bucket/grouping
+    # expression means a level re-shuffled.
+    agg_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln
+        and ("window#" in ln or "_groupingexpression" in ln or "bucket#" in ln)
+    ]
+    assert not agg_shuffles, f"rollup level re-shuffled: {agg_shuffles}"
 
 
 def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):
