@@ -75,3 +75,30 @@ def test_registry_is_complete_and_fully_oracled():
     qids = all_queries()
     assert len(qids) == 292
     assert set(all_oracles()) == set(qids)
+
+
+def test_every_driver_unchecked_qid_is_queued_for_verification():
+    """Any registered qid with NO row in any committed driver
+    correctness record must sit in the pinned _PRIORITY front —
+    either inside the current 50-qid window or in the staged rotation
+    queue behind it. This catches the two ways the verification
+    backlog silently leaks: registering an operator without queueing
+    it, and dropping a still-unverified qid from the queue during a
+    rotation."""
+    import glob
+    import json
+    import os
+
+    from metoffice_spark.registry import _PRIORITY
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    checked: set[str] = set()
+    records = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert records, "driver correctness records missing from the repo"
+    for path in records:
+        with open(path) as f:
+            checked.update(json.load(f))
+    unqueued = [
+        q for q in all_queries() if q not in checked and q not in set(_PRIORITY)
+    ]
+    assert unqueued == []
