@@ -532,7 +532,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ctoks.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta"))
     b = ctoks.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb"))
     sims = scoped_persist(
-        a.crossJoin(b)
+        # broadcast right: the candidate grid is <= _MMR_CANDS^2 rows,
+        # but ctoks derives from a semi-join whose size estimate
+        # tracks the documents scan — unhinted, the grid flips to a
+        # CartesianProduct (32x32 partitions) past the threshold
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("da") != F.col("db"))
         .select(
             "da",

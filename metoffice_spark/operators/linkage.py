@@ -56,7 +56,12 @@ def q_link_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"), F.col("cnt").alias("n_parts_b")
     )
     return (
-        a.crossJoin(b)
+        # broadcast the right side: the name vocabulary is bounded (a
+        # few thousand distinct p_names at any SF), but it derives
+        # from a groupBy whose size ESTIMATE grows with the scan — an
+        # unhinted cross would flip to CartesianProduct past the
+        # broadcast threshold and multiply partition counts 32x32
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= _LINK_MAXDIST)
@@ -124,29 +129,51 @@ def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
     )
-    picks = None
-    for p_name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
-        pick = (
-            ranked.crossJoin(F.broadcast(base.select("n_keys")))
-            .filter(
-                F.col("rn")
-                == F.expr(
-                    f"cast(({num} * n_keys + {den - 1}) div {den} as int)"
+    # ONE pass picks all three percentile ranks plus the hottest key:
+    # a conditional 1-row aggregate over the rank table. The earlier
+    # per-percentile filter + crossJoin chain was a scale trap — each
+    # filtered pick is 1 row but Catalyst cannot know that (equality
+    # against a derived column defeats the size estimate), so past the
+    # broadcast threshold the picks planned as CartesianProducts whose
+    # PARTITION COUNTS multiply: 32^4 = ~1M scheduled tasks at sf0.1.
+    marked = ranked.crossJoin(F.broadcast(base.select("n_keys")))
+    picked = F.broadcast(
+        marked.filter(
+            (F.col("rn") == F.expr("cast((1 * n_keys + 1) div 2 as int)"))
+            | (F.col("rn") == F.expr("cast((9 * n_keys + 9) div 10 as int)"))
+            | (F.col("rn") == F.expr("cast((99 * n_keys + 99) div 100 as int)"))
+            | (F.col("hot_rn") == 1)
+        ).agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.expr(
+                            f"cast(({num} * n_keys + {den - 1})"
+                            f" div {den} as int)"
+                        ),
+                        F.col("cnt"),
+                    )
                 )
-            )
-            .select(F.col("cnt").alias(f"{p_name}_cnt"))
+                .cast("bigint")
+                .alias(f"{p_name}_cnt")
+                for p_name, num, den in (
+                    ("p50", 1, 2),
+                    ("p90", 9, 10),
+                    ("p99", 99, 100),
+                )
+            ],
+            F.max(F.when(F.col("hot_rn") == 1, F.col("user_id")))
+            .cast("bigint")
+            .alias("top_key"),
+            F.max(F.when(F.col("hot_rn") == 1, F.col("cnt")))
+            .cast("bigint")
+            .alias("top_cnt"),
         )
-        picks = pick if picks is None else picks.crossJoin(pick)
-    hottest = ranked.filter(F.col("hot_rn") == 1).select(
-        F.col("user_id").alias("top_key"), F.col("cnt").alias("top_cnt")
     )
-    return (
-        base.crossJoin(picks)
-        .crossJoin(hottest)
-        .withColumn(
-            "skew_ratio_fp",
-            F.expr("cast(1000000 * max_cnt * n_keys div total_rows as bigint)"),
-        )
+    return base.crossJoin(picked).withColumn(
+        "skew_ratio_fp",
+        F.expr("cast(1000000 * max_cnt * n_keys div total_rows as bigint)"),
     )
 
 
@@ -340,8 +367,11 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocked = cand.filter(F.col("dist") <= _ER_MAXDIST)
     truth = (
+        # broadcast right: same bounded-vocab / unbounded-estimate
+        # trap as q_link_editdist — unhinted, this exact-recall audit
+        # flips to a partition-multiplying CartesianProduct at scale
         a.drop("blk_a")
-        .crossJoin(b.drop("blk_b"))
+        .crossJoin(F.broadcast(b.drop("blk_b")))
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= _ER_MAXDIST)

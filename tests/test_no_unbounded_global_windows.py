@@ -83,7 +83,7 @@ _NLJ_RATCHET = {
     "q_sketch_hll": 1,
     "q_sketch_hll_merge": 4,
     "q_sketch_setops": 3,
-    "q_skew_diag": 4,
+    "q_skew_diag": 2,
     "q_split_temporal": 1,
     "q_target_encoding": 1,
     "q_tfidf": 1,
