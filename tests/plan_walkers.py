@@ -92,6 +92,26 @@ def unbounded_global_windows(df) -> list[str]:
     return unbounded_global_windows_in(df._jdf.queryExecution().sparkPlan())
 
 
+def cartesian_product_count(plan) -> int:
+    """CartesianProduct nodes only — the NON-broadcast nested loop.
+    Unlike BroadcastNestedLoopJoin (bounded build side shipped to
+    every task), a CartesianProduct multiplies the PARTITION COUNTS
+    of its inputs (left x right tasks), so a chain of them schedules
+    millions of tasks even over 1-row inputs. Never acceptable in a
+    registered query at any SF: a semantically tiny side must be
+    broadcast explicitly (Catalyst's size estimate cannot see through
+    filters on derived columns, so the strategy FLIPS with SF)."""
+    count = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "CartesianProduct" in node.nodeName():
+            count += 1
+        for j in range(node.children().length()):
+            stack.append(node.children().apply(j))
+    return count
+
+
 def nested_loop_join_count(plan) -> int:
     """CartesianProduct + BroadcastNestedLoopJoin nodes in a physical
     plan node — the per-row join shapes that explode at scale unless

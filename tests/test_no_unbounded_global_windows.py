@@ -26,7 +26,11 @@ covered (r06 review)."""
 from __future__ import annotations
 
 import pytest
-from plan_walkers import nested_loop_join_count, unbounded_global_windows_in
+from plan_walkers import (
+    cartesian_product_count,
+    nested_loop_join_count,
+    unbounded_global_windows_in,
+)
 
 from metoffice_spark.registry import all_queries
 
@@ -119,6 +123,38 @@ def test_no_registered_query_plans_an_unbounded_global_window(registry_plans):
         )
         if not ok:
             offenders[qid] = bad
+    assert offenders == {}
+
+
+def test_no_cartesian_product_at_smoke_sf(registry_plans):
+    offenders = {
+        qid: n
+        for qid, plan in registry_plans.items()
+        if (n := cartesian_product_count(plan))
+    }
+    assert offenders == {}
+
+
+def test_no_cartesian_product_at_bench_sf(spark):
+    """Join strategies are SIZE-ESTIMATE-dependent: a crossJoin whose
+    tiny side Catalyst cannot size (a filter on a derived column, a
+    groupBy that tracks the scan) broadcasts at sf0.001 but FLIPS to
+    a partition-multiplying CartesianProduct at sf0.1 — q_skew_diag
+    scheduled 32^4 = ~1M tasks exactly this way (r06). Re-plan every
+    registered query against the bench-scale data and require zero."""
+    offenders, errors = {}, {}
+    for qid, fn in all_queries().items():
+        if qid.startswith("q_stream_"):
+            continue
+        try:
+            plan = fn(spark, "/root/testdata/sf0.1")._jdf.queryExecution().sparkPlan()
+        except Exception as e:  # noqa: BLE001 - report, don't skip
+            errors[qid] = f"{type(e).__name__}: {e}"
+            continue
+        n = cartesian_product_count(plan)
+        if n:
+            offenders[qid] = n
+    assert errors == {}, f"builders failed to plan at sf0.1: {errors}"
     assert offenders == {}
 
 
