@@ -87,6 +87,35 @@ MEASUREMENT_SCHEMA = StructType(
 )
 
 
+def parse_measurement_payloads(
+    payloads: DataFrame, col: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Typed extraction from raw measurement-JSON strings (MWC:142-157):
+    ``from_json`` with the explicit schema, then the positional
+    3-device contract (th / wind / rain, MWC:109-114). ``payloads``
+    is any frame holding one JSON document per row in ``col`` —
+    whether synthesized (q_src_json_rest) or fetched from a live REST
+    endpoint by the driver (tests/test_ingest_http.py runs this
+    against a real local HTTP server); the fetch itself stays out of
+    the query plan by design, the parse is the engine's job and is
+    identical for both."""
+    parsed = payloads.select(
+        *(keep or []), F.from_json(F.col(col), MEASUREMENT_SCHEMA).alias("doc")
+    )
+    m = F.col("doc.devices")
+    return parsed.select(
+        *(keep or []),
+        m[0]["deviceid"].alias("deviceid_th"),
+        m[0]["measurement"]["t1"].alias("t1"),
+        m[0]["measurement"]["h"].alias("h"),
+        m[1]["measurement"]["ws"].alias("ws"),
+        m[1]["measurement"]["wg"].alias("wg"),
+        m[1]["measurement"]["wd"].alias("wd"),
+        m[2]["measurement"]["r"].alias("r"),
+        m[2]["measurement"]["ts"].alias("rain_ts_epoch"),
+    )
+
+
 def q_src_json_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-JSON ingestion: build the 3-device payload (positional
     contract MWC:109-114), parse with the explicit schema, extract
@@ -134,18 +163,8 @@ def q_src_json_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("devices")
         )
     )
-    parsed = df.select("obs_id", F.from_json(payload, MEASUREMENT_SCHEMA).alias("doc"))
-    m = F.col("doc.devices")
-    return parsed.select(
-        "obs_id",
-        m[0]["deviceid"].alias("deviceid_th"),
-        m[0]["measurement"]["t1"].alias("t1"),
-        m[0]["measurement"]["h"].alias("h"),
-        m[1]["measurement"]["ws"].alias("ws"),
-        m[1]["measurement"]["wg"].alias("wg"),
-        m[1]["measurement"]["wd"].alias("wd"),
-        m[2]["measurement"]["r"].alias("r"),
-        m[2]["measurement"]["ts"].alias("rain_ts_epoch"),
+    return parse_measurement_payloads(
+        df.select("obs_id", payload.alias("payload")), "payload", keep=["obs_id"]
     )
 
 
@@ -163,6 +182,31 @@ FROM observations
 """
 
 
+def scrape_pressure(
+    pages: DataFrame, col: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Anchor-substring pressure extraction with retry (MWC:169-183):
+    find 'hPa', slice 6 chars back from the anchor, and when that
+    fails to parse, slice 5 (the 3-digit-pressure fallback at
+    MWC:181-183). ``pages`` is any frame holding one HTML/text page
+    per row in ``col`` — synthesized (q_src_text_scrape) or fetched
+    from a live endpoint by the driver (tests/test_ingest_http.py);
+    the extraction is the engine's job and is identical for both."""
+    d = pages.withColumn("__n", F.locate("hPa", F.col(col)))
+    wide = F.col(col).substr(F.col("__n") - 7, F.lit(6))
+    narrow = F.col(col).substr(F.col("__n") - 6, F.lit(5))
+    parsed = F.coalesce(
+        F.expr(f"try_cast(substring({col}, __n - 7, 6) AS DOUBLE)"),
+        F.expr(f"try_cast(substring({col}, __n - 6, 5) AS DOUBLE)"),
+    )
+    return d.select(
+        *(keep or []),
+        wide.alias("slice_wide"),
+        narrow.alias("slice_narrow"),
+        parsed.alias("pressure_scraped"),
+    )
+
+
 def q_src_text_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-substring extraction with retry (MWC:169-183): find 'hPa',
     slice 6 chars, and when that fails to parse, slice 5 (the
@@ -173,18 +217,8 @@ def q_src_text_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_str(F.col("pressure_site_hpa"), 1),
         F.lit(" hPa</div>"),
     )
-    df = df.withColumn("page", page).withColumn("n", F.locate("hPa", F.col("page")))
-    wide = F.col("page").substr(F.col("n") - 7, F.lit(6))
-    narrow = F.col("page").substr(F.col("n") - 6, F.lit(5))
-    parsed = F.coalesce(
-        F.expr("try_cast(substring(page, n - 7, 6) AS DOUBLE)"),
-        F.expr("try_cast(substring(page, n - 6, 5) AS DOUBLE)"),
-    )
-    return df.select(
-        "obs_id",
-        wide.alias("slice_wide"),
-        narrow.alias("slice_narrow"),
-        parsed.alias("pressure_scraped"),
+    return scrape_pressure(
+        df.withColumn("page", page), "page", keep=["obs_id"]
     )
 
 
