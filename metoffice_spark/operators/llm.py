@@ -1072,19 +1072,111 @@ def _decode_batches(batches):
         yield out
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_gray(payload: bytes):
+    """Pure-stdlib PNG decode (zlib + numpy — no PIL) to a flat uint8
+    luminance array. Implements the full PNG spec subset a training
+    pipeline's image corpus actually uses: 8-bit depth, grayscale
+    (colortype 0) and truecolor RGB (colortype 2), non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth). RGB
+    converts to luminance with the ITU-R 601-2 fixed-point formula
+    ((19595 R + 38470 G + 7471 B + 0x8000) >> 16) so a PIL-equipped
+    environment produces identical integers. Unsupported variants
+    (16-bit, palette, alpha, interlace) raise ValueError for the
+    caller to route to PIL."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, colortype, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bitdepth != 8 or colortype not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={bitdepth}, "
+                    f"color={colortype}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    bpp = 3 if colortype == 2 else 1
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("malformed PNG: scanline length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    if colortype == 0:
+        return out.ravel()
+    px = out.reshape(height, width, 3).astype(np.uint32)
+    lum = (
+        19595 * px[:, :, 0] + 38470 * px[:, :, 1] + 7471 * px[:, :, 2] + 0x8000
+    ) >> 16
+    return lum.astype(np.uint8).ravel()
+
+
 def _codec_decode(payload: bytes):
-    """Codec decode of a PNG/JPEG payload to a flat uint8 luminance
+    """Codec decode of a compressed payload to a flat uint8 luminance
     array, feeding the same byte-domain feature extraction as the RAW
-    path. Real when PIL is installed (grayscale-convert + ravel);
-    otherwise raises — compressed bytes scored as raw luminance would
-    be a silent correctness bug, so absence of codecs must fail loudly.
+    path. PNG decodes with the pure-stdlib decoder above —
+    deterministic and dependency-free, so the codec path is REAL in
+    this container; unsupported PNG variants and other formats (JPEG
+    etc.) route to PIL when installed, else raise loudly — compressed
+    bytes scored as raw luminance would be a silent correctness bug.
     Audio/video codecs (FLAC/H.264) would slot in here the same way
     via librosa/ffmpeg."""
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return _png_decode_gray(payload)
+        except ValueError:
+            if _pil_image() is None:
+                raise  # unsupported variant, no PIL to fall back to
     Image = _pil_image()
     if Image is None:
         raise NotImplementedError(
-            "codec-compressed media decode requires PIL (not installed in "
-            "this container); RAW byte-domain payloads decode normally"
+            "non-PNG codec decode requires PIL (not installed in this "
+            "container); PNG and RAW payloads decode normally"
         )
     import io
 
@@ -1104,8 +1196,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/resize/frame-sample stage of a media training pipeline.
     The metadata's ``enc`` field (here always 'raw') contractually
     selects the decode branch; codec encodings route to
-    ``_codec_decode`` (real with PIL, loud NotImplementedError in
-    this codec-less container)."""
+    ``_codec_decode`` — REAL for PNG via the pure-stdlib zlib/numpy
+    decoder (tests/test_png_codec.py drives it through this same
+    ``mapInPandas`` plumbing), PIL-extended for other formats, loud
+    NotImplementedError when neither applies."""
     docs = load(tune(spark), sf_dir, "documents")
     assets = docs.select(
         "doc_id",

@@ -3,7 +3,9 @@ item 7, hardened by the r06 review): routing is CONTRACTUAL on the
 metadata's ``enc`` field — a RAW luminance buffer may legally begin
 with any bytes, including a codec magic, so content sniffing would
 misroute it. ``enc='raw'`` always decodes byte-domain; any codec
-``enc`` decodes via PIL when installed and fails LOUDLY when not —
+``enc`` decodes via the pure-stdlib PNG decoder (r06 — see
+tests/test_png_codec.py for its spec coverage), PIL for other
+formats when installed, and fails LOUDLY when neither applies —
 compressed bytes must never be silently scored as raw luminance."""
 
 from __future__ import annotations
@@ -73,15 +75,21 @@ def test_raw_path_ignores_codec_availability():
 
 
 @pytest.mark.skipif(_pil_image() is not None, reason="PIL installed")
-def test_codec_payload_fails_loudly_without_pil():
+def test_non_png_codec_payload_fails_loudly_without_pil():
+    """A JPEG-magic payload has no stdlib decoder; without PIL it
+    must refuse, never silently score compressed bytes as pixels."""
+    if _pil_image() is not None:
+        pytest.skip("PIL installed; non-PNG formats route to PIL")
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError):
-        _codec_decode(_PNG_2X2)
-    with pytest.raises(NotImplementedError):
-        list(_decode_batches([_batch(_PNG_2X2, "png")]))
+        _codec_decode(jpeg_ish)
+    with pytest.raises(Exception):
+        list(_decode_batches([_batch(jpeg_ish, "jpeg")]))
 
 
-@pytest.mark.skipif(_pil_image() is None, reason="PIL not installed")
-def test_codec_payload_decodes_with_pil():
+def test_png_codec_payload_decodes_without_pil():
+    """PNG decodes for REAL regardless of PIL (pure-stdlib decoder,
+    r06) — this was the 'codec decode is a stub' weak spot."""
     px = _codec_decode(_PNG_2X2)
     assert px.dtype == np.uint8
     assert sorted(px.tolist()) == [0, 64, 128, 255]
