@@ -1116,7 +1116,15 @@ def _png_decode_gray(payload: bytes):
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     bpp = 3 if colortype == 2 else 1
     stride = width * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        # chunk CRCs are deliberately not re-verified (decode cost;
+        # a corrupt stream fails structurally right here instead)
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # ValueError, not zlib.error: keeps the caller's fallback
+        # contract — unsupported/corrupt PNGs route to PIL when
+        # installed, loud failure when not
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from e
     if len(raw) != height * (stride + 1):
         raise ValueError("malformed PNG: scanline length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
