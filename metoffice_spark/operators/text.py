@@ -493,6 +493,7 @@ QUERIES["q_text_chunk"] = (q_text_chunk, ORACLE_TEXT_CHUNK)
 # run once on exact integers with the identical expression.
 
 _ENT_SCALE = 1_000_000
+_ENT_OUT = 1_000_000_000  # output quantum: 9 decimal digits of entropy
 
 
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,14 +525,24 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_distinct > 1 guard: a single-token stratum has ln(1) = 0 in
     # the denominator (Spark-ANSI crash vs DuckDB NULL); the ratio is
     # undefined there → definitionally NULL on both engines.
+    #
+    # The outer ln() is the one transcendental that escapes the
+    # fixed-point discipline: Java Math.log is only 1-ulp-accurate,
+    # libm's is correctly rounded, so the engines can disagree in the
+    # 16th digit (seen on the seed-23/keep-250 fuzzed slice). Quantize
+    # both outputs to 1e9 fixed point — floor then exact IEEE divide —
+    # so 9 decimal digits survive and the ulp noise cannot.
+    def _q9(col):
+        return F.floor(F.lit(float(_ENT_OUT)) * col) / F.lit(float(_ENT_OUT))
+
     return agg.select(
         "lang",
         "n_tokens",
         "n_distinct",
-        ent.alias("entropy_nats"),
+        _q9(ent).alias("entropy_nats"),
         F.when(
             F.col("n_distinct") > 1,
-            ent / F.log(F.col("n_distinct").cast("double")),
+            _q9(ent / F.log(F.col("n_distinct").cast("double"))),
         ).alias("entropy_ratio"),
     )
 
@@ -549,16 +560,20 @@ agg AS (
          CAST(sum(c * CAST(floor({_ENT_SCALE}e0 * ln(CAST(c AS DOUBLE))) AS BIGINT))
               AS BIGINT) AS clnc_fp
   FROM counts GROUP BY lang
+),
+ent AS (
+  SELECT lang, n_tokens, n_distinct,
+         ln(CAST(n_tokens AS DOUBLE))
+           - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0)
+           AS e
+  FROM agg
 )
 SELECT lang, n_tokens, n_distinct,
-       ln(CAST(n_tokens AS DOUBLE))
-         - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0)
-         AS entropy_nats,
+       CAST(floor({_ENT_OUT}e0 * e) AS BIGINT) / {_ENT_OUT}e0 AS entropy_nats,
        CASE WHEN n_distinct > 1 THEN
-         (ln(CAST(n_tokens AS DOUBLE))
-           - (CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / {_ENT_SCALE}e0))
-           / ln(CAST(n_distinct AS DOUBLE)) END AS entropy_ratio
-FROM agg
+         CAST(floor({_ENT_OUT}e0 * (e / ln(CAST(n_distinct AS DOUBLE)))) AS BIGINT)
+           / {_ENT_OUT}e0 END AS entropy_ratio
+FROM ent
 """
 
 QUERIES["q_text_entropy"] = (q_text_entropy, ORACLE_TEXT_ENTROPY)
