@@ -136,3 +136,9 @@ def test_entropy_bounds(spark, sf_smoke):
         assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-3
         assert 0.0 <= r["entropy_ratio"] <= 1.0 + 1e-6
         assert r["n_distinct"] <= r["n_tokens"]
+        # quantization lock: both doubles must be exact k/1e9 images —
+        # the cross-engine ulp guard (operators/text.py _q9). If a
+        # refactor drops the floor-quantize, v*1e9 drifts off-integer.
+        for v in (r["entropy_nats"], r["entropy_ratio"]):
+            if v is not None:
+                assert abs(v * 1e9 - round(v * 1e9)) < 1e-3, v
