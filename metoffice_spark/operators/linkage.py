@@ -124,11 +124,15 @@ def q_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cnt").desc(), F.col("user_id").asc()],
         out="hot_rn",
     ).select("user_id", "cnt", "rn", "hot_rn")
+    # n_keys > 0 guard (ADVICE r06): an ungrouped agg over zero rows
+    # still yields one row (n_keys=0, NULL stats), but the oracle's
+    # CROSS JOINs to empty percentile picks yield zero rows — on an
+    # empty events table both engines must agree on zero rows.
     base = freq.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
-    )
+    ).filter(F.col("n_keys") > F.lit(0))
     # ONE pass picks all three percentile ranks plus the hottest key:
     # a conditional 1-row aggregate over the rank table. The earlier
     # per-percentile filter + crossJoin chain was a scale trap — each

@@ -366,7 +366,12 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist + count = the materialized continuous aggregate: each
     # level is REFRESHED eagerly (the hypertable refresh step), written
     # once, and read by BOTH its own output branch and the next coarser
-    # level. The count() is not a driver data fetch — it forces the
+    # level. NOTE (builder contract, registry.py docstring): this makes
+    # the builder non-side-effect-free — constructing the frame runs
+    # two refresh jobs, and the zero-exchange plan holds only while the
+    # scoped persists live (released when the NEXT builder's tune()
+    # runs), so plan-only consumers must inspect before building
+    # another query. The count() is not a driver data fetch — it forces the
     # cache so the level's (station_id, day) output partitioning is
     # statically known to Catalyst (an unmaterialized AQE cached plan
     # reports UnknownPartitioning), which is what lets b1h/b1d

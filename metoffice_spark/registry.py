@@ -10,6 +10,19 @@ the ordering to the operators that most need a hard driver signal this
 round; the window rotates exactly once per round (see the _PRIORITY
 comment), and new operators register AFTER the window so they never
 silently displace a planned check.
+
+Builder contract (ADVICE r06): builders are NOT guaranteed
+side-effect-free. A builder may run eager Spark jobs while
+CONSTRUCTING its DataFrame — q_rollup_hypertable materializes its
+continuous-aggregate levels (persist + count) at build time so the
+cached (station_id, day) partitioning is statically known and the
+rollup tree plans with zero extra exchanges. Consequences for
+plan-only consumers (plan walkers, audit tools): building a frame may
+execute jobs, and the returned frame's zero-exchange plan relies on
+the builder's scoped persists still being cached — calling ANOTHER
+builder (whose tune() releases scoped persists) before executing the
+frame degrades the plan to recompute. Build → inspect/execute → then
+build the next query.
 """
 
 from __future__ import annotations
@@ -55,86 +68,21 @@ _MODULES = (
     "mining",
 )
 
-# Round-6 rotation (ONE rotation per round — the driver checks once at
+# Round-7 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
-# get a row). R06 is a VERIFICATION round: the operator registry is
-# FROZEN at 292 qids and the window is spent converting local-green
-# into driver-green. Priorities (VERDICT r05 item 1):
-#   (1) the 13 qids whose ONLY driver row is a stale r03 FAIL from the
-#       events-loader era — the sole reds in the driver's books; the
-#       shared root cause (io.py schema-adaptive load, f00db15) was
-#       proven fixed by the r04/r05 representative rows, but each qid
-#       deserves its own green row;
-#   (2) the 17 TPC-H-completion OLAP qids (subqueries.py x6,
-#       olap2.py x10, q_olap_disjunctive) — the surface a relational-
-#       engine user hits first, never driver-checked;
-#   (3) the 3 streaming state machines + the 2 custom-UDF qids;
-#   (4) the 4 oldest never-checked round-5 qids;
-#   (5) 5 stats.py never-checked (oldest of the 5e wave);
-#   (6) 6 re-window insurance picks (VERDICT item 4): events-era
-#       r03-green rows that predate two testdata/code generations.
-# The remaining 63 never-checked qids queue just past the window,
-# oldest-wave-first, as the ready-made r07 rotation.
+# get a row). R07 is the closing verification round: the registry stays
+# FROZEN at 292 qids (judge's orders, VERDICT r06) and the window is
+# spent on 50 of the 68 qids that have NEVER had a driver row. Window
+# composition (VERDICT r06 items 1 + the LLM-pipeline table): the 68
+# never-checked qids minus an 18-qid r08 deferral. Every component the
+# judge's LLM-data-pipeline table flags "done-local; needs driver row"
+# is IN the window (q_dedup_containment, q_knn_classify,
+# q_hard_negatives, q_random_projection, the eval suite, the
+# sft/span/bpe/mix/pref/batch/sample pipeline stragglers,
+# q_text_readability, q_quality_ensemble, q_heavy_hitters_mg,
+# q_sketch_quantile); the deferral is the non-LLM mining graph tail and
+# the behavior/quality singles, which r08 picks up.
 _PRIORITY = (
-    # (1) stale r03 reds — the only FAILs in the driver's books
-    "q_rollup_hypertable",
-    "q_ts_interpolate",
-    "q_percentile_exact",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_sessionize_batch",
-    "q_agg_distinct_twophase",
-    "q_anomaly_zscore",
-    "q_sink_compact",
-    "q_join_temporal",
-    "q_win_ewma",
-    "q_cov_stats",
-    "q_fn_json_suite",
-    # (2) TPC-H completion tail — never driver-checked
-    "q_olap_scalar_subquery",
-    "q_olap_exists",
-    "q_olap_having_in",
-    "q_olap_top_supplier",
-    "q_olap_market_share",
-    "q_olap_avg_balance",
-    "q_olap_min_cost_supp",
-    "q_olap_revenue_delta",
-    "q_olap_volume_shipping",
-    "q_olap_product_profit",
-    "q_olap_important_stock",
-    "q_olap_ship_latency",
-    "q_olap_cust_distribution",
-    "q_olap_promo_share",
-    "q_olap_part_promotion",
-    "q_olap_waiting_supplier",
-    "q_olap_disjunctive",
-    # (3) streaming state machines + custom-UDF pair
-    "q_stream_twap",
-    "q_stream_anomaly",
-    "q_stream_gap_detector",
-    "q_udf_grouped_map",
-    "q_udf_cogrouped",
-    # (4) oldest never-checked round-5 qids
-    "q_collab_filter",
-    "q_winsorize",
-    "q_metric_decompose",
-    "q_ohlc_bars",
-    # (5) stats.py 5e wave, oldest never-checked
-    "q_eval_auc",
-    "q_chi2_terms",
-    "q_gini_spend",
-    "q_ridge_normal",
-    "q_graph_jaccard",
-    # (6) re-window insurance: r01/r03-era greens two generations old
-    "q_ann_pq",
-    "q_tfidf",
-    "q_kmeans_step",
-    "q_shard_assign",
-    "q_mix_rebalance",
-    "q_pipeline_e2e",
-    # --- driver window ends here (50) ---
-    # R07 ROTATION QUEUE: the remaining never-checked qids, oldest
-    # wave first. Rotate these into the front next round.
     # stats.py remainder (5e wave)
     "q_survival_hazard",
     "q_compress_dict",
@@ -180,9 +128,25 @@ _PRIORITY = (
     "q_split_temporal",
     "q_null_imputation",
     "q_lag_features",
-    # mining.py (5l wave)
+    # mining.py (5l wave), oldest two
     "q_benford_test",
     "q_spearman_corr",
+    # LLM-pipeline stragglers from the never-checked tail (judge's
+    # "needs driver row" table, VERDICT r06)
+    "q_batch_length_buckets",
+    "q_mix_temperature",
+    "q_sft_template",
+    "q_pref_pairs",
+    "q_bpe_train",
+    "q_dedup_containment",
+    "q_eval_rouge",
+    "q_eval_calibration",
+    "q_sample_coordinated",
+    # --- driver window ends here (50) ---
+    # R08 ROTATION QUEUE (VERDICT r06 item 2). Part A: the LAST 18
+    # never-checked qids — after r07's window lands, these are the only
+    # qids without a driver row. Rotate them to the front in r08.
+    # mining.py remainder (5l wave)
     "q_graph_kcore",
     "q_als_step",
     "q_cohort_ltv",
@@ -191,7 +155,7 @@ _PRIORITY = (
     "q_rolling_regression",
     "q_graph_modularity",
     "q_graph_assortativity",
-    # behavior/quality/pipeline/relational/etc. never-checked tail
+    # behavior/quality/relational never-checked tail
     "q_time_travel",
     "q_mad_outlier",
     "q_ts_trend",
@@ -202,15 +166,21 @@ _PRIORITY = (
     "q_k_anonymity",
     "q_agg_cube",
     "q_fn_bitwise_suite",
-    "q_batch_length_buckets",
-    "q_mix_temperature",
-    "q_sft_template",
-    "q_pref_pairs",
-    "q_bpe_train",
-    "q_dedup_containment",
-    "q_eval_rouge",
-    "q_eval_calibration",
-    "q_sample_coordinated",
+    # R08 Part B: 32 re-window insurance picks — the oldest surviving
+    # greens (r01: q_fn_array_map_json, q_fn_date_extract; the rest are
+    # r02-era rows that predate two testdata/code generations):
+    #   q_fn_array_map_json, q_fn_date_extract,
+    #   weather.py x11 (q_fn_dewpoint q_fn_winddir q_fn_mast_corr
+    #     q_fn_baro_reduce q_case_when q_fn_units q_fn_round_fixed
+    #     q_fn_date_fmt q_fn_epoch2ts q_fn_concat q_fn_num_coerce),
+    #   ingest r02 x5 (q_fn_str_locate q_sink_error_alert
+    #     q_sink_http_form q_src_json_rest q_src_text_scrape),
+    #   rain r02 x6 (q_join_state_lookup q_rain_rate q_sink_state_upsert
+    #     q_src_state_table q_win_first_of_day q_win_lag),
+    #   relational r02 x8 (q_scan_parquet q_filter_predicate
+    #     q_project_compute q_agg_hash q_join_broadcast q_join_shuffle
+    #     q_win_rank q_sort).
+    # 18 + 32 = a full 50-qid r08 window; the rotation is mechanical.
 )
 
 

@@ -78,8 +78,6 @@ def test_raw_path_ignores_codec_availability():
 def test_non_png_codec_payload_fails_loudly_without_pil():
     """A JPEG-magic payload has no stdlib decoder; without PIL it
     must refuse, never silently score compressed bytes as pixels."""
-    if _pil_image() is not None:
-        pytest.skip("PIL installed; non-PNG formats route to PIL")
     jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError):
         _codec_decode(jpeg_ish)

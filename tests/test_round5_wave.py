@@ -327,6 +327,21 @@ def test_skew_diag_matches_recount(spark, sf_smoke):
     assert row["skew_ratio_fp"] == 1_000_000 * max(counts) * n // sum(counts)
 
 
+def test_skew_diag_empty_events_yields_zero_rows(spark, sf_smoke, tmp_path):
+    """Degenerate-input parity (ADVICE r06): on an EMPTY events table
+    the ungrouped base aggregate still produces one row (n_keys=0,
+    NULL stats) but the DuckDB oracle's CROSS JOINs to empty percentile
+    picks produce zero — the n_keys > 0 guard must make Spark agree."""
+    import pyarrow.parquet as pq
+
+    from metoffice_spark.io import table_path
+    from metoffice_spark.operators.linkage import q_skew_diag
+
+    src = pq.read_table(table_path(sf_smoke, "events"))
+    pq.write_table(src.slice(0, 0), str(tmp_path / "events.parquet"))
+    assert q_skew_diag(spark, str(tmp_path)).count() == 0
+
+
 def test_triangles_match_networkless_recount(spark, sf_smoke):
     """Triangle and wedge counts recomputed from the raw edge set in
     Python; each triangle closes exactly one ordered wedge."""

@@ -19,10 +19,19 @@ from metoffice_spark.session import get_spark
 if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     args = sys.argv[2:]
-    if args == ["--window"]:
-        only = set(list(_collect())[:50])
-    else:
-        only = set(args)
+    # --window composes with explicit qids; unknown tokens are an error
+    # rather than a silent no-match (ADVICE r06, same fix as
+    # tools/fuzz_parity.py).
+    use_window = "--window" in args
+    if use_window:
+        args.remove("--window")
+    registered = set(_collect())
+    unknown = [a for a in args if a not in registered]
+    if unknown:
+        sys.exit(f"unknown qid(s): {unknown} — not in the registry")
+    only = set(args)
+    if use_window:
+        only |= set(list(_collect())[:50])
     spark = get_spark("parity-check")
     con = connect_oracle(sf_dir)
 

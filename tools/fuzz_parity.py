@@ -90,10 +90,19 @@ if __name__ == "__main__":
         i = args.index("--seed"); seed = int(args[i + 1]); del args[i:i + 2]
     if "--keep" in args:
         i = args.index("--keep"); keep = int(args[i + 1]); del args[i:i + 2]
-    if args == ["--window"]:
-        only = set(list(_collect())[:50])
-    else:
-        only = set(args)
+    # --window composes with explicit qids (ADVICE r06: previously it
+    # was only honored as the sole remaining token and otherwise fell
+    # into the qid set, silently matching nothing).
+    use_window = "--window" in args
+    if use_window:
+        args.remove("--window")
+    registered = set(_collect())
+    unknown = [a for a in args if a not in registered]
+    if unknown:
+        sys.exit(f"unknown qid(s): {unknown} — not in the registry")
+    only = set(args)
+    if use_window:
+        only |= set(list(_collect())[:50])
 
     slice_dir = materialize_slice(src_dir, seed, keep)
     print(f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows)")
