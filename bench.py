@@ -111,6 +111,13 @@ def main() -> None:
 
     timings = {qid: round(median(v), 3) for qid, v in samples.items()}
     total = round(sum(timings.values()), 3)
+    # sweep_totals[0] is the COLD sweep (fresh JVM, first pass after the
+    # one-row warm-up) — the r01–r05 methodology — so a single run
+    # yields both the cold point and the warm median (VERDICT r06
+    # item 3: drift judgments need a same-methodology anchor).
+    sweep_totals = [
+        round(sum(samples[qid][i] for qid in qids), 3) for i in range(reps)
+    ]
     print(
         json.dumps(
             {
@@ -120,6 +127,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
+                "sweep_totals": sweep_totals,
             }
         )
     )

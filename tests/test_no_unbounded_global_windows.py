@@ -158,6 +158,20 @@ def test_no_cartesian_product_at_bench_sf(spark):
     assert offenders == {}
 
 
+def test_entry_flagship_passes_the_same_tripwires(spark):
+    """The driver-smoked flagship (``__spark_entry__.entry``) through
+    the identical three tripwires (VERDICT r06 stretch item 7): it is
+    the wow_payload chain — same code path as q_sink_http_form, whose
+    sf0.1 flip coverage lives in test_no_cartesian_product_at_bench_sf
+    — but entry() itself was never plan-walked."""
+    import __spark_entry__ as e
+
+    plan = e.entry(spark)._jdf.queryExecution().sparkPlan()
+    assert unbounded_global_windows_in(plan) == []
+    assert cartesian_product_count(plan) == 0
+    assert nested_loop_join_count(plan) == 0
+
+
 def test_nested_loop_join_ratchet(registry_plans):
     offenders = {}
     for qid, plan in registry_plans.items():
