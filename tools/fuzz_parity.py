@@ -17,12 +17,20 @@ Any keep-fraction/seed must pass — a failure here is a genuine
 data-dependent parity bug even though the stock gate is green.
 
     PYTHONPATH=. python tools/fuzz_parity.py /root/testdata/sf0.001 \
-        --seed 1 --keep 700 [qid ...]
+        --seed 1 --keep 700 [--nullify table.column=permille ...] \
+        [--nullprobe] [--window] [qid ...]
 
-With no qids: every registered query. `--window`: the driver's 50-qid
-window. The slice is materialized under /tmp/metoffice_fuzz/ with the
-source parquet schemas preserved (pyarrow round-trip, so e.g. the
-events timestamp[us] physical type survives).
+With no qids: every registered query. `--window` adds the driver's
+50-qid window. `--nullify` sets that permille of the (fact) table's
+rows to NULL in the named column — the testdata is NULL-free, so this
+is the only slice shape that pushes NULLs through both engines'
+aggregate/sort/window NULL semantics at once. `--nullprobe` adds a
+tool-local oracle pair (x_null_leading_running, not in the frozen
+registry) that drives global_running_sum over a ~40% all-NULL LEADING
+sort prefix — the distributed NULL-recombination branch. The slice is
+materialized under /tmp/metoffice_fuzz/ with the source parquet
+schemas preserved (pyarrow round-trip, so e.g. the events
+timestamp[us] physical type survives).
 """
 
 from __future__ import annotations
@@ -56,13 +64,29 @@ def _keep_mask(keys: np.ndarray, seed: int, keep_permille: int) -> np.ndarray:
     return h < np.uint64(keep_permille)
 
 
-def materialize_slice(src_dir: str, seed: int, keep_permille: int) -> str:
-    """Write the sampled copy of ``src_dir`` and return its path."""
+def materialize_slice(
+    src_dir: str,
+    seed: int,
+    keep_permille: int,
+    nullify: dict[tuple[str, str], int] | None = None,
+) -> str:
+    """Write the sampled copy of ``src_dir`` and return its path.
+
+    ``nullify`` maps (table, column) -> permille: after sampling, that
+    fraction of the table's rows (selected by the same keyed hash, at
+    a decorrelated seed) get the column set to NULL. The testdata is
+    NULL-free by construction, so this is the only way a fuzzed slice
+    can push NULLs through aggregate/sort/window NULL semantics on
+    BOTH engines at once (VERDICT r06 item 5)."""
     from metoffice_spark.io import TABLES, table_path
 
+    nullify = nullify or {}
+    tag = "".join(
+        f"_n{t}.{c}.{p}" for (t, c), p in sorted(nullify.items())
+    )
     out = os.path.join(
         "/tmp/metoffice_fuzz",
-        f"{os.path.basename(os.path.normpath(src_dir))}_s{seed}_k{keep_permille}",
+        f"{os.path.basename(os.path.normpath(src_dir))}_s{seed}_k{keep_permille}{tag}",
     )
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -73,8 +97,79 @@ def materialize_slice(src_dir: str, seed: int, keep_permille: int) -> str:
         if key is not None:
             mask = _keep_mask(tbl.column(key).to_numpy(), seed, keep_permille)
             tbl = tbl.filter(pa.array(mask))
+        for (nt, nc), permille in nullify.items():
+            if nt != t:
+                continue
+            if key is None:
+                raise SystemExit(f"--nullify only supports fact tables, not {t!r}")
+            # decorrelate from the keep mask: different seed stream
+            nmask = _keep_mask(
+                tbl.column(key).to_numpy(), seed * 31 + 7, permille
+            )
+            idx = tbl.schema.get_field_index(nc)
+            field = tbl.schema.field(idx)
+            import pyarrow.compute as pc
+
+            nulled = pc.if_else(
+                pa.array(~nmask), tbl.column(nc), pa.scalar(None, field.type)
+            )
+            tbl = tbl.set_column(idx, field, nulled)
         pq.write_table(tbl, dst)
     return out
+
+
+def _null_leading_probe():
+    """Extra oracle pair (NOT in the frozen registry): a distributed
+    running sum whose value column is NULL for the leading ~40% of the
+    global sort order — every range partition in that prefix carries an
+    all-NULL running state, so the offsets recombination in
+    ``global_order_stats`` (the __c_/__ok_ non-null-count machinery,
+    distributed.py) must reproduce SQL's NULL-while-no-non-null-prefix
+    semantics across partition boundaries. Unit/property tests cover
+    this path on synthetic frames; this pair covers it cross-engine on
+    fuzzed slices."""
+    from pyspark.sql import functions as F
+
+    def build(spark, d):
+        from metoffice_spark.functions.distributed import global_running_sum
+        from metoffice_spark.io import load
+        from metoffice_spark.session import tune
+
+        ev = load(tune(spark), d, "events")
+        per_u = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        mx = per_u.agg(F.max("user_id").alias("mx"))
+        val = per_u.crossJoin(F.broadcast(mx)).select(
+            "user_id",
+            F.when(
+                F.col("user_id") * 5 < F.col("mx") * 2,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(F.col("c"))
+            .alias("v"),
+        )
+        return global_running_sum(
+            val, [F.col("user_id").asc()], F.col("v"), out="cum", with_total="tot"
+        ).select("user_id", "v", "cum", "tot")
+
+    sql = """
+WITH per_u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+mx AS (SELECT max(user_id) AS mx FROM per_u),
+val AS (
+  SELECT user_id,
+         CASE WHEN user_id * 5 < mx * 2 THEN NULL ELSE c END AS v
+  FROM per_u, mx
+)
+SELECT user_id, CAST(v AS BIGINT) AS v,
+       CAST(sum(v) OVER (ORDER BY user_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       CAST(sum(v) OVER () AS BIGINT) AS tot
+FROM val
+"""
+    return build, sql
 
 
 if __name__ == "__main__":
@@ -90,6 +185,19 @@ if __name__ == "__main__":
         i = args.index("--seed"); seed = int(args[i + 1]); del args[i:i + 2]
     if "--keep" in args:
         i = args.index("--keep"); keep = int(args[i + 1]); del args[i:i + 2]
+    nullify: dict[tuple[str, str], int] = {}
+    while "--nullify" in args:
+        i = args.index("--nullify")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        tc, _, p = spec.partition("=")
+        t, _, c = tc.partition(".")
+        if not (t and c and p.isdigit()):
+            sys.exit(f"bad --nullify spec {spec!r}; want table.column=permille")
+        nullify[(t, c)] = int(p)
+    use_nullprobe = "--nullprobe" in args
+    if use_nullprobe:
+        args.remove("--nullprobe")
     # --window composes with explicit qids (ADVICE r06: previously it
     # was only honored as the sole remaining token and otherwise fell
     # into the qid set, silently matching nothing).
@@ -104,13 +212,18 @@ if __name__ == "__main__":
     if use_window:
         only |= set(list(_collect())[:50])
 
-    slice_dir = materialize_slice(src_dir, seed, keep)
+    slice_dir = materialize_slice(src_dir, seed, keep, nullify)
     print(f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows)")
     spark = get_spark("fuzz-parity")
     con = connect_oracle(slice_dir)
 
     failed = []
-    for qid, (fn, sql) in sorted(_collect().items()):
+    pairs = dict(sorted(_collect().items()))
+    if use_nullprobe:
+        pairs["x_null_leading_running"] = _null_leading_probe()
+        if only:  # empty `only` means run everything, probe included
+            only.add("x_null_leading_running")
+    for qid, (fn, sql) in pairs.items():
         if only and qid not in only:
             continue
         if sql is None:
