@@ -109,6 +109,105 @@ def test_checkpoint_recovery_resumes_state(spark, sf_smoke):
         shutil.rmtree(root, ignore_errors=True)
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "machine, out_schema, state_schema, qid",
+    [
+        (
+            "_twap_machine",
+            "station_id string, obs_id long, n_obs long, span_s long, twap_fp long",
+            "first_es long, prev_es long, prev_vfp long, num long, n long",
+            "q_stream_twap",
+        ),
+        (
+            "_anomaly_machine",
+            "station_id string, obs_id long, n_prior long, z double, is_anomaly int",
+            "n long, s1 long, s2 long",
+            "q_stream_anomaly",
+        ),
+        (
+            "_gap_machine",
+            "station_id string, obs_id long, gap_s long, n_missed long",
+            "prev_es long",
+            "q_stream_gap_detector",
+        ),
+    ],
+)
+def test_mid_replay_crash_recovers_exactly_once(
+    spark, sf_smoke, machine, out_schema, state_schema, qid
+):
+    """Fault injection MID-replay (SURVEY §7 endgame item 2, started
+    early): the sink crashes inside the SECOND micro-batch before
+    writing — the failure mode test_checkpoint_recovery_resumes_state
+    does not cover (that test restarts between complete, committed
+    jobs). The restarted query must (a) reprocess ONLY the failed
+    batch — batch 0's committed offset survives the crash — and (b)
+    produce output identical to the uninterrupted run, proving the
+    per-station state (integration cells / sufficient statistics /
+    prev-tick) was recovered from the checkpoint, not rebuilt from a
+    fresh-day reset."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from metoffice_spark.operators import streaming_batch as sb
+
+    fn = getattr(sb, machine)
+    obs = sb.observations(spark, sf_smoke)
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m
+    split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    input_dir, root = sb._replay(
+        spark, sf_smoke, split_preds=[F.col("ts") <= split, F.col("ts") > split]
+    )
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def run(sink):
+        sdf = sb._read_stream(spark, input_dir, one_file_batches=True)
+        shaped = sdf.groupBy("station_id").applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+        q = (
+            shaped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(600)
+        except Exception:  # noqa: BLE001 — the injected crash surfaces here
+            pass
+        return q.exception()
+
+    def crashing(df, bid):
+        if bid >= 1:
+            raise RuntimeError("injected mid-replay crash")
+        df.write.mode("append").parquet(out)
+
+    def healthy(df, bid):
+        df.write.mode("append").parquet(out)
+
+    try:
+        exc = run(crashing)
+        assert exc is not None and "injected mid-replay crash" in str(exc)
+        n_partial = spark.read.parquet(out).count()
+        assert n_partial > 0  # batch 0 landed before the crash
+
+        assert run(healthy) is None  # restart from the same checkpoint
+        final = spark.read.parquet(out)
+        # (a) exactly-once: batch 0 not reprocessed, no duplicate rows
+        key = ["station_id", "obs_id"]
+        assert final.count() == final.select(*key).distinct().count()
+        # (b) state recovered: identical to the uninterrupted streaming
+        # run (the registry query replays the same deterministic files)
+        reg_fn = sb.QUERIES[qid][0]
+        cols = final.columns
+        assert _rows(final, cols) == _rows(reg_fn(spark, sf_smoke), cols)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_sink_dead_letter_channel(spark, sf_smoke):
     """Sensor-fault rows (windspeed==0, the 'error' events) must land in
     the dead-letter parquet, and published + dead == total."""
