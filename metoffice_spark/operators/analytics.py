@@ -380,12 +380,21 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchase_users"
         ),
     )
+    # nullif on the denominators: on an empty slice every count is 0,
+    # where ANSI `/` raises and DuckDB's IEEE double divide gives NaN —
+    # NULL is the one value both engines can agree on (r07 empty-slice
+    # fuzz finding); at any non-degenerate SF the funnel head is
+    # non-zero and the rates are unchanged.
     return agg.select(
         "n_view_users",
         "n_click_users",
         "n_purchase_users",
-        (F.col("n_click_users") / F.col("n_view_users")).alias("click_rate"),
-        (F.col("n_purchase_users") / F.col("n_click_users")).alias("purchase_rate"),
+        (F.col("n_click_users") / F.expr("nullif(n_view_users, 0)")).alias(
+            "click_rate"
+        ),
+        (F.col("n_purchase_users") / F.expr("nullif(n_click_users, 0)")).alias(
+            "purchase_rate"
+        ),
     )
 
 
@@ -418,8 +427,8 @@ agg AS (
   FROM s3
 )
 SELECT n_view_users, n_click_users, n_purchase_users,
-       n_click_users / CAST(n_view_users AS DOUBLE) AS click_rate,
-       n_purchase_users / CAST(n_click_users AS DOUBLE) AS purchase_rate
+       n_click_users / CAST(nullif(n_view_users, 0) AS DOUBLE) AS click_rate,
+       n_purchase_users / CAST(nullif(n_click_users, 0) AS DOUBLE) AS purchase_rate
 FROM agg
 """
 

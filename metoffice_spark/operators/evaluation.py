@@ -168,12 +168,19 @@ QUERIES["q_eval_pr"] = (q_eval_pr, ORACLE_EVAL_PR)
 # the readout is ONE multi-count aggregate (map-side combine) to a
 # single row — the cheapest possible experiment query.
 
+# nullif guards on every denominator (r07 near-empty fuzz finding): a
+# slice can empty one cohort (n = 0) or drain all conversions
+# (pooled p = 0, zeroing the sqrt) — Spark ANSI raises DIVIDE_BY_ZERO
+# where DuckDB's IEEE divide gives inf/NaN, so NULL is the one value
+# the engines agree on. Identical text on both, so one guard fixes
+# both; any non-degenerate slice has both cohorts non-empty and the
+# statistic is unchanged.
 _Z_EXPR = (
-    "(cast(x_a as double) / cast(n_a as double)"
-    " - cast(x_b as double) / cast(n_b as double))"
-    " / sqrt((cast(x_a + x_b as double) / cast(n_a + n_b as double))"
-    " * (1e0 - cast(x_a + x_b as double) / cast(n_a + n_b as double))"
-    " * (1e0 / cast(n_a as double) + 1e0 / cast(n_b as double)))"
+    "(cast(x_a as double) / cast(nullif(n_a, 0) as double)"
+    " - cast(x_b as double) / cast(nullif(n_b, 0) as double))"
+    " / nullif(sqrt((cast(x_a + x_b as double) / cast(nullif(n_a + n_b, 0) as double))"
+    " * (1e0 - cast(x_a + x_b as double) / cast(nullif(n_a + n_b, 0) as double))"
+    " * (1e0 / cast(nullif(n_a, 0) as double) + 1e0 / cast(nullif(n_b, 0) as double))), 0e0)"
 )
 
 
@@ -205,8 +212,8 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_a",
         "n_b",
         "x_b",
-        F.expr("cast(x_a as double) / cast(n_a as double)").alias("p_a"),
-        F.expr("cast(x_b as double) / cast(n_b as double)").alias("p_b"),
+        F.expr("cast(x_a as double) / cast(nullif(n_a, 0) as double)").alias("p_a"),
+        F.expr("cast(x_b as double) / cast(nullif(n_b, 0) as double)").alias("p_b"),
         F.expr(_Z_EXPR).alias("z_stat"),
         F.expr(f"abs({_Z_EXPR}) > 1.96e0").alias("significant"),
     )
@@ -228,8 +235,8 @@ counts AS (
   FROM flagged
 )
 SELECT n_a, x_a, n_b, x_b,
-       cast(x_a as double) / cast(n_a as double) AS p_a,
-       cast(x_b as double) / cast(n_b as double) AS p_b,
+       cast(x_a as double) / cast(nullif(n_a, 0) as double) AS p_a,
+       cast(x_b as double) / cast(nullif(n_b, 0) as double) AS p_b,
        {_Z_EXPR} AS z_stat,
        abs({_Z_EXPR}) > 1.96e0 AS significant
 FROM counts

@@ -505,7 +505,14 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-process keep-latest above cannot see PRIOR processes'
     # roots, which otherwise leak until /tmp is cleaned
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    back = spark.read.parquet(root).filter(F.col("lang") == "en")
+    # Explicit schema on the read-back: an EMPTY relation written with
+    # partitionBy leaves no parquet files and no partition dirs, so
+    # schema inference fails (UNABLE_TO_INFER_SCHEMA) — with the
+    # writer's schema the read-back is an empty typed frame and the
+    # aggregate matches the oracle's zero rows (r07 empty-slice fuzz
+    # finding). Partition-directory discovery (and pruning) is
+    # unaffected when files do exist.
+    back = spark.read.schema(docs.schema).parquet(root).filter(F.col("lang") == "en")
     return (
         back.groupBy("source")
         .agg(

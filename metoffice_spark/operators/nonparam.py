@@ -570,8 +570,13 @@ def q_jackknife_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_i",
         "g",
+        # nullif: a degenerate slice can leave a single surviving
+        # priority group, making the leave-one-out sample empty
+        # (n_tot = n_i) — Spark ANSI raises DIVIDE_BY_ZERO there, so
+        # theta and every term derived from it go NULL on both engines
+        # instead (r07 near-empty fuzz finding).
         F.expr(
-            "CAST(((s_tot - s_i) * 100) div (n_tot - n_i) AS BIGINT)"
+            "CAST(((s_tot - s_i) * 100) div nullif(n_tot - n_i, 0) AS BIGINT)"
         ).alias("theta_fp"),
     )
     w_all = Window.partitionBy("g")
@@ -610,7 +615,7 @@ totals AS (
 ),
 loo AS (
   SELECT p.o_orderpriority, p.n_i, t.g,
-         CAST(((t.s_tot - p.s_i) * 100) // (t.n_tot - p.n_i) AS BIGINT) AS theta_fp
+         CAST(((t.s_tot - p.s_i) * 100) // nullif(t.n_tot - p.n_i, 0) AS BIGINT) AS theta_fp
   FROM per_g p CROSS JOIN totals t
 ),
 spread AS (

@@ -1452,18 +1452,50 @@ QUERIES["q_fn_datetime_suite"] = (q_fn_datetime_suite, ORACLE_FN_DATETIME_SUITE)
 # q_agg_grouping_sets' ROLLUP: the full 2^2 lattice over
 # (orderstatus, orderpriority) with explicit grouping flags (the
 # ROLLUP precedent: data has no real NULL keys, so CASE-on-NULL flags
-# are unambiguous and dialect-portable). One expanded aggregate —
-# Spark plans Expand + a single hash aggregate, map-side combinable.
+# are unambiguous and dialect-portable). NOT `df.cube()`: Spark plans
+# CUBE as Expand(4x) + hash aggregate, which (a) shuffles four copies
+# of every input row and (b) emits ZERO rows on empty input, whereas
+# the SQL standard (and DuckDB) gives the () grouping set global-
+# aggregate semantics — exactly 1 row with count 0 on an empty table
+# (r07 empty-slice fuzz finding). Instead: one finest-grain
+# (status, priority) aggregate — the only full-data shuffle — then
+# the three coarser levels re-aggregate the tiny persisted base, with
+# the () level an UNGROUPED agg, restoring the standard 1-row-on-
+# empty semantics for free. Same shared-exchange shape as
+# q_rollup_hypertable (rain.py).
 
 
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (o_orderstatus, o_orderpriority): counts + cents totals
     for all four grouping levels with explicit flags."""
+    from metoffice_spark.session import scoped_persist
+
     spark = tune(spark)
     o = load(spark, sf_dir, "orders")
-    cubed = o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("total_cents"),
+    base = scoped_persist(
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("total_cents"),
+        )
+    )
+    n, c = F.sum("n_orders").cast("bigint"), F.sum("total_cents").cast("bigint")
+    lvl_sp = base
+    lvl_s = base.groupBy("o_orderstatus").agg(n.alias("n_orders"), c.alias("total_cents")).withColumn("o_orderpriority", F.lit(None).cast("string"))
+    lvl_p = base.groupBy("o_orderpriority").agg(n.alias("n_orders"), c.alias("total_cents")).withColumn("o_orderstatus", F.lit(None).cast("string"))
+    lvl_g = base.agg(
+        F.coalesce(n, F.lit(0)).cast("bigint").alias("n_orders"),
+        c.alias("total_cents"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "total_cents",
+    )
+    cubed = (
+        lvl_sp.select("o_orderstatus", "o_orderpriority", "n_orders", "total_cents")
+        .unionByName(lvl_s.select("o_orderstatus", "o_orderpriority", "n_orders", "total_cents"))
+        .unionByName(lvl_p.select("o_orderstatus", "o_orderpriority", "n_orders", "total_cents"))
+        .unionByName(lvl_g)
     )
     return cubed.select(
         "o_orderstatus",

@@ -459,7 +459,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE driver-side count over the just-persisted edge cache fixes
     # the node count; inlining it as a literal keeps the iterative
     # plan free of four repeated 1-row aggregate/broadcast subtrees.
-    r_init = _PR_BASE // nodes.count()
+    # max(..., 1): an empty slice has no edges, so nodes.count() is 0
+    # and the seed literal is never used (every frame downstream stays
+    # empty, matching the oracle's zero rows) — but the Python division
+    # itself must not raise (r07 empty-slice fuzz finding).
+    r_init = _PR_BASE // max(nodes.count(), 1)
     r = nodes.select("node", F.lit(r_init).cast("bigint").alias("rank_fp"))
     for _ in range(_PR_ROUNDS):
         insum = (

@@ -110,8 +110,14 @@ def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_aggs = []
     for a, b in _PAIRS:
+        # coalesce to 0: the oracle spells the union audit as count(*)
+        # over the (a, b)-filtered elems, which is 0 on an empty slice
+        # where this 0/1-flag sum is NULL (r07 empty-slice fuzz
+        # finding); on any non-empty input the two are identical.
         exact_aggs.append(
-            F.sum(F.greatest(F.col(f"in_{a}"), F.col(f"in_{b}")))
+            F.coalesce(
+                F.sum(F.greatest(F.col(f"in_{a}"), F.col(f"in_{b}"))), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"u_{a}_{b}")
         )
@@ -190,13 +196,20 @@ FROM (
       GROUP BY elem, frac))
   WHERE rn <= {_KMV_K}
 ) e CROSS JOIN (
-  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+  -- flag algebra over the UNFILTERED element table, mirroring the
+  -- Spark side's one-scan-for-all-pairs flags aggregate exactly:
+  -- union = sum of greatest(ea, eb) (coalesced to 0), never count(*)
+  -- of a pair-filtered subquery — on a slice where a pair has no
+  -- elements but other types do, sum-over-zero-flags is 0 on both
+  -- engines while filtered-empty sum is NULL (r07 near-empty fuzz
+  -- finding); identical on any slice where the pair is populated.
+  SELECT CAST(coalesce(sum(greatest(ea, eb)), 0) AS BIGINT) AS exact_union,
          CAST(sum(ea * eb) AS BIGINT) AS exact_inter
   FROM (
     SELECT elem,
            max(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ea,
            max(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS eb
-    FROM elems WHERE event_type IN ('{a}', '{b}')
+    FROM elems
     GROUP BY elem)
 ) x
 """

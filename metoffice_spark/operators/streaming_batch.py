@@ -160,6 +160,20 @@ def _run_to_parquet(stream_df: DataFrame, root: str, mode: str = "append") -> st
     return out
 
 
+# Replay-setup max event time (driver-side constant; marked collect).
+# On an EMPTY observations table max(ts) collects as None, and
+# `F.lit(None) - INTERVAL` fails analysis (TIMESTAMP vs INTERVAL
+# binary-op mismatch) — substitute the Unix epoch so every
+# `ts <= mx - delay` replay split stays well-typed and evaluates to
+# zero rows, exactly what the DuckDB oracle's NULL-propagating
+# scalar subquery yields on the same empty slice.
+def _replay_max_ts(obs: DataFrame):
+    import datetime as _dt
+
+    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    return mx if mx is not None else _dt.datetime(1970, 1, 1)
+
+
 # Final-watermark emission cutoff, as a DuckDB scalar subquery:
 # floor-to-ms(max event time) - delay.
 def _wm_cutoff_sql(delay: str) -> str:
@@ -334,7 +348,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows + the final day. maxFilesPerTrigger=1 pins batch order."""
     spark = tune(spark)
     obs = observations(spark, sf_dir).select(*_OBS_COLS)
-    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    mx = _replay_max_ts(obs)
     t1 = F.lit(mx) - F.expr("INTERVAL 2 DAY")
     t2 = F.lit(mx) - F.expr("INTERVAL 1 DAY")
     late = (F.col("obs_id") % 89 == 0) & (
@@ -425,7 +439,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same SQL that checks q_rain_daily_delta/q_rain_rate."""
     spark = tune(spark)
     obs = observations(spark, sf_dir)
-    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    mx = _replay_max_ts(obs)
     split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
     input_dir, root = _replay(
         spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
@@ -914,7 +928,7 @@ def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     state carried across two micro-batches."""
     spark = tune(spark)
     obs = observations(spark, sf_dir)
-    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    mx = _replay_max_ts(obs)
     split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
     input_dir, root = _replay(
         spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
@@ -1038,7 +1052,7 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |z| > 3 anomaly flag, state across two micro-batches."""
     spark = tune(spark)
     obs = observations(spark, sf_dir)
-    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    mx = _replay_max_ts(obs)
     split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
     input_dir, root = _replay(
         spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]
@@ -1139,7 +1153,7 @@ def q_stream_gap_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     state across two micro-batches."""
     spark = tune(spark)
     obs = observations(spark, sf_dir)
-    mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
+    mx = _replay_max_ts(obs)
     split = F.lit(mx) - F.expr("INTERVAL 1 DAY")
     input_dir, root = _replay(
         spark, sf_dir, split_preds=[F.col("ts") <= split, F.col("ts") > split]

@@ -493,7 +493,11 @@ def q_cov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy").cast("bigint").alias("sxy"),
         cov_num.cast("bigint").alias("cov_num"),
         var_y_num.cast("bigint").alias("var_y_num"),
-        (cov_num / var_y_num).alias("slope_x_on_y"),
+        # nullif: a degenerate slice can leave a group with one row (or
+        # one distinct hour), zeroing the variance numerator — Spark
+        # ANSI raises where DuckDB gives inf/NaN, so the slope is NULL
+        # on both engines instead (r07 near-empty fuzz finding).
+        (cov_num / F.nullif(var_y_num, F.lit(0))).alias("slope_x_on_y"),
     )
 
 
@@ -515,7 +519,7 @@ SELECT event_type, n, sx, sy, sxy,
        CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
        CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
        CAST(n * sxy - sx * sy AS BIGINT)
-         / CAST(n * syy - sy * sy AS BIGINT) AS slope_x_on_y
+         / CAST(nullif(n * syy - sy * sy, 0) AS BIGINT) AS slope_x_on_y
 FROM agg
 """
 

@@ -238,8 +238,16 @@ QUERIES["q_event_paths"] = (q_event_paths, ORACLE_EVENT_PATHS)
 # and xor) so a swapped-row-pair regression cannot cancel in both.
 #
 # Overflow: 32-bit terms sum within int64 up to ~4e9 rows per shard.
-# Scale: one map-side hash + a shard-keyed rollup aggregate; no
-# sorts, no joins.
+# Scale: one map-side hash + a shard-keyed aggregate; no sorts, no
+# joins. NOT `df.rollup()`: Spark plans ROLLUP as Expand(2x) + hash
+# aggregate, which shuffles two copies of every row and emits ZERO
+# rows on an empty table, where the SQL standard (and the DuckDB
+# oracle) gives the () grouping set exactly one global row with
+# count 0 (r07 empty-slice fuzz finding). The per-shard aggregate is
+# the only full-data shuffle; the total row re-aggregates the <=16-row
+# base UNGROUPED, which has the standard 1-row-on-empty semantics
+# (add and xor are both associative+commutative, so re-aggregation of
+# per-shard checksums is exact).
 
 _FP_SHARDS = 16
 
@@ -258,20 +266,26 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_hexn(row_h, 8)).cast("bigint").alias("h32"),
         F.expr(_hexn(row_h, 12)).cast("bigint").alias("h48"),
     )
-    return (
-        hashed.rollup("shard")
-        .agg(
+    from metoffice_spark.session import scoped_persist
+
+    base = scoped_persist(
+        hashed.groupBy("shard").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum("h32").cast("bigint").alias("checksum_add"),
             F.expr("bit_xor(h48)").cast("bigint").alias("checksum_xor"),
         )
-        .select(
-            F.coalesce(F.col("shard"), F.lit(-1)).cast("int").alias("shard"),
-            "n_rows",
-            "checksum_add",
-            "checksum_xor",
-        )
     )
+    total = base.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.sum("checksum_add").cast("bigint").alias("checksum_add"),
+        F.expr("bit_xor(checksum_xor)").cast("bigint").alias("checksum_xor"),
+    ).select(F.lit(-1).cast("int").alias("shard"), "n_rows", "checksum_add", "checksum_xor")
+    return base.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_rows",
+        "checksum_add",
+        "checksum_xor",
+    ).unionByName(total)
 
 
 def _fp_oracle() -> str:

@@ -549,8 +549,14 @@ def test_stats_wave_plan_shapes(spark, sf_smoke):
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "Join" not in plan and "Sort" not in plan
 
+    # r07 two-phase rewrite (empty-slice grouping-set semantics): ONE
+    # full-data exchange — hashpartitioning(shard), printed once per
+    # union branch that scans the persisted base — plus a
+    # SinglePartition exchange that moves only the <=16-row base into
+    # the grand-total re-aggregate.
     plan = _plan(q_dataset_fingerprint(spark, sf_smoke))
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning(shard") >= 1
+    assert plan.count("Exchange SinglePartition") == 1
     assert "Join" not in plan
 
     plan = _plan(q_target_encoding(spark, sf_smoke))
