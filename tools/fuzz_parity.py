@@ -18,7 +18,7 @@ data-dependent parity bug even though the stock gate is green.
 
     PYTHONPATH=. python tools/fuzz_parity.py /root/testdata/sf0.001 \
         --seed 1 --keep 700 [--nullify table.column=permille ...] \
-        [--nullprobe] [--window] [qid ...]
+        [--nullprobe] [--scramble] [--window] [qid ...]
 
 With no qids: every registered query. `--window` adds the driver's
 50-qid window. `--nullify` sets that permille of the (fact) table's
@@ -27,10 +27,14 @@ is the only slice shape that pushes NULLs through both engines'
 aggregate/sort/window NULL semantics at once. `--nullprobe` adds a
 tool-local oracle pair (x_null_leading_running, not in the frozen
 registry) that drives global_running_sum over a ~40% all-NULL LEADING
-sort prefix — the distributed NULL-recombination branch. The slice is
-materialized under /tmp/metoffice_fuzz/ with the source parquet
-schemas preserved (pyarrow round-trip, so e.g. the events
-timestamp[us] physical type survives).
+sort prefix — the distributed NULL-recombination branch. `--scramble`
+deterministically permutes each fact table's row order (same row SET)
+— catches queries whose output values depend on the fixture's
+accidental key-ordered layout (untiebroken first/limit picks), which
+are nondeterministic at scale where split order is a scheduling
+accident. The slice is materialized under /tmp/metoffice_fuzz/ with
+the source parquet schemas preserved (pyarrow round-trip, so e.g. the
+events timestamp[us] physical type survives).
 """
 
 from __future__ import annotations
@@ -69,6 +73,7 @@ def materialize_slice(
     seed: int,
     keep_permille: int,
     nullify: dict[tuple[str, str], int] | None = None,
+    scramble: bool = False,
 ) -> str:
     """Write the sampled copy of ``src_dir`` and return its path.
 
@@ -77,13 +82,25 @@ def materialize_slice(
     a decorrelated seed) get the column set to NULL. The testdata is
     NULL-free by construction, so this is the only way a fuzzed slice
     can push NULLs through aggregate/sort/window NULL semantics on
-    BOTH engines at once (VERDICT r06 item 5)."""
+    BOTH engines at once (VERDICT r06 item 5).
+
+    ``scramble`` deterministically permutes every fact table's ROW
+    ORDER (sort by the keyed hash at a decorrelated seed) without
+    changing its row SET. The driver fixture happens to be written in
+    key order; a query whose output VALUES depend on input order — an
+    untiebroken first/limit pick, an order-sensitive aggregate — is
+    nondeterministic at scale (parquet split order is a scheduling
+    accident) yet passes every same-order gate. Against a scrambled
+    slice both engines still see identical bytes, so any mismatch vs
+    the same-order run is a genuine order-dependence bug."""
     from metoffice_spark.io import TABLES, table_path
 
     nullify = nullify or {}
     tag = "".join(
         f"_n{t}.{c}.{p}" for (t, c), p in sorted(nullify.items())
     )
+    if scramble:
+        tag += "_scram"
     out = os.path.join(
         "/tmp/metoffice_fuzz",
         f"{os.path.basename(os.path.normpath(src_dir))}_s{seed}_k{keep_permille}{tag}",
@@ -97,6 +114,19 @@ def materialize_slice(
         if key is not None:
             mask = _keep_mask(tbl.column(key).to_numpy(), seed, keep_permille)
             tbl = tbl.filter(pa.array(mask))
+        if scramble and key is not None:
+            k = tbl.column(key).to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                # & 2^32-1: force the multiplicative wraparound — for
+                # small keys k * MIX never overflows uint64, leaving h
+                # MONOTONIC in k (i.e. not a scramble at all)
+                h = (k * _MIX + np.uint64(seed * 58321 + 11)) & np.uint64(
+                    0xFFFFFFFF
+                )
+            # stable argsort on (hash, row-index): a full deterministic
+            # permutation even when hashes collide across equal keys
+            order = np.lexsort((np.arange(len(k)), h))
+            tbl = tbl.take(pa.array(order))
         for (nt, nc), permille in nullify.items():
             if nt != t:
                 continue
@@ -198,6 +228,9 @@ if __name__ == "__main__":
     use_nullprobe = "--nullprobe" in args
     if use_nullprobe:
         args.remove("--nullprobe")
+    use_scramble = "--scramble" in args
+    if use_scramble:
+        args.remove("--scramble")
     # --window composes with explicit qids (ADVICE r06: previously it
     # was only honored as the sole remaining token and otherwise fell
     # into the qid set, silently matching nothing).
@@ -212,8 +245,11 @@ if __name__ == "__main__":
     if use_window:
         only |= set(list(_collect())[:50])
 
-    slice_dir = materialize_slice(src_dir, seed, keep, nullify)
-    print(f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows)")
+    slice_dir = materialize_slice(src_dir, seed, keep, nullify, use_scramble)
+    print(
+        f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows"
+        f"{', scrambled row order' if use_scramble else ''})"
+    )
     spark = get_spark("fuzz-parity")
     con = connect_oracle(slice_dir)
 
