@@ -322,8 +322,12 @@ def q_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb2 = len2.select(F.col("doc_id").alias("doc_b"), F.col("len2").alias("nb2"))
 
     def f1(ov: str, na: str, nb: str):
-        p = F.expr(f"1000000 * {ov} div {nb}")
-        r = F.expr(f"1000000 * {ov} div {na}")
+        # guarded like the oracle's CASE WHEN n > 0: a NULL-text doc
+        # has zero tokens, so an unguarded div raises under ANSI (r07
+        # null-text fuzz finding); NULL p/r collapses through the
+        # p + r > 0 test to the same 0 the oracle emits.
+        p = F.expr(f"CASE WHEN {nb} > 0 THEN 1000000 * {ov} div {nb} END")
+        r = F.expr(f"CASE WHEN {na} > 0 THEN 1000000 * {ov} div {na} END")
         return F.when(p + r > 0, (2 * p * r) / (p + r)).otherwise(F.lit(0))
 
     out = (

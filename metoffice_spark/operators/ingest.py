@@ -617,7 +617,14 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = back_j.unionByName(back_c).unionByName(back_o).join(truth, "doc_id")
     return back.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.when(F.col("text") == F.col("text_truth"), 1))
+        # eqNullSafe: a NULL text that rounds-trips to NULL survived
+        # faithfully (JSON drops the field, ORC stores NULL, CSV uses
+        # the \\N sentinel) — plain == returns NULL and silently drops
+        # such rows from the fidelity count, failing the oracle's
+        # every-row-survives contract on a NULL-bearing corpus (r07
+        # null-text fuzz finding). A format that corrupted NULL into
+        # '' still fails, as it should.
+        F.count(F.when(F.col("text").eqNullSafe(F.col("text_truth")), 1))
         .cast("bigint")
         .alias("n_text_exact"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),

@@ -1041,7 +1041,12 @@ def _decode_batches(batches):
     for pdf in batches:
         mins, maxs, sums, darks, lens = [], [], [], [], []
         for payload, meta in zip(pdf["payload"], pdf["meta"]):
-            if meta["enc"] == "raw":
+            if payload is None:
+                # missing asset: score as an empty payload (n_bytes 0,
+                # zeroed stats) on BOTH engines — the oracle coalesces
+                # NULL text to '' (r07 null-text fuzz finding)
+                px = np.frombuffer(b"", dtype=np.uint8)
+            elif meta["enc"] == "raw":
                 px = np.frombuffer(payload, dtype=np.uint8)
             else:
                 px = _codec_decode(payload)
@@ -1239,13 +1244,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numpy decode.
 ORACLE_MULTIMODAL_DECODE = f"""
 WITH px AS (
+  -- coalesce(text, ''): a NULL payload is a MISSING asset and scores
+  -- as empty (n_bytes 0, zeroed stats) on both engines
   SELECT doc_id,
-         CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+         CASE WHEN octet_length(CAST(coalesce(text, '') AS BLOB))
+                   <> length(coalesce(text, ''))
               THEN error('documents.text is not pure ASCII (doc_id '
                          || doc_id || '): byte-domain oracle invalid')
-              ELSE octet_length(CAST(text AS BLOB)) END AS n,
-         list_transform(range(1, length(text) + 1),
-                        i -> ascii(substring(text, CAST(i AS INT), 1))) AS v
+              ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) END AS n,
+         list_transform(range(1, length(coalesce(text, '')) + 1),
+                        i -> ascii(substring(coalesce(text, ''),
+                                             CAST(i AS INT), 1))) AS v
   FROM documents
 )
 SELECT d.doc_id,
@@ -1530,7 +1539,9 @@ def _framesample_batches(batches):
     for pdf in batches:
         out_doc, out_idx, out_mean, out_dark = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = np.frombuffer(payload, dtype=np.uint8)
+            # missing asset -> empty buffer -> zero frames, matching
+            # the oracle's coalesce(text, '') (r07 null-text finding)
+            buf = np.frombuffer(payload or b"", dtype=np.uint8)
             n_frames = len(buf) // _FRAME_BYTES
             for f in range(0, n_frames, _FRAME_STRIDE):
                 frame = buf[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES]
@@ -1565,11 +1576,14 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTIMODAL_FRAMESAMPLE = f"""
 WITH vids AS (
-  SELECT doc_id, text,
-         CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+  -- coalesce(text, ''): missing asset -> empty buffer -> zero frames,
+  -- matching the Spark side's None guard (r07 null-text finding)
+  SELECT doc_id, coalesce(text, '') AS text,
+         CASE WHEN octet_length(CAST(coalesce(text, '') AS BLOB))
+                   <> length(coalesce(text, ''))
               THEN error('documents.text is not pure ASCII: byte-domain'
                          ' frame oracle invalid')
-              ELSE octet_length(CAST(text AS BLOB)) END AS n
+              ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) END AS n
   FROM documents WHERE doc_id % 3 = 2
 ),
 frames AS (
