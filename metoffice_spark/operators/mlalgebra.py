@@ -52,8 +52,13 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     after two exact power-iteration rounds, with the IEEE Rayleigh
     eigenvalue estimate repeated on every row."""
     spark = tune(spark)
+    # unembedded (NULL) vectors do not participate in the Gram matrix —
+    # boundary filter mirrored in the oracle (r07 null-embed finding;
+    # Spark's posexplode DROPS null-array rows where the oracle's
+    # range-spine unnest kept emitting NULL cells)
     xs = scoped_persist(
         load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.posexplode(F.expr(_ivec_spark("embedding"))))
         .select("vec_id", F.col("pos").alias("i"), F.col("col").alias("xi"))
     )
@@ -115,7 +120,8 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XS_DUCK = f"""
 xs AS (
   SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS xi
-  FROM (SELECT vec_id, {_ivec_duck('embedding')} AS v FROM embeddings),
+  FROM (SELECT vec_id, {_ivec_duck('embedding')} AS v FROM embeddings
+        WHERE embedding IS NOT NULL),
        unnest(range(1, 65)) AS t(i)
 )
 """

@@ -501,7 +501,11 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metoffice_spark.operators.llm import _ivec_spark
 
     emb = load(tune(spark), sf_dir, "embeddings")
-    base = emb.select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+    # unembedded (NULL) vectors do not participate in clustering —
+    # boundary filter mirrored in the oracle (r07 null-embed finding)
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.expr(_ivec_spark("embedding")).alias("v")
+    )
     cent = (
         base.filter(F.col("vec_id") < _K_CLUSTERS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
@@ -539,6 +543,7 @@ def _oracle_kmeans() -> str:
     return f"""
 WITH base AS (
   SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cent AS (
   SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}
@@ -870,7 +875,11 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metoffice_spark.operators.llm import _ivec_spark
 
     emb = load(tune(spark), sf_dir, "embeddings")
-    base = emb.select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+    # unembedded (NULL) vectors do not participate in clustering —
+    # boundary filter mirrored in the oracle (r07 null-embed finding)
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", F.expr(_ivec_spark("embedding")).alias("v")
+    )
     cent = (
         base.filter(F.col("vec_id") < _K_CLUSTERS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
@@ -915,6 +924,7 @@ def _oracle_kmeans_train() -> str:
     parts = [
         f"""WITH base AS (
   SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cent0 AS (
   SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}

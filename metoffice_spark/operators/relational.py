@@ -1275,9 +1275,14 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station_id", F.floor("windspeed_ms").cast("int").alias("bin")
     )
     counts = binned.groupBy("station_id", "bin").agg(F.count("*").alias("n"))
+    # asc_nulls_first, pinned on BOTH dialects: a NULL windspeed (a
+    # dead sensor interval) yields a NULL bin, and the engines'
+    # DEFAULT null orders differ (Spark ASC = NULLS FIRST, DuckDB
+    # NULLS LAST) — unpinned, the cumulative counts diverge on any
+    # slice with missing values (r07 null-value fuzz finding).
     w = (
         Window.partitionBy("station_id")
-        .orderBy("bin")
+        .orderBy(F.col("bin").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy("station_id")
@@ -1302,10 +1307,10 @@ counts AS (
   FROM observations GROUP BY 1, 2
 )
 SELECT station_id, bin, n,
-       CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin
+       CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_n,
-       (1000000 * CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin
+       (1000000 * CAST(sum(n) OVER (PARTITION BY station_id ORDER BY bin NULLS FIRST
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT))
          // CAST(sum(n) OVER (PARTITION BY station_id) AS BIGINT) AS cdf_ppm

@@ -205,17 +205,30 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def _minmax(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
-            "int64"
-        )
-        lo, hi = v.min(), v.max()
-        span = max(hi - lo, 1)
+        # SQL NULL semantics, not numpy's: a NULL value is NaN here,
+        # and `.astype("int64")` of NaN is the int64-min SENTINEL, not
+        # a NULL (r07 null-value fuzz finding). Keep the math in
+        # float64 (cents * 1e6 < 2^53, so floor-div stays exact),
+        # bound lo/hi over the NON-null values only (SQL min/max), and
+        # ship masked Int64 arrays so NULLs arrive as NULLs.
+        v = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
+        null = np.isnan(v)
+        valid = v[~null]
+        lo = valid.min() if valid.size else 0.0
+        span = max((valid.max() - lo) if valid.size else 1.0, 1.0)
+        norm = (1000000 * (v - lo)) // span
+
+        def ints(x: np.ndarray) -> pd.arrays.IntegerArray:
+            return pd.arrays.IntegerArray(
+                np.where(null, 0, x).astype("int64"), null.copy()
+            )
+
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"].astype("int64"),
                 "event_type": pdf["event_type"],
-                "v_fp": v,
-                "norm_fp": (1000000 * (v - lo)) // span,
+                "v_fp": ints(v),
+                "norm_fp": ints(norm),
             }
         )
 

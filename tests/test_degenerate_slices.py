@@ -103,3 +103,90 @@ def test_nearempty_slice_parity(qid, spark, nearempty_oracle, nearempty_dir):
     fn, sql = REG[qid]
     assert sql is not None
     assert compare(spark, nearempty_oracle, fn, sql, nearempty_dir) == []
+
+
+# --- all-NULL column slices (r07 null-column fuzz findings) ------------------
+#
+# documents.text all NULL: missing assets (multimodal decode /
+# framesample None payloads), zero-token ROUGE denominators, and the
+# CSV/JSON NULL round-trip fidelity count.
+NULL_TEXT_QIDS = (
+    "q_eval_rouge",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_src_multiformat",
+)
+
+# events.value all NULL: the observation substrate's reading-validity
+# boundary (obs.py WHERE value IS NOT NULL — without it the WOW chain
+# and stream machines disagree on three-valued logic through mirrored
+# CASE spellings), the histogram's NULL bin ordering, and the
+# grouped-map UDF's NaN -> int64-min sentinel leak.
+NULL_VALUE_QIDS = (
+    "q_agg_histogram",
+    "q_sink_http_form",
+    "q_udf_grouped_map",
+    "q_stream_stateful",
+)
+
+# embeddings.embedding all NULL: posexplode drops NULL-array rows
+# where the oracles' range-spine unnest kept NULL cells — unembedded
+# vectors are now boundary-filtered on both sides.
+NULL_EMBED_QIDS = (
+    "q_kmeans_step",
+    "q_pca_power",
+)
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=5, keep_permille=1000, nullify={("documents", "text"): 1000}
+    )
+
+
+@pytest.fixture(scope="module")
+def nullvalue_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=5, keep_permille=1000, nullify={("events", "value"): 1000}
+    )
+
+
+@pytest.fixture(scope="module")
+def nullembed_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=5,
+        keep_permille=1000,
+        nullify={("embeddings", "embedding"): 1000},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_TEXT_QIDS)
+def test_nulltext_slice_parity(qid, spark, nulltext_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulltext_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulltext_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_VALUE_QIDS)
+def test_nullvalue_slice_parity(qid, spark, nullvalue_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullvalue_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullvalue_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_EMBED_QIDS)
+def test_nullembed_slice_parity(qid, spark, nullembed_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullembed_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullembed_dir) == []
+    finally:
+        con.close()
