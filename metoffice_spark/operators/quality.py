@@ -458,8 +458,14 @@ QUERIES["q_pseudonymize"] = (q_pseudonymize, ORACLE_PSEUDONYMIZE)
 _DP_EPS_FP = 1_000_000  # epsilon = 1.0 (b = 1/eps = 1.0)
 # (0,1) fraction from 8 md5 nibbles of the group key (relational.py
 # _FRAC, seeded by group)
+# coalesce inside the shared hash text: Spark's concat() returns NULL
+# when ANY arg is NULL while DuckDB's concat() skips NULL args, so a
+# NULL group key got NULL noise on one engine and real noise on the
+# other (r07 null-group fuzz finding); the NULL group now draws the
+# same deterministic noise on both.
 _DP_FRAC = " + ".join(
-    "(instr('0123456789abcdef', substring(md5(concat('DP|', event_type)), {i}, 1))"
+    "(instr('0123456789abcdef',"
+    " substring(md5(concat('DP|', coalesce(event_type, ''))), {i}, 1))"
     " - 1) / {p}e0".format(i=i + 1, p=16 ** (i + 1))
     for i in range(8)
 )

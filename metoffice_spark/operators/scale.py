@@ -538,12 +538,22 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+        # count(user_id), not count(*): COUNT(DISTINCT user_id) skips
+        # NULL per SQL, so the decomposition's phase 2 must skip the
+        # one NULL row the phase-1 distinct keeps (r07 null-key fuzz
+        # finding). The pair count below intentionally stays count(*):
+        # a (NULL, day) PAIR is a non-NULL tuple and both engines
+        # count it.
+        .agg(F.count("user_id").alias("n_users"))
     )
     user_days = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_days"))
-    return users.join(user_days, "event_type").select(
-        "event_type", "n_users", "n_user_days"
-    )
+    # eqNullSafe: both sides carry a NULL event_type GROUP on a
+    # NULL-bearing slice, and a plain equi-join silently drops it
+    # while the oracle's single GROUP BY keeps it (r07 null-group
+    # fuzz finding).
+    return users.join(
+        user_days, users["event_type"].eqNullSafe(user_days["event_type"])
+    ).select(users["event_type"], "n_users", "n_user_days")
 
 
 ORACLE_AGG_DISTINCT_TWOPHASE = """

@@ -79,13 +79,21 @@ def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates from the two bottom-32 sketches, with exact audits."""
     spark = tune(spark)
     ev = load(spark, sf_dir, "events")
+    # elem IS NOT NULL boundary (mirrored in the oracle): a NULL
+    # user_id yields a NULL element with no identity — and its NULL
+    # hash would enter the bottom-k under Spark's NULLS FIRST default
+    # yet miss it under DuckDB's NULLS LAST (r07 null-key fuzz
+    # finding). An element that cannot be identified is not a set
+    # member.
     elems = scoped_persist(
         ev.select(
             "event_type",
             F.expr(
                 "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
             ).alias("elem"),
-        ).distinct()
+        )
+        .filter(F.col("elem").isNotNull())
+        .distinct()
     )
     hashed = elems.select(
         "event_type", "elem", F.expr(f"md5(concat('KMV|', elem))").alias("h")
@@ -221,6 +229,7 @@ WITH elems AS (
          CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
            AS elem
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 hashed AS (
   SELECT event_type, elem, md5('KMV|' || elem) AS h FROM elems
@@ -408,7 +417,11 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = ev.groupBy(F.col("event_type").alias("et")).agg(
         F.count_distinct("user_id").cast("bigint").alias("n_distinct_exact")
     )
-    return counts.join(audit, counts["event_type"] == audit["et"]).select(
+    # eqNullSafe: the NULL event_type group must meet its own audit
+    # row, not be dropped by NULL-vs-NULL equality (r07 null-group
+    # fuzz finding; the oracle side gets the same via IS NOT DISTINCT
+    # FROM in its correlated subquery).
+    return counts.join(audit, counts["event_type"].eqNullSafe(audit["et"])).select(
         "event_type", "n_words", "n_distinct_bitmap", "n_distinct_exact"
     )
 
@@ -426,7 +439,7 @@ counts AS (
 )
 SELECT c.event_type, c.n_words, c.n_distinct_bitmap,
        (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
-        WHERE e.event_type = c.event_type) AS n_distinct_exact
+        WHERE e.event_type IS NOT DISTINCT FROM c.event_type) AS n_distinct_exact
 FROM counts c
 """
 

@@ -738,23 +738,26 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SINK_JSONL = """
-SELECT doc_id,
-       -- tripwire (ADVICE r05 house pattern): raw concatenation only
-       -- equals Spark's to_json while the enum fields need no JSON
-       -- escaping; a datagen change introducing quotes/backslashes/
-       -- control chars must fail LOUDLY here, not hash-diverge.
-       CASE WHEN regexp_matches(lang || source, '["\\\\[:cntrl:]]')
-            THEN error('jsonl oracle: lang/source needs JSON escaping')
-       ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR)
-         || ',"lang":"' || lang
-         || '","source":"' || source
-         || '","n_chars":' || CAST(n_chars AS VARCHAR) || '}' END AS line,
-       CAST(octet_length(CAST('{"doc_id":' || CAST(doc_id AS VARCHAR)
-         || ',"lang":"' || lang
-         || '","source":"' || source
-         || '","n_chars":' || CAST(n_chars AS VARCHAR) || '}' AS BLOB)) AS BIGINT)
-         AS line_bytes
-FROM documents
+SELECT doc_id, line,
+       CAST(octet_length(CAST(line AS BLOB)) AS BIGINT) AS line_bytes
+FROM (
+  SELECT doc_id,
+         -- tripwire (ADVICE r05 house pattern): raw concatenation only
+         -- equals Spark's to_json while the enum fields need no JSON
+         -- escaping; a datagen change introducing quotes/backslashes/
+         -- control chars must fail LOUDLY here, not hash-diverge.
+         -- COALESCE-wrapped fields replicate to_json's NULL-field DROP
+         -- (r07 null-lang fuzz finding): a NULL lang/source omits the
+         -- field, it does not null the whole line.
+         CASE WHEN regexp_matches(coalesce(lang, '') || coalesce(source, ''),
+                                  '["\\\\[:cntrl:]]')
+              THEN error('jsonl oracle: lang/source needs JSON escaping')
+         ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR)
+           || COALESCE(',"lang":"' || lang || '"', '')
+           || COALESCE(',"source":"' || source || '"', '')
+           || ',"n_chars":' || CAST(n_chars AS VARCHAR) || '}' END AS line
+  FROM documents
+)
 """
 
 QUERIES["q_sink_jsonl"] = (q_sink_jsonl, ORACLE_SINK_JSONL)

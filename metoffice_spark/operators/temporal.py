@@ -55,8 +55,8 @@ QUERIES: dict = {}
 _SCD2_SQL = """
 WITH seq AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN lag(event_type) OVER w IS NULL
-                OR lag(event_type) OVER w <> event_type
+         CASE WHEN lag(event_id) OVER w IS NULL
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -85,10 +85,23 @@ def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCD2 version table as a DataFrame (shared by build + PIT)."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL-aware change detector (r07 null-group fuzz finding): the
+    # old `lag IS NULL OR lag <> cur` spelling makes X -> NULL a
+    # NON-change on both engines (three-valued logic), so one version
+    # spans two event_type values, the (user, version, event_type)
+    # GROUP BY splits it, and lead() over the then-TIED version order
+    # picks nondeterministically per engine. First row detection now
+    # rides the never-NULL event_id; value transitions use null-safe
+    # inequality, so NULL is a state like any other (NULL -> NULL runs
+    # merge, X <-> NULL transitions split). Identical to the old
+    # semantics on NULL-free data.
     lagv = F.lag("event_type").over(w)
+    lag_id = F.lag("event_id").over(w)
     marked = ev.withColumn(
         "chg",
-        F.when(lagv.isNull() | (lagv != F.col("event_type")), F.lit(1)).otherwise(0),
+        F.when(
+            lag_id.isNull() | ~lagv.eqNullSafe(F.col("event_type")), F.lit(1)
+        ).otherwise(0),
     )
     ver = marked.withColumn("version", F.sum("chg").over(w).cast("int"))
     grp = ver.groupBy("user_id", "version", "event_type").agg(
@@ -171,20 +184,29 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pts", "kind", "version")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry ONE never-NULL struct per dim row, not two independent
+    # last(ignorenulls) columns: a version whose event_type is a
+    # legitimate NULL state would be SKIPPED by the type carry (stale
+    # type paired with a fresh version), where the oracle's interval
+    # join returns the version's actual NULL type (r07 null-group
+    # fuzz finding). The struct is non-NULL exactly for dim rows, so
+    # one ignorenulls carry moves (version, type) atomically.
+    state = F.when(
+        F.col("kind") == 0, F.struct(F.col("version"), F.col("event_type"))
+    )
     carried = merged.select(
         "user_id",
         "pts",
         "kind",
-        F.last("version", ignorenulls=True).over(w).alias("as_of_version"),
-        F.last("event_type", ignorenulls=True).over(w).alias("as_of_type"),
+        F.last(state, ignorenulls=True).over(w).alias("st"),
     )
     return (
-        carried.filter((F.col("kind") == 1) & F.col("as_of_version").isNotNull())
+        carried.filter((F.col("kind") == 1) & F.col("st").isNotNull())
         .select(
             "user_id",
             F.col("pts").cast("date").alias("day"),
-            F.col("as_of_type").alias("event_type"),
-            F.col("as_of_version").alias("version"),
+            F.col("st.event_type").alias("event_type"),
+            F.col("st.version").alias("version"),
         )
     )
 
@@ -196,8 +218,12 @@ probes AS (
 )
 SELECT p.user_id, p.day, d.event_type, d.version
 FROM probes p
+-- IS NOT DISTINCT FROM: the SCD2 build treats a NULL user_id as a
+-- key like any other (one merged timeline), and the Spark PIT carry
+-- partitions the same way — the probe join must not silently drop
+-- the NULL-key timeline via NULL = NULL (r07 null-key fuzz finding)
 JOIN scd2 d
-  ON p.user_id = d.user_id
+  ON p.user_id IS NOT DISTINCT FROM d.user_id
  AND d.valid_from <= CAST(p.day AS TIMESTAMP)
  AND (d.valid_to IS NULL OR d.valid_to > CAST(p.day AS TIMESTAMP))
 """

@@ -253,7 +253,7 @@ b AS (
 SELECT e.event_id, e.event_type, e.v_fp,
        CAST(1000000 * (e.v_fp - b.lo) // greatest(b.hi - b.lo, 1) AS BIGINT)
          AS norm_fp
-FROM ev e JOIN b USING (event_type)
+FROM ev e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
 """
 
 
@@ -306,9 +306,14 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def asof_merge(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
         p = p.sort_values(["ep", "event_id"]).reset_index(drop=True)
+        # masked Int64 for the group key: cogroup delivers the NULL
+        # user_id group with key[0] = None, which np.int64() turns into
+        # the int64-min sentinel instead of a NULL (r07 null-key fuzz
+        # finding; NULL is a cogroup key like any other, matching the
+        # oracle's IS NOT DISTINCT FROM join).
         out = pd.DataFrame(
             {
-                "user_id": np.int64(key[0]).repeat(len(p)),
+                "user_id": pd.array([key[0]] * len(p), dtype="Int64"),
                 "purchase_event_id": p["event_id"].astype("int64"),
                 "purchase_s": p["ep"].astype("int64"),
             }
@@ -358,7 +363,8 @@ best AS (
          c.ep AS c_ep, c.cents AS c_cents,
          row_number() OVER (PARTITION BY p.user_id, p.event_id
                             ORDER BY c.ep DESC, c.event_id DESC) AS rn
-  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ep <= p.ep
+  FROM p LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM p.user_id
+                    AND c.ep <= p.ep
 )
 SELECT user_id, purchase_event_id, purchase_s,
        CAST(c_ep AS BIGINT) AS last_click_s,

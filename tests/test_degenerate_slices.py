@@ -190,3 +190,89 @@ def test_nullembed_slice_parity(qid, spark, nullembed_dir):
         assert compare(spark, con, fn, sql, nullembed_dir) == []
     finally:
         con.close()
+
+
+# --- partial-NULL GROUP KEYS (r07 second probe wave) --------------------------
+#
+# events.event_type at 300‰ NULL: NULL groups silently dropped by
+# plain equi-joins on the group key, Spark concat() vs DuckDB
+# concat() NULL handling in the DP noise hash, and the SCD2 change
+# detector treating X -> NULL as a non-change (one version spanning
+# two types, splitting in GROUP BY, tying in the version window).
+NULL_ETYPE_QIDS = (
+    "q_agg_bitmap_distinct",
+    "q_agg_distinct_twophase",
+    "q_dp_release",
+    "q_join_temporal",
+    "q_scd2_build",
+    "q_udf_grouped_map",
+)
+
+# events.user_id at 300‰ NULL: count(*)-vs-count(col) in the
+# two-phase distinct, the NULL-elem KMV sketch order trap, the
+# cogroup NULL key turning into an int64-min sentinel, and the PIT
+# join dropping the NULL-key timeline.
+NULL_USER_QIDS = (
+    "q_agg_distinct_twophase",
+    "q_join_temporal",
+    "q_sketch_setops",
+    "q_udf_cogrouped",
+)
+
+# documents.lang at 300‰ NULL: to_json drops NULL fields; the
+# concatenation oracle must drop them too, not NULL the line.
+NULL_LANG_QIDS = ("q_sink_jsonl",)
+
+
+@pytest.fixture(scope="module")
+def nulletype_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=13, keep_permille=1000,
+        nullify={("events", "event_type"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nulluser_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=13, keep_permille=1000,
+        nullify={("events", "user_id"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nulllang_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=13, keep_permille=1000,
+        nullify={("documents", "lang"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_ETYPE_QIDS)
+def test_nulletype_slice_parity(qid, spark, nulletype_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulletype_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulletype_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_USER_QIDS)
+def test_nulluser_slice_parity(qid, spark, nulluser_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulluser_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulluser_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_LANG_QIDS)
+def test_nulllang_slice_parity(qid, spark, nulllang_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulllang_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulllang_dir) == []
+    finally:
+        con.close()
