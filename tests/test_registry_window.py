@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R06_WINDOW = [
-    "q_rollup_hypertable",
-    "q_ts_interpolate",
-    "q_percentile_exact",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_sessionize_batch",
-    "q_agg_distinct_twophase",
-    "q_anomaly_zscore",
-    "q_sink_compact",
-    "q_join_temporal",
-    "q_win_ewma",
-    "q_cov_stats",
-    "q_fn_json_suite",
-    "q_olap_scalar_subquery",
-    "q_olap_exists",
-    "q_olap_having_in",
-    "q_olap_top_supplier",
-    "q_olap_market_share",
-    "q_olap_avg_balance",
-    "q_olap_min_cost_supp",
-    "q_olap_revenue_delta",
-    "q_olap_volume_shipping",
-    "q_olap_product_profit",
-    "q_olap_important_stock",
-    "q_olap_ship_latency",
-    "q_olap_cust_distribution",
-    "q_olap_promo_share",
-    "q_olap_part_promotion",
-    "q_olap_waiting_supplier",
-    "q_olap_disjunctive",
-    "q_stream_twap",
-    "q_stream_anomaly",
-    "q_stream_gap_detector",
-    "q_udf_grouped_map",
-    "q_udf_cogrouped",
-    "q_collab_filter",
-    "q_winsorize",
-    "q_metric_decompose",
-    "q_ohlc_bars",
-    "q_eval_auc",
-    "q_chi2_terms",
-    "q_gini_spend",
-    "q_ridge_normal",
-    "q_graph_jaccard",
-    "q_ann_pq",
-    "q_tfidf",
-    "q_kmeans_step",
-    "q_shard_assign",
-    "q_mix_rebalance",
-    "q_pipeline_e2e",
+_R07_WINDOW = [
+    "q_survival_hazard",
+    "q_compress_dict",
+    "q_sink_jsonl",
+    "q_forecast_snaive",
+    "q_target_encoding",
+    "q_drift_chi2",
+    "q_eval_multiclass",
+    "q_text_readability",
+    "q_rfm_segmentation",
+    "q_event_paths",
+    "q_dataset_fingerprint",
+    "q_lorenz_curve",
+    "q_abc_classification",
+    "q_hhi_concentration",
+    "q_skyline_pareto",
+    "q_quality_ensemble",
+    "q_hard_negatives",
+    "q_span_corruption",
+    "q_random_projection",
+    "q_heavy_hitters_mg",
+    "q_funnel_latency",
+    "q_knn_classify",
+    "q_sketch_quantile",
+    "q_er_blocking",
+    "q_ks_test",
+    "q_graph_bfs",
+    "q_feature_hashing",
+    "q_eval_ndcg",
+    "q_l_diversity",
+    "q_jackknife_var",
+    "q_pmi_collocations",
+    "q_time_weighted_avg",
+    "q_quantile_normalize",
+    "q_rare_label_encode",
+    "q_delta_encode",
+    "q_weighted_median",
+    "q_split_temporal",
+    "q_null_imputation",
+    "q_lag_features",
+    "q_benford_test",
+    "q_spearman_corr",
+    "q_batch_length_buckets",
+    "q_mix_temperature",
+    "q_sft_template",
+    "q_pref_pairs",
+    "q_bpe_train",
+    "q_dedup_containment",
+    "q_eval_rouge",
+    "q_eval_calibration",
+    "q_sample_coordinated",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R06_WINDOW
+    assert list(all_queries())[:50] == _R07_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():
