@@ -229,7 +229,13 @@ WITH elems AS (
          CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
            AS elem
   FROM events
-  WHERE user_id IS NOT NULL
+  -- elem IS NOT NULL boundary, BOTH components (ADVICE r07): the
+  -- Spark side filters the concatenated elem itself, so a NULL ts
+  -- (concat propagates NULL) drops the row too. Filtering only
+  -- user_id here would let a NULL-ts row survive as a NULL elem in
+  -- the oracle's distinct/flags audit and diverge on a
+  -- --nullify events.ts slice.
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 hashed AS (
   SELECT event_type, elem, md5('KMV|' || elem) AS h FROM elems

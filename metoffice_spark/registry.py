@@ -68,84 +68,17 @@ _MODULES = (
     "mining",
 )
 
-# Round-7 rotation (ONE rotation per round — the driver checks once at
+# Round-8 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
-# get a row). R07 is the closing verification round: the registry stays
-# FROZEN at 292 qids (judge's orders, VERDICT r06) and the window is
-# spent on 50 of the 68 qids that have NEVER had a driver row. Window
-# composition (VERDICT r06 items 1 + the LLM-pipeline table): the 68
-# never-checked qids minus an 18-qid r08 deferral. Every component the
-# judge's LLM-data-pipeline table flags "done-local; needs driver row"
-# is IN the window (q_dedup_containment, q_knn_classify,
-# q_hard_negatives, q_random_projection, the eval suite, the
-# sft/span/bpe/mix/pref/batch/sample pipeline stragglers,
-# q_text_readability, q_quality_ensemble, q_heavy_hitters_mg,
-# q_sketch_quantile); the deferral is the non-LLM mining graph tail and
-# the behavior/quality singles, which r08 picks up.
+# get a row). R08 closes the book: the registry stays FROZEN at 292
+# qids and the window is the queue VERDICT r07 item 1 ordered — Part A:
+# the LAST 18 never-driver-checked qids (after this window lands,
+# cumulative driver coverage reads 292/292); Part B: 32 re-window
+# insurance picks, the oldest surviving greens (two r01 rows plus the
+# r02-era weather/ingest/rain/relational rows that predate two
+# testdata/code generations).
 _PRIORITY = (
-    # stats.py remainder (5e wave)
-    "q_survival_hazard",
-    "q_compress_dict",
-    "q_sink_jsonl",
-    "q_forecast_snaive",
-    "q_target_encoding",
-    "q_drift_chi2",
-    "q_eval_multiclass",
-    "q_text_readability",
-    # warehouse.py (5f/5m waves)
-    "q_rfm_segmentation",
-    "q_event_paths",
-    "q_dataset_fingerprint",
-    "q_lorenz_curve",
-    "q_abc_classification",
-    "q_hhi_concentration",
-    "q_skyline_pareto",
-    # curation2.py
-    "q_quality_ensemble",
-    "q_hard_negatives",
-    "q_span_corruption",
-    # singles from the 5g-5i waves
-    "q_random_projection",
-    "q_heavy_hitters_mg",
-    "q_funnel_latency",
-    "q_knn_classify",
-    "q_sketch_quantile",
-    "q_er_blocking",
-    # nonparam.py (5j wave)
-    "q_ks_test",
-    "q_graph_bfs",
-    "q_feature_hashing",
-    "q_eval_ndcg",
-    "q_l_diversity",
-    "q_jackknife_var",
-    # prep.py (5k wave)
-    "q_pmi_collocations",
-    "q_time_weighted_avg",
-    "q_quantile_normalize",
-    "q_rare_label_encode",
-    "q_delta_encode",
-    "q_weighted_median",
-    "q_split_temporal",
-    "q_null_imputation",
-    "q_lag_features",
-    # mining.py (5l wave), oldest two
-    "q_benford_test",
-    "q_spearman_corr",
-    # LLM-pipeline stragglers from the never-checked tail (judge's
-    # "needs driver row" table, VERDICT r06)
-    "q_batch_length_buckets",
-    "q_mix_temperature",
-    "q_sft_template",
-    "q_pref_pairs",
-    "q_bpe_train",
-    "q_dedup_containment",
-    "q_eval_rouge",
-    "q_eval_calibration",
-    "q_sample_coordinated",
-    # --- driver window ends here (50) ---
-    # R08 ROTATION QUEUE (VERDICT r06 item 2). Part A: the LAST 18
-    # never-checked qids — after r07's window lands, these are the only
-    # qids without a driver row. Rotate them to the front in r08.
+    # --- R08 Part A: the final 18 never-checked qids ---
     # mining.py remainder (5l wave)
     "q_graph_kcore",
     "q_als_step",
@@ -166,21 +99,105 @@ _PRIORITY = (
     "q_k_anonymity",
     "q_agg_cube",
     "q_fn_bitwise_suite",
-    # R08 Part B: 32 re-window insurance picks — the oldest surviving
-    # greens (r01: q_fn_array_map_json, q_fn_date_extract; the rest are
-    # r02-era rows that predate two testdata/code generations):
-    #   q_fn_array_map_json, q_fn_date_extract,
-    #   weather.py x11 (q_fn_dewpoint q_fn_winddir q_fn_mast_corr
-    #     q_fn_baro_reduce q_case_when q_fn_units q_fn_round_fixed
-    #     q_fn_date_fmt q_fn_epoch2ts q_fn_concat q_fn_num_coerce),
-    #   ingest r02 x5 (q_fn_str_locate q_sink_error_alert
-    #     q_sink_http_form q_src_json_rest q_src_text_scrape),
-    #   rain r02 x6 (q_join_state_lookup q_rain_rate q_sink_state_upsert
-    #     q_src_state_table q_win_first_of_day q_win_lag),
-    #   relational r02 x8 (q_scan_parquet q_filter_predicate
-    #     q_project_compute q_agg_hash q_join_broadcast q_join_shuffle
-    #     q_win_rank q_sort).
-    # 18 + 32 = a full 50-qid r08 window; the rotation is mechanical.
+    # --- R08 Part B: 32 oldest-green re-windows ---
+    # r01-era rows
+    "q_fn_array_map_json",
+    "q_fn_date_extract",
+    # weather.py r02 x11
+    "q_fn_dewpoint",
+    "q_fn_winddir",
+    "q_fn_mast_corr",
+    "q_fn_baro_reduce",
+    "q_case_when",
+    "q_fn_units",
+    "q_fn_round_fixed",
+    "q_fn_date_fmt",
+    "q_fn_epoch2ts",
+    "q_fn_concat",
+    "q_fn_num_coerce",
+    # ingest.py r02 x5
+    "q_fn_str_locate",
+    "q_sink_error_alert",
+    "q_sink_http_form",
+    "q_src_json_rest",
+    "q_src_text_scrape",
+    # rain.py r02 x6
+    "q_join_state_lookup",
+    "q_rain_rate",
+    "q_sink_state_upsert",
+    "q_src_state_table",
+    "q_win_first_of_day",
+    "q_win_lag",
+    # relational.py r02 x8
+    "q_scan_parquet",
+    "q_filter_predicate",
+    "q_project_compute",
+    "q_agg_hash",
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_win_rank",
+    "q_sort",
+    # --- driver window ends here (50) ---
+    # R09+ QUEUE: with this window green, every one of the 292 qids has
+    # a driver row (VERDICT r07's "one more round closes the book").
+    # Next-oldest surviving greens if re-window insurance continues:
+    # the r02 relational remainder (q_project_nested q_agg_distinct
+    # q_agg_grouping_sets q_agg_collect q_agg_stats q_join_outer
+    # q_join_semi_anti q_join_theta_range q_join_range_binned
+    # q_join_asof q_win_frame q_win_analytic q_topk q_set_union
+    # q_set_intersect q_set_except q_fn_math_suite q_fn_string_suite),
+    # then the r03-era quality/scale/curation rows.
+    # The r07 window (all green in CORRECTNESS_r07) slides behind:
+    "q_survival_hazard",
+    "q_compress_dict",
+    "q_sink_jsonl",
+    "q_forecast_snaive",
+    "q_target_encoding",
+    "q_drift_chi2",
+    "q_eval_multiclass",
+    "q_text_readability",
+    "q_rfm_segmentation",
+    "q_event_paths",
+    "q_dataset_fingerprint",
+    "q_lorenz_curve",
+    "q_abc_classification",
+    "q_hhi_concentration",
+    "q_skyline_pareto",
+    "q_quality_ensemble",
+    "q_hard_negatives",
+    "q_span_corruption",
+    "q_random_projection",
+    "q_heavy_hitters_mg",
+    "q_funnel_latency",
+    "q_knn_classify",
+    "q_sketch_quantile",
+    "q_er_blocking",
+    "q_ks_test",
+    "q_graph_bfs",
+    "q_feature_hashing",
+    "q_eval_ndcg",
+    "q_l_diversity",
+    "q_jackknife_var",
+    "q_pmi_collocations",
+    "q_time_weighted_avg",
+    "q_quantile_normalize",
+    "q_rare_label_encode",
+    "q_delta_encode",
+    "q_weighted_median",
+    "q_split_temporal",
+    "q_null_imputation",
+    "q_lag_features",
+    "q_benford_test",
+    "q_spearman_corr",
+    "q_batch_length_buckets",
+    "q_mix_temperature",
+    "q_sft_template",
+    "q_pref_pairs",
+    "q_bpe_train",
+    "q_dedup_containment",
+    "q_eval_rouge",
+    "q_eval_calibration",
+    "q_sample_coordinated",
 )
 
 

@@ -17,7 +17,6 @@ import pytest
 from metoffice_spark.operators.llm import (
     _codec_decode,
     _decode_batches,
-    _pil_image,
 )
 
 
@@ -74,10 +73,15 @@ def test_raw_path_ignores_codec_availability():
     assert out.loc[0, "px_max"] == ord("c")
 
 
-@pytest.mark.skipif(_pil_image() is not None, reason="PIL installed")
-def test_non_png_codec_payload_fails_loudly_without_pil():
+def test_non_png_codec_payload_fails_loudly_without_pil(monkeypatch):
     """A JPEG-magic payload has no stdlib decoder; without PIL it
-    must refuse, never silently score compressed bytes as pixels."""
+    must refuse, never silently score compressed bytes as pixels.
+    The no-PIL contract is asserted regardless of the environment
+    (ADVICE r07): pin the cached probe to None instead of skipping,
+    so a PIL-bearing machine still exercises this branch."""
+    import metoffice_spark.operators.llm as llm_mod
+
+    monkeypatch.setattr(llm_mod, "_PIL_IMAGE", None)
     jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError):
         _codec_decode(jpeg_ish)

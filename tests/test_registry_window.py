@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R07_WINDOW = [
-    "q_survival_hazard",
-    "q_compress_dict",
-    "q_sink_jsonl",
-    "q_forecast_snaive",
-    "q_target_encoding",
-    "q_drift_chi2",
-    "q_eval_multiclass",
-    "q_text_readability",
-    "q_rfm_segmentation",
-    "q_event_paths",
-    "q_dataset_fingerprint",
-    "q_lorenz_curve",
-    "q_abc_classification",
-    "q_hhi_concentration",
-    "q_skyline_pareto",
-    "q_quality_ensemble",
-    "q_hard_negatives",
-    "q_span_corruption",
-    "q_random_projection",
-    "q_heavy_hitters_mg",
-    "q_funnel_latency",
-    "q_knn_classify",
-    "q_sketch_quantile",
-    "q_er_blocking",
-    "q_ks_test",
-    "q_graph_bfs",
-    "q_feature_hashing",
-    "q_eval_ndcg",
-    "q_l_diversity",
-    "q_jackknife_var",
-    "q_pmi_collocations",
-    "q_time_weighted_avg",
-    "q_quantile_normalize",
-    "q_rare_label_encode",
-    "q_delta_encode",
-    "q_weighted_median",
-    "q_split_temporal",
-    "q_null_imputation",
-    "q_lag_features",
-    "q_benford_test",
-    "q_spearman_corr",
-    "q_batch_length_buckets",
-    "q_mix_temperature",
-    "q_sft_template",
-    "q_pref_pairs",
-    "q_bpe_train",
-    "q_dedup_containment",
-    "q_eval_rouge",
-    "q_eval_calibration",
-    "q_sample_coordinated",
+_R08_WINDOW = [
+    "q_graph_kcore",
+    "q_als_step",
+    "q_cohort_ltv",
+    "q_text_keyphrase",
+    "q_simpson_check",
+    "q_rolling_regression",
+    "q_graph_modularity",
+    "q_graph_assortativity",
+    "q_time_travel",
+    "q_mad_outlier",
+    "q_ts_trend",
+    "q_attribution_linear",
+    "q_gap_islands",
+    "q_bloom_file_index",
+    "q_profile_columns",
+    "q_k_anonymity",
+    "q_agg_cube",
+    "q_fn_bitwise_suite",
+    "q_fn_array_map_json",
+    "q_fn_date_extract",
+    "q_fn_dewpoint",
+    "q_fn_winddir",
+    "q_fn_mast_corr",
+    "q_fn_baro_reduce",
+    "q_case_when",
+    "q_fn_units",
+    "q_fn_round_fixed",
+    "q_fn_date_fmt",
+    "q_fn_epoch2ts",
+    "q_fn_concat",
+    "q_fn_num_coerce",
+    "q_fn_str_locate",
+    "q_sink_error_alert",
+    "q_sink_http_form",
+    "q_src_json_rest",
+    "q_src_text_scrape",
+    "q_join_state_lookup",
+    "q_rain_rate",
+    "q_sink_state_upsert",
+    "q_src_state_table",
+    "q_win_first_of_day",
+    "q_win_lag",
+    "q_scan_parquet",
+    "q_filter_predicate",
+    "q_project_compute",
+    "q_agg_hash",
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_win_rank",
+    "q_sort",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R07_WINDOW
+    assert list(all_queries())[:50] == _R08_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():
