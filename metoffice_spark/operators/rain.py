@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metoffice_spark.obs import OBS_PER_HOUR, observations, oracle_cte
-from metoffice_spark.session import scoped_persist, tune
+from metoffice_spark.session import refresh_on_first_action, scoped_persist, tune
 
 _CTE = oracle_cte()
 
@@ -364,29 +364,44 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     # persist + count = the materialized continuous aggregate: each
-    # level is REFRESHED eagerly (the hypertable refresh step), written
-    # once, and read by BOTH its own output branch and the next coarser
-    # level. NOTE (builder contract, registry.py docstring): this makes
-    # the builder non-side-effect-free — constructing the frame runs
-    # two refresh jobs, and the zero-exchange plan holds only while the
-    # scoped persists live (released when the NEXT builder's tune()
-    # runs), so plan-only consumers must inspect before building
-    # another query. The count() is not a driver data fetch — it forces the
+    # level is REFRESHED (the hypertable refresh step), written once,
+    # and read by BOTH its own output branch and the next coarser
+    # level. The count() is not a driver data fetch — it forces the
     # cache so the level's (station_id, day) output partitioning is
     # statically known to Catalyst (an unmaterialized AQE cached plan
     # reports UnknownPartitioning), which is what lets b1h/b1d
     # re-aggregate with no exchange at all. Without the barrier the
     # raw scan + substrate re-runs per union branch (3x the work) AND
     # each level re-shuffles — verified in the plan lock.
+    #
+    # The refresh is GATED BEHIND FIRST EXECUTION (VERDICT r07 item 6):
+    # construction runs no refresh jobs, so plan-only consumers
+    # (audit_plans, the walker tests) can build the frame for free; the
+    # first action on the returned frame materializes the levels and
+    # then plans against the populated cache — the same zero-exchange
+    # shape the eager refresh produced. ORDERING TRAP inside the
+    # refresh: persist() compiles the cached physical plan EAGERLY
+    # (CacheManager.cacheQuery), so b1h may only be persisted AFTER
+    # b15.count() — persisting it at build time would bake an
+    # UnknownPartitioning exchange into b1h's cached plan forever. The
+    # union below references the UNPERSISTED b1h logical plan; cache
+    # substitution at post-refresh planning time matches it to the
+    # refreshed entry. The persists still live until the NEXT
+    # builder's tune() (scoped-persist contract): executing after
+    # another builder ran merely recomputes, correct but re-shuffled.
     b15 = scoped_persist(b15)
-    b15.count()
-    b1h = scoped_persist(up(b15, "hour"))
-    b1h.count()
+    b1h = up(b15, "hour")
     b1d = up(b1h, "day")
     lvl = lambda df, name: df.select(
         F.lit(name).alias("level"), "station_id", "bucket", "n_obs", "ws_sum_fp", "r_min", "r_max"
     )
-    return lvl(b15, "15m").unionByName(lvl(b1h, "1h")).unionByName(lvl(b1d, "1d"))
+    out = lvl(b15, "15m").unionByName(lvl(b1h, "1h")).unionByName(lvl(b1d, "1d"))
+
+    def _refresh() -> None:
+        b15.count()
+        scoped_persist(b1h).count()
+
+    return refresh_on_first_action(out, _refresh)
 
 
 ORACLE_ROLLUP_HYPERTABLE = f"""{_CTE},

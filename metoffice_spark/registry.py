@@ -11,18 +11,21 @@ round; the window rotates exactly once per round (see the _PRIORITY
 comment), and new operators register AFTER the window so they never
 silently displace a planned check.
 
-Builder contract (ADVICE r06): builders are NOT guaranteed
-side-effect-free. A builder may run eager Spark jobs while
-CONSTRUCTING its DataFrame — q_rollup_hypertable materializes its
-continuous-aggregate levels (persist + count) at build time so the
-cached (station_id, day) partitioning is statically known and the
-rollup tree plans with zero extra exchanges. Consequences for
-plan-only consumers (plan walkers, audit tools): building a frame may
-execute jobs, and the returned frame's zero-exchange plan relies on
-the builder's scoped persists still being cached — calling ANOTHER
-builder (whose tune() releases scoped persists) before executing the
-frame degrades the plan to recompute. Build → inspect/execute → then
-build the next query.
+Builder contract (ADVICE r06, refined VERDICT r07 item 6): builders
+are NOT guaranteed side-effect-free, but expensive side effects are
+gated behind FIRST EXECUTION. q_rollup_hypertable materializes its
+continuous-aggregate levels (persist + count) so the cached
+(station_id, day) partitioning is statically known and the rollup
+tree plans with zero extra exchanges — since r08 that refresh runs on
+the returned frame's first ACTION (session.refresh_on_first_action),
+not at build time, so plan-only consumers (plan walkers, audit tools)
+build frames job-free. A builder may still run bounded setup scalars
+(q_graph_pagerank's nodes.count(), the streaming replays' max-ts
+lookups). The zero-exchange executed plan relies on the builder's
+scoped persists still being cached — calling ANOTHER builder (whose
+tune() releases scoped persists) before executing the frame degrades
+the plan to recompute. Build → inspect/execute → then build the next
+query.
 """
 
 from __future__ import annotations

@@ -57,6 +57,89 @@ def release_scoped_persists() -> None:
             pass  # session already stopped; nothing to release
 
 
+try:  # classic (JVM) DataFrame — the only mode this repo runs in
+    from pyspark.sql.classic.dataframe import DataFrame as _BaseDataFrame
+except ImportError:  # pragma: no cover - pre-4.0 module layout
+    from pyspark.sql import DataFrame as _BaseDataFrame  # type: ignore
+
+
+class _RefreshOnFirstAction(_BaseDataFrame):
+    """DataFrame that runs a pending builder refresh (cache
+    materialization jobs) immediately before its FIRST action.
+
+    Companion to the builder contract in registry.py: a continuous-
+    aggregate builder wants its levels persisted AND materialized so
+    the coarser levels re-aggregate exchange-free against statically
+    known cached partitioning — but plan-only consumers
+    (tools/audit_plans.py, the plan-walker tests) must be able to
+    BUILD the frame without paying the refresh jobs (VERDICT r07
+    item 6). Deferring the refresh to the first action gives both:
+    construction is job-free, and any action first materializes the
+    levels, then plans against the populated cache (physical planning
+    happens lazily at first use, so the action's own plan shows the
+    same zero-exchange shape as an eager refresh — locked by
+    tests/test_plans.py::test_rollup_tree_reuses_cached_levels).
+    Derived frames (.filter/.select results) are plain DataFrames and
+    do NOT carry the hook — they still compute correctly, merely
+    without the exchange-free replan guarantee.
+    """
+
+    def __init__(self, df, refresh):
+        super().__init__(df._jdf, df.sparkSession)
+        self._pending_refresh = refresh
+
+    def refresh(self) -> None:
+        """Run the pending refresh once; later calls are no-ops."""
+        cb, self._pending_refresh = self._pending_refresh, None
+        if cb is not None:
+            cb()
+
+    @property
+    def write(self):
+        self.refresh()
+        return _BaseDataFrame.write.fget(self)
+
+    def writeTo(self, *args, **kwargs):
+        self.refresh()
+        return super().writeTo(*args, **kwargs)
+
+
+def _wrap_action(name: str):
+    base = getattr(_BaseDataFrame, name)
+
+    def action(self, *args, **kwargs):
+        self.refresh()
+        return base(self, *args, **kwargs)
+
+    action.__name__ = name
+    action.__doc__ = base.__doc__
+    return action
+
+
+for _name in (
+    "collect",
+    "count",
+    "toPandas",
+    "toArrow",
+    "toLocalIterator",
+    "show",
+    "take",
+    "head",
+    "first",
+    "tail",
+    "foreach",
+    "foreachPartition",
+    "isEmpty",
+):
+    if hasattr(_BaseDataFrame, _name):
+        setattr(_RefreshOnFirstAction, _name, _wrap_action(_name))
+
+
+def refresh_on_first_action(df, refresh):
+    """Wrap ``df`` so ``refresh()`` runs before its first action."""
+    return _RefreshOnFirstAction(df, refresh)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session.
 

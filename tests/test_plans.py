@@ -91,7 +91,13 @@ def test_rollup_tree_reuses_cached_levels(spark, sf_smoke):
     no InMemoryTableScan appears."""
     from metoffice_spark.operators.rain import q_rollup_hypertable
 
-    plan = _plan(q_rollup_hypertable(spark, sf_smoke))
+    df = q_rollup_hypertable(spark, sf_smoke)
+    # The refresh is gated behind first execution (VERDICT r07 item 6):
+    # building the frame runs NO jobs, so fire the refresh explicitly —
+    # exactly what the first action does — before locking the plan
+    # shape an executing consumer sees.
+    df.refresh()
+    plan = _plan(df)
     # b15 read twice (own branch + b1h build is inside b1h's cache) and
     # b1h read twice (own branch + b1d build): >= 3 cached scans in the
     # final plan
@@ -109,6 +115,33 @@ def test_rollup_tree_reuses_cached_levels(spark, sf_smoke):
         and ("window#" in ln or "_groupingexpression" in ln or "bucket#" in ln)
     ]
     assert not agg_shuffles, f"rollup level re-shuffled: {agg_shuffles}"
+
+
+def test_rollup_refresh_is_gated_behind_first_action(spark, sf_smoke):
+    """Plan-only consumers (audit_plans, the walker tests) build every
+    query's frame; the rollup's level refresh must not execute Spark
+    jobs at build time — only the first ACTION pays it (VERDICT r07
+    item 6)."""
+    from metoffice_spark.operators.rain import q_rollup_hypertable
+
+    def materialized_cache_ids():
+        # RDDs appear in storage info only once blocks exist, i.e.
+        # once a refresh job actually ran (read.parquet's footer job
+        # is inherent to every builder and caches nothing). Compare
+        # ID SETS, not counts: the builder's tune() releases earlier
+        # tests' scoped persists asynchronously, so totals can shrink
+        # under us — only NEW ids mean this builder materialized.
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = materialized_cache_ids()
+    df = q_rollup_hypertable(spark, sf_smoke)
+    assert materialized_cache_ids() - before == set(), (
+        "building the rollup frame materialized its level caches"
+    )
+    assert df._pending_refresh is not None
+    assert df.count() > 0  # first action fires the refresh, then runs
+    assert df._pending_refresh is None
+    assert materialized_cache_ids() - before != set()
 
 
 def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):
