@@ -110,6 +110,15 @@ def main() -> None:
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     timings = {qid: round(median(v), 3) for qid, v in samples.items()}
+    # Per-query variance brackets (VERDICT r07 item 4): publish each
+    # query's min/median/max across the sweeps so a future reader can
+    # tell measurement drift from a real regression without re-running
+    # — sub-second queries routinely swing 1.3x run-to-run on a shared
+    # box, and the bracket is the evidence.
+    brackets = {
+        qid: [round(min(v), 3), round(median(v), 3), round(max(v), 3)]
+        for qid, v in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     # sweep_totals[0] is the COLD sweep (fresh JVM, first pass after the
     # one-row warm-up) — the r01–r05 methodology — so a single run
@@ -128,6 +137,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
                 "sweep_totals": sweep_totals,
+                "query_brackets": brackets,
             }
         )
     )

@@ -44,18 +44,23 @@ whole-history form because the integer totals are < 2^53.
 Only dialect-common constructs are used: CAST, CASE WHEN, floor,
 window SUM with ROWS frame, JOIN ON, INTERVAL 1 DAY, nested CTEs.
 
-Reading-validity boundary (r07 null-value fuzz finding): a NULL
-``value`` is a FAILED sensor reading and produces NO observation
-(``WHERE value IS NOT NULL`` in the ev CTE) — mirroring the
-reference's own non-numeric-reading guard (MWC:181-183). Without the
+Reading-validity boundary (r07 null-value fuzz finding; extended to
+the timestamp by the r08 null-ts probe): a NULL ``value`` is a FAILED
+sensor reading and a NULL ``ts`` is an UNPLACEABLE one — neither
+produces an observation (``WHERE value IS NOT NULL AND ts IS NOT
+NULL`` in the ev CTE), mirroring the reference's own
+non-numeric-reading guard (MWC:181-183) and its dated-row cadence
+assumption (MWC:34-39: every observation IS a 15-minute slot; a row
+that cannot be placed on the time axis has no slot). Without the
 boundary, every downstream weather derivation (the WOW payload chain,
 the stream machines, the wind histogram) must agree with its oracle
 on three-valued logic through ~15 paired CASE expressions, where
 mirrored spellings (`x <> 0 THEN a ELSE calm` vs `x = 0 THEN calm
-ELSE a`) land NULL on OPPOSITE branches. Filtering at the shared
-single-text substrate makes every obs consumer NULL-symmetric by
-construction; the driver testdata is NULL-free, so stock results are
-unchanged.
+ELSE a`) land NULL on OPPOSITE branches — and every ts-ordered window
+must agree on NULL placement, where Spark sorts NULLS FIRST and
+DuckDB NULLS LAST. Filtering at the shared single-text substrate
+makes every obs consumer NULL-symmetric by construction; the driver
+testdata is NULL-free, so stock results are unchanged.
 """
 
 from __future__ import annotations
@@ -73,7 +78,7 @@ WITH ev AS (
               THEN CAST(floor(value) AS BIGINT)
               ELSE CAST(0 AS BIGINT) END             AS rain_incr
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 day_tot AS (
   SELECT station_id, day, SUM(rain_incr) AS day_sum

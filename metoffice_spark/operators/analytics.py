@@ -523,7 +523,11 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id; both windows (mark + running sum)
     share the same sort; the final per-session aggregate is keyed
     (user, sid) with map-side combine."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an untimestamped event has no inactivity gap to measure
+    # — and its NULL epoch would split sessions differently under the
+    # two engines' opposite NULL sort placement.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lag("ts").over(order_w)
     marked = ev.withColumn(
@@ -568,6 +572,7 @@ WITH marked AS (
                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_SESS_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_s
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (

@@ -61,7 +61,11 @@ _CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per channel ('view' / 'click' / 'none'): attributed conversion
     count and revenue in exact integer cents."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): a touch or purchase with no timestamp has no position
+    # in the user's journey (Spark NULLS FIRST vs DuckDB NULLS LAST
+    # would re-attribute every affected user otherwise).
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -100,6 +104,7 @@ WITH touched AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS last_touch
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT coalesce(last_touch, 'none') AS channel,
        CAST(count(*) AS BIGINT) AS n_conversions,
@@ -128,7 +133,11 @@ QUERIES["q_attribution"] = (q_attribution, ORACLE_ATTRIBUTION)
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (cur_type, next_type): transition count and conditional
     probability (1e-6 fixed point, exact integer division)."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an event with no timestamp has no position in the
+    # user's sequence — and Spark orders NULL ts FIRST where DuckDB
+    # orders it LAST, so keeping it diverges every transition pair.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -160,6 +169,7 @@ WITH pairs AS (
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS next_type
   FROM events
+  WHERE ts IS NOT NULL
 ),
 counts AS (
   SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
@@ -183,8 +193,15 @@ QUERIES["q_markov_transitions"] = (q_markov_transitions, ORACLE_MARKOV)
 # operator that repairs gaps when a fixed cadence is required.
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in
+    # _DAILY_DUCK): an untimestamped event belongs to no day — keeping
+    # the NULL day group would put it FIRST in Spark's day-ordered
+    # series windows and LAST in DuckDB's, shifting every lag pair and
+    # rolling frame downstream (autocorr / changepoint / rolling
+    # median all consume this series).
     return (
         load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -193,7 +210,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_DUCK = """
 daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
 )
 """
 
@@ -1346,7 +1363,9 @@ QUERIES["q_funnel_latency"] = (q_funnel_latency, ORACLE_FUNNEL_LATENCY)
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per channel: number of fractional credits and linearly
     attributed revenue (1e-6-cent fixed point)."""
-    ev = load(tune(spark), sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe): see
+    # q_attribution — an untimestamped event has no journey position.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",
@@ -1409,6 +1428,7 @@ WITH seg AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS BIGINT) AS seg
   FROM events
+  WHERE ts IS NOT NULL
 ),
 touches AS (
   SELECT user_id, seg, event_type AS channel,

@@ -810,7 +810,11 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: trailing-8 OLS slope of value-cents per second
     (double; NULL when undefined), plus the window's row count."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): the regressor IS elapsed time — an untimestamped event
+    # has no x (and its NULL epoch sorts at opposite ends on the two
+    # engines, re-basing every window).
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         F.col("ts").cast("long").alias("es"),
@@ -848,6 +852,7 @@ WITH ev AS (
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
   FROM events
+  WHERE ts IS NOT NULL
 ),
 based AS (
   SELECT user_id, event_id, y,

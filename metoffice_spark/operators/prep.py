@@ -199,7 +199,11 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds, and the trapezoidal time-weighted mean of value
     (1e-2 fixed point, i.e. cents)."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an untimestamped observation has no trapezoid — its
+    # NULL epoch sorts first in Spark and last in DuckDB, shifting
+    # every adjacent segment.
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.col("ts").cast("long").alias("es"),
         "event_id",
@@ -235,6 +239,7 @@ WITH ev AS (
          event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vfp
   FROM events
+  WHERE ts IS NOT NULL
 ),
 seg AS (
   SELECT user_id, es, vfp,
@@ -616,7 +621,12 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per split (train/embargo/test): rows, users, and the epoch
     range; embargo = (cutoff, cutoff + 1 day]."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an untimestamped row is assignable to NO temporal split
+    # (its NULL epoch fails every cutoff comparison into 'test' in
+    # Spark's CASE but also forms a NULL group in the running-sum
+    # cutoff derivation — the engines disagree on both).
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id", F.col("ts").cast("long").alias("es")
     )
     per_s = ev.groupBy("es").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -649,6 +659,7 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPLIT_TEMPORAL = f"""
 WITH ev AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+  WHERE ts IS NOT NULL
 ),
 per_s AS (
   SELECT es, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY es
@@ -798,7 +809,11 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: cents value, lag-1/lag-2 cents, trailing-3 mean
     (1e-2 fixed point), and portable dow (0=Sunday)."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): lag/trailing features are positional — an untimestamped
+    # event has no position (and lands at opposite ends of the two
+    # engines' NULL sort orders).
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "ts",
@@ -831,6 +846,7 @@ WITH ev AS (
   SELECT user_id, event_id, ts,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT user_id, event_id, cents,
        CAST(lag(cents, 1) OVER w AS BIGINT) AS lag1_cents,

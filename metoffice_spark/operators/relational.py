@@ -469,7 +469,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user — the scalable single-pass window form of the
     reference's previous-observation lookup (MWC:216, 256). No join
     materialization: one shuffle by user, one ordered scan."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an untimestamped event has no "as of" position — the
+    # engines place NULL ts at opposite ends of the ordered scan.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -492,6 +495,7 @@ WITH enriched AS (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, ts, last_view_ts,
        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_view_ts)) AS BIGINT)

@@ -949,8 +949,14 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: baseline/current counts, window shares in
     1e-6 fixed point, and the 2x2 chi-squared drift statistic."""
     spark = tune(spark)
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an undated event belongs to neither drift window — and
+    # the engines disagree on its flag (Spark's cast(NULL<14 as int)
+    # is NULL and drops out of sum(); DuckDB's CASE lands it in ELSE 0).
     ev = scoped_persist(
-        load(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"))
     )
     d0 = ev.agg(F.min("day").alias("dmin"))
     flagged = ev.crossJoin(F.broadcast(d0)).select(
@@ -990,6 +996,7 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT = f"""
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day FROM events
+  WHERE ts IS NOT NULL
 ),
 d0 AS (SELECT min(day) AS dmin FROM ev),
 flagged AS (

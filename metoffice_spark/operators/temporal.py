@@ -59,6 +59,7 @@ WITH seq AS (
                 OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 ver AS (
@@ -83,7 +84,15 @@ WINDOW v AS (PARTITION BY user_id ORDER BY version)
 
 def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCD2 version table as a DataFrame (shared by build + PIT)."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in
+    # _SCD2_SQL): a change event with no timestamp has no place on the
+    # validity timeline — NULL ts sorts first in Spark and last in
+    # DuckDB, which would renumber every affected user's versions.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NULL-aware change detector (r07 null-group fuzz finding): the
     # old `lag IS NULL OR lag <> cur` spelling makes X -> NULL a
@@ -168,6 +177,7 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # r08 null-ts boundary (as _scd2)
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
         .select(
@@ -215,6 +225,7 @@ ORACLE_JOIN_TEMPORAL = f"""
 WITH scd2 AS ({_SCD2_SQL}),
 probes AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT p.user_id, p.day, d.event_type, d.version
 FROM probes p
@@ -319,9 +330,12 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle+sort on user_id; the kernel is 8 lag()
     expressions sharing that single window — map-side after the sort,
     no UDF, no recursion."""
+    # value boundary (failed reading) + ts boundary (r08 null-ts
+    # probe: an untimestamped reading has no kernel position — NULL
+    # sorts at opposite ends on the two engines).
     ev = (
         load(tune(spark), sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select("event_id", "user_id", "ts", _cents(F.col("value")).alias("x_fp"))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -353,7 +367,7 @@ def _ewma_oracle() -> str:
     return f"""
 WITH src AS (
   SELECT event_id, user_id, ts, {_cents_sql("value")} AS x_fp
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 )
 SELECT event_id, user_id, ts, x_fp,
        CAST({" + ".join(nums)} AS BIGINT) AS ewma_num,

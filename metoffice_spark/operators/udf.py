@@ -290,7 +290,12 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # sequencing-validity boundary (r08 null-ts probe, mirrored in the
+    # oracle): an as-of merge is defined on the time axis — an
+    # untimestamped click/purchase has no "at-or-before" position
+    # (NULL ep breaks searchsorted's ordering on the Python side and
+    # fails the oracle's c.ep <= p.ep asymmetrically).
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "event_type",
@@ -355,6 +360,7 @@ WITH ev AS (
          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE ts IS NOT NULL
 ),
 p AS (SELECT user_id, event_id, ep FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id, ep, cents FROM ev WHERE event_type = 'click'),

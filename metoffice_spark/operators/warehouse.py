@@ -184,9 +184,12 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the oracle's || propagates NULL — a NULL type row would
     # silently produce a 2-element path on one engine and a NULL
     # group on the other, so nulls are excluded explicitly BOTH sides.
+    # ts IS NOT NULL (r08 null-ts probe): an untimestamped event has
+    # no position in the path — Spark sorts NULL ts first, DuckDB
+    # last, so keeping it re-splices every affected user's trigrams.
     ev = (
         load(spark, sf_dir, "events")
-        .filter("event_type IS NOT NULL")
+        .filter("event_type IS NOT NULL AND ts IS NOT NULL")
         .select("user_id", "event_type", "ts", "event_id")
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -213,7 +216,7 @@ WITH seq AS (
   SELECT event_type,
          lead(event_type, 1) OVER w AS t1,
          lead(event_type, 2) OVER w AS t2
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT event_type || '>' || t1 || '>' || t2 AS path,

@@ -276,3 +276,53 @@ def test_nulllang_slice_parity(qid, spark, nulllang_dir):
         assert compare(spark, con, fn, sql, nulllang_dir) == []
     finally:
         con.close()
+
+
+# --- NULL event timestamps (r08 null-ts probe) --------------------------------
+#
+# events.ts at 300‰ NULL: every ts-ordered window places NULL at
+# OPPOSITE ends on the two engines (Spark NULLS FIRST, DuckDB NULLS
+# LAST), every to_date/epoch derivation forms a NULL day/epoch group,
+# and Spark's cast(NULL<k as int) drops out of sums where DuckDB's
+# CASE lands in ELSE. Boundary decision (VERDICT r07 item 3): the
+# sequencing-validity rule — an event that cannot be placed on the
+# time axis participates in NO ordered/bucketed/interval computation,
+# enforced symmetrically (builder filter + oracle WHERE). The obs
+# substrate applies it once for all weather/rain/stream consumers
+# (obs.py OBS_SQL); direct events consumers carry their own boundary.
+# This list pins one representative per failure family of the r08
+# probe's 34 divergences (artifacts/FUZZPARITY_r08_*_prefix.log).
+NULL_TS_QIDS = (
+    "q_attribution",          # journey windows (last-touch carry)
+    "q_drift_chi2",           # cast(NULL flag) vs CASE ELSE asymmetry
+    "q_event_paths",          # trigram splice order
+    "q_join_asof",            # as-of carry position
+    "q_join_temporal",        # SCD2 + PIT probe day
+    "q_lag_features",         # positional lag/trailing frames
+    "q_rain_rate",            # obs substrate consumer (rain machine)
+    "q_rollup_hypertable",    # obs substrate consumer (bucket tree)
+    "q_scd2_build",           # validity timeline renumbering
+    "q_sessionize_batch",     # gap measurement
+    "q_split_temporal",       # cutoff derivation + split CASE
+    "q_time_weighted_avg",    # trapezoid segments
+    "q_udf_cogrouped",        # searchsorted NULL-epoch break
+    "q_win_rolling_median",   # _daily NULL-day series shift
+)
+
+
+@pytest.fixture(scope="module")
+def nullts_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("events", "ts"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_TS_QIDS)
+def test_nullts_slice_parity(qid, spark, nullts_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullts_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullts_dir) == []
+    finally:
+        con.close()
