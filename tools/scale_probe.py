@@ -136,6 +136,15 @@ def main() -> None:
     if "--reps" in args:
         i = args.index("--reps")
         reps = int(args[i + 1])
+    probe_qids = PROBE_QIDS
+    if "--qids" in args:
+        # focused re-probe of specific families (e.g. the steepest two
+        # at a new scale point) without paying the full 13-family sweep
+        i = args.index("--qids")
+        probe_qids = tuple(args[i + 1].split(","))
+        unknown = [q for q in probe_qids if q not in PROBE_QIDS]
+        if unknown:
+            sys.exit(f"--qids must come from PROBE_QIDS; unknown: {unknown}")
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-probe")
@@ -143,10 +152,10 @@ def main() -> None:
     results: dict[int, dict[str, float]] = {}
     for n in scales:
         d = materialize_scale(src, n)
-        reg[PROBE_QIDS[0]](spark, d).limit(1).collect()  # warm footer caches
-        t: dict[str, list[float]] = {q: [] for q in PROBE_QIDS}
+        reg[probe_qids[0]](spark, d).limit(1).collect()  # warm footer caches
+        t: dict[str, list[float]] = {q: [] for q in probe_qids}
         for _ in range(reps):
-            for q in PROBE_QIDS:
+            for q in probe_qids:
                 t0 = time.perf_counter()
                 reg[q](spark, d).write.format("noop").mode("overwrite").save()
                 t[q].append(time.perf_counter() - t0)
@@ -156,7 +165,7 @@ def main() -> None:
     lo, hi = min(scales), max(scales)
     ratio = {
         q: round(results[hi][q] / results[lo][q], 2) if results[lo][q] > 0 else None
-        for q in PROBE_QIDS
+        for q in probe_qids
     }
     print(
         json.dumps(
