@@ -447,7 +447,13 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (cohort month, age in months): paying customers, revenue
     cents, and the cohort's cumulative revenue."""
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select(
+    # sequencing-validity boundary (r08 null-orderdate probe, mirrored
+    # in the oracle): an undated order belongs to no cohort month —
+    # its NULL age forms a group the engines cumulate at opposite ends
+    # of the age-ordered window.
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         "o_custkey",
         (
             F.year(F.col("o_orderdate")) * 12 + F.month(F.col("o_orderdate"))
@@ -487,6 +493,7 @@ WITH orders_m AS (
          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
+  WHERE o_orderdate IS NOT NULL
 ),
 first AS (
   SELECT o_custkey, min(ym) AS cohort_ym FROM orders_m GROUP BY o_custkey

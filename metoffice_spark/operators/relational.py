@@ -536,7 +536,11 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
 
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running + sliding frames (cents-exact running money sums)."""
-    o = load(tune(spark), sf_dir, "orders")
+    # sequencing-validity boundary (r08 null-orderdate probe, mirrored
+    # in the oracle): an undated order has no position in the
+    # customer's running history — Spark sorts NULL dates first,
+    # DuckDB last, shifting every prefix sum otherwise.
+    o = load(tune(spark), sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     sliding = w.rowsBetween(-2, 0)
@@ -559,6 +563,7 @@ SELECT o_orderkey, o_custkey,
        sum({_cents_sql("o_totalprice")}) OVER w3 / 100.0
          / count(*) OVER w3 AS sliding_avg3
 FROM orders
+WHERE o_orderdate IS NOT NULL
 WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
@@ -566,7 +571,9 @@ WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 
 def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead / lag / first_value / last_value / nth_value."""
-    o = load(tune(spark), sf_dir, "orders")
+    # sequencing-validity boundary (r08 null-orderdate probe): as
+    # q_win_frame — positional analytics need a positioned row.
+    o = load(tune(spark), sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
@@ -589,6 +596,7 @@ SELECT o_orderkey, o_custkey, o_totalprice,
        last_value(o_totalprice) OVER wf AS last_price,
        nth_value(o_totalprice, 2) OVER wf AS second_price
 FROM orders
+WHERE o_orderdate IS NOT NULL
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

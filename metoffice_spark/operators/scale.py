@@ -82,9 +82,23 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("last_ship"),
         )
 
+    # The base/delta split must be EXHAUSTIVE or merge != batch: a
+    # NULL shipdate fails BOTH `< cutoff` and `>= cutoff` (three-valued
+    # logic) and silently vanishes from the incremental view while the
+    # batch recompute keeps the row (r08 null-shipdate probe). Route
+    # NULL-axis rows to the delta — at 100 TB an incremental refresh
+    # that drops unplaceable rows diverges from its base table a
+    # little more every day.
     merged = (
         partial(li.filter(F.col("l_shipdate") < cutoff))
-        .unionByName(partial(li.filter(F.col("l_shipdate") >= cutoff)))
+        .unionByName(
+            partial(
+                li.filter(
+                    (F.col("l_shipdate") >= cutoff)
+                    | F.col("l_shipdate").isNull()
+                )
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("n_rows").cast("bigint").alias("n_rows"),

@@ -326,3 +326,58 @@ def test_nullts_slice_parity(qid, spark, nullts_dir):
         assert compare(spark, con, fn, sql, nullts_dir) == []
     finally:
         con.close()
+
+
+# --- NULL TPC-H date axes (r08 second probe wave) -----------------------------
+#
+# orders.o_orderdate at 300‰ NULL: the customer-history windows order
+# by (o_orderdate, o_orderkey) — same NULLS FIRST/LAST divergence as
+# events.ts — and the cohort month derivation forms a NULL age group.
+# Boundary: an undated order has no history/cohort position (dropped
+# symmetrically). lineitem.l_shipdate at 300‰ NULL: q_incr_agg's
+# base/delta split must be EXHAUSTIVE — a NULL shipdate fails both
+# `< cutoff` and `>= cutoff` and silently vanished from the
+# incremental view while the batch oracle kept the row; NULL-axis
+# rows now route to the delta partial (merge == batch again).
+NULL_ODATE_QIDS = (
+    "q_cohort_ltv",
+    "q_win_analytic",
+    "q_win_frame",
+)
+NULL_SHIPDATE_QIDS = ("q_incr_agg",)
+
+
+@pytest.fixture(scope="module")
+def nullodate_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("orders", "o_orderdate"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nullshipdate_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("lineitem", "l_shipdate"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_ODATE_QIDS)
+def test_nullodate_slice_parity(qid, spark, nullodate_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullodate_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullodate_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_SHIPDATE_QIDS)
+def test_nullshipdate_slice_parity(qid, spark, nullshipdate_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullshipdate_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullshipdate_dir) == []
+    finally:
+        con.close()
