@@ -292,7 +292,13 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_topk_twophase applies verbatim if one type dominates). Index
     arithmetic is all-integer — ceil(p*n) = (p*n + 99) div 100 —
     so both engines select the identical row."""
-    ev = load(tune(spark), sf_dir, "events").select(
+    # rank-validity boundary (r08 ts+value probe, mirrored in the
+    # oracle): a failed reading is not a data point of the value
+    # distribution — its NULL v_fp ranks first in Spark and last in
+    # DuckDB, shifting every percentile index.
+    ev = load(tune(spark), sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
@@ -327,6 +333,7 @@ WITH ranked AS (
            CAST(floor(value * 1000 + 0.5) AS BIGINT), event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type,
        CAST(max(n) AS BIGINT) AS n,
@@ -618,7 +625,11 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, percentile): n, the lo/hi bracket values, and
     the exact interpolated value (1e-3 fixed point)."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select(
+    # rank-validity boundary (r08 ts+value probe): as
+    # q_percentile_exact — NULL readings are not distribution points.
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
@@ -686,6 +697,7 @@ WITH ranked AS (
                                      event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 {" UNION ALL ".join(parts)}
 """
@@ -814,8 +826,13 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: n, p05/p95 cutoffs (1e-3 fp), clipped-low/high
     counts, raw mean, winsorized mean."""
     spark = tune(spark)
+    # rank-validity boundary (r08 ts+value probe): NULL readings are
+    # not distribution points — they'd shift the p05/p95 rank indices
+    # differently per engine (NULLS FIRST vs LAST).
     ev = scoped_persist(
-        load(spark, sf_dir, "events").select(
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             "event_id",
             F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
@@ -873,6 +890,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
   FROM events
+  WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, v_fp,

@@ -1028,8 +1028,14 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: n, median, MAD, and points beyond 3 MADs
     (count + share)."""
     spark = tune(spark)
+    # rank-validity boundary (r08 ts+value probe, mirrored in the
+    # oracle): a NULL reading is not a point of the distribution —
+    # its rank position differs per engine and shifts the median
+    # index for every other row.
     ev = scoped_persist(
-        load(spark, sf_dir, "events").select(
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             "event_id",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_fp"),
@@ -1093,6 +1099,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
+  WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, v_fp,

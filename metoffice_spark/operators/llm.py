@@ -1037,6 +1037,7 @@ def _decode_batches(batches):
     be silently scored as luminance); frame count for 'video' comes
     from the typed metadata."""
     import numpy as np
+    import pandas as pd
 
     for pdf in batches:
         mins, maxs, sums, darks, lens = [], [], [], [], []
@@ -1060,8 +1061,12 @@ def _decode_batches(batches):
         fmt = meta.map(lambda m: m["fmt"])
         out = pdf[["doc_id"]].copy()
         out["fmt"] = fmt
-        out["width"] = meta.map(lambda m: m["width"]).astype("int32")
-        out["height"] = meta.map(lambda m: m["height"]).astype("int32")
+        # masked Int32, not int32: metadata is an OPAQUE passthrough —
+        # a missing width/height (e.g. derived from a NULL source
+        # column) must surface as NULL, not crash the decode kernel
+        # (r08 null-nchars fuzz finding; the oracle passes NULL too)
+        out["width"] = pd.array(meta.map(lambda m: m["width"]), dtype="Int32")
+        out["height"] = pd.array(meta.map(lambda m: m["height"]), dtype="Int32")
         out["n_bytes"] = n_bytes
         out["brightness"] = (
             np.array(sums, dtype=np.int64) // np.maximum(n_bytes, 1)

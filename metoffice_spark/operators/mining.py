@@ -164,8 +164,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: n and Spearman rho between n_chars and token
     count (double, shared expression)."""
     spark = tune(spark)
+    # rank-validity boundary (r08 null-nchars probe, mirrored in the
+    # oracle): a pair with a missing x cannot be rank-correlated —
+    # Spark ranks NULL first, DuckDB last, shifting every rank sum.
     docs = _spread(
-        load(spark, sf_dir, "documents").select(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
             "doc_id", "source", "text", F.col("n_chars").cast("bigint").alias("x")
         ),
         "doc_id",
@@ -222,6 +227,7 @@ WITH base AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,
          CAST(len({TOKS_DUCK}) AS BIGINT) AS y
   FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 ranked AS (
   SELECT source,

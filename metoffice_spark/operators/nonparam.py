@@ -67,7 +67,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: n_en, n_other, and the two-sample KS statistic
     (1e-6 fixed point) between en and non-en n_chars distributions."""
     spark = tune(spark)
-    docs = load(spark, sf_dir, "documents").select(
+    # rank-validity boundary (r08 null-nchars probe, mirrored in the
+    # oracle): a scoreless document has no place in either empirical
+    # CDF — its NULL x cumulates at opposite ends of the two engines'
+    # x-ordered windows.
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select(
         "source",
         F.col("n_chars").cast("bigint").alias("x"),
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("a"),
@@ -123,6 +129,7 @@ WITH base AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,
          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a
   FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 per_x AS (
   SELECT source, x,

@@ -283,7 +283,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: source, n_chars, and its tie-averaged within-source
     quantile (0..1e6 fixed point)."""
     spark = tune(spark)
-    docs = load(spark, sf_dir, "documents").select(
+    # rank-validity boundary (r08 null-nchars probe, mirrored in the
+    # oracle): a feature with no value has no quantile — its NULL
+    # rank position differs between the engines (NULLS FIRST/LAST),
+    # and every other row's quantile shifts with n.
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("x")
     )
     w_rank = Window.partitionBy("source").orderBy("x")
@@ -318,6 +324,7 @@ WITH ranked AS (
            AS BIGINT) AS avg2,
          CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
   FROM documents
+  WHERE n_chars IS NOT NULL
 )
 SELECT doc_id, source, x AS n_chars,
        CAST(((avg2 - 2) * 1000000) // (2 * n - 2) AS BIGINT) AS pct_fp

@@ -478,8 +478,14 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower edge), the exact value, and the within-bin error in
     cents."""
     spark = tune(spark)
+    # rank-validity boundary (r08 ts+value probe, mirrored in the
+    # oracle): a NULL reading has neither a histogram bin nor an
+    # exact rank — and its NULL bin/rank sorts at opposite ends on
+    # the two engines.
     ev = scoped_persist(
-        load(spark, sf_dir, "events").select(
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             "event_id",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_fp"),
@@ -546,6 +552,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
+  WHERE value IS NOT NULL
 ),
 bins AS (
   SELECT event_type, v_fp // {_QSK_BIN} AS bin,

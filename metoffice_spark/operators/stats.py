@@ -80,7 +80,13 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: n, n_pos, tie-corrected AUC of n_chars predicting
     lang='en', in 1e-6 fixed point."""
     spark = tune(spark)
-    docs = load(spark, sf_dir, "documents").select(
+    # rank-validity boundary (r08 null-nchars probe, mirrored in the
+    # oracle): a document with no score cannot be ranked by the score
+    # — and Spark ranks NULL scores first where DuckDB ranks them
+    # last, shifting every AUC rank sum.
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select(
         "source",
         F.col("n_chars").cast("bigint").alias("s"),
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("bigint").alias("pos"),
@@ -118,6 +124,7 @@ WITH ranked AS (
          CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rk,
          CAST(count(*) OVER (PARTITION BY source, n_chars) AS BIGINT) AS tc
   FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 g AS (
   SELECT source,
@@ -755,7 +762,11 @@ FROM (
          ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR)
            || COALESCE(',"lang":"' || lang || '"', '')
            || COALESCE(',"source":"' || source || '"', '')
-           || ',"n_chars":' || CAST(n_chars AS VARCHAR) || '}' END AS line
+           -- n_chars too (r08 null-nchars fuzz finding): || propagates
+           -- a NULL n_chars into the WHOLE line where to_json just
+           -- drops the field
+           || COALESCE(',"n_chars":' || CAST(n_chars AS VARCHAR), '')
+           || '}' END AS line
   FROM documents
 )
 """

@@ -381,3 +381,68 @@ def test_nullshipdate_slice_parity(qid, spark, nullshipdate_dir):
         assert compare(spark, con, fn, sql, nullshipdate_dir) == []
     finally:
         con.close()
+
+
+# --- NULL rank/score axes (r08 third probe wave) ------------------------------
+#
+# documents.n_chars at 300‰ NULL: every rank window ordered by the
+# score (AUC rank sums, KS CDFs, Spearman rank pairs, quantile
+# normalization) places the NULL score at opposite ends per engine;
+# the JSONL oracle's || propagated a NULL n_chars into the whole line
+# where to_json drops the field; and the multimodal decode kernel
+# crashed on missing width/height metadata instead of passing NULL
+# through (now masked Int32). events.ts+value at 300‰ each
+# (correlated): the value-rank family (exact percentiles, winsorize
+# cutoffs, MAD medians, histogram-sketch quantiles) needed the same
+# rank-validity boundary — a NULL reading is not a distribution point.
+NULL_NCHARS_QIDS = (
+    "q_eval_auc",
+    "q_ks_test",
+    "q_multimodal_decode",
+    "q_quantile_normalize",
+    "q_sink_jsonl",
+    "q_spearman_corr",
+)
+NULL_TSVALUE_QIDS = (
+    "q_mad_outlier",
+    "q_percentile_cont",
+    "q_percentile_exact",
+    "q_sketch_quantile",
+    "q_winsorize",
+)
+
+
+@pytest.fixture(scope="module")
+def nullnchars_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("documents", "n_chars"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nulltsvalue_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("events", "ts"): 300, ("events", "value"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_NCHARS_QIDS)
+def test_nullnchars_slice_parity(qid, spark, nullnchars_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullnchars_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullnchars_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_TSVALUE_QIDS)
+def test_nulltsvalue_slice_parity(qid, spark, nulltsvalue_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulltsvalue_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulltsvalue_dir) == []
+    finally:
+        con.close()
