@@ -885,8 +885,11 @@ ORACLE_PIVOT_UNPIVOT = """
 SELECT s.source, l.lang, COALESCE(c.cnt, 0) AS n_docs
 FROM (SELECT DISTINCT source FROM documents) s
 CROSS JOIN (SELECT unnest(['en', 'de', 'fr', 'es', 'zh']) AS lang) l
+-- IS NOT DISTINCT FROM (r08 null-source fuzz finding): Spark's
+-- groupBy/pivot keeps a NULL source as a group like any other; a
+-- plain equi-join here silently zeroes that group's counts.
 LEFT JOIN (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2) c
-  ON c.source = s.source AND c.lang = l.lang
+  ON c.source IS NOT DISTINCT FROM s.source AND c.lang = l.lang
 """
 
 

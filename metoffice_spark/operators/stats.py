@@ -261,8 +261,14 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per market segment: customer count, total spend (cents), and
     the Gini coefficient of per-customer spend."""
     spark = tune(spark)
+    # rank-validity boundary (r08 null-price probe, mirrored in the
+    # oracle): an unpriced order contributes no spend; without the
+    # filter a customer whose EVERY order is unpriced gets a NULL
+    # total that ranks first in Spark and last in DuckDB, shifting
+    # every i*x term in the segment.
     spend = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
         .select(
             "o_custkey",
             F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
@@ -294,7 +300,7 @@ ORACLE_GINI = """
 WITH spend AS (
   SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                          AS BIGINT) AS x
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),
 ranked AS (
   SELECT c.c_mktsegment AS seg, s.x,

@@ -334,7 +334,12 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per spend decile (ascending): customers, revenue cents, and
     cumulative revenue share (1e-6 fixed point)."""
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select(
+    # rank-validity boundary (r08 null-price probe, mirrored in the
+    # oracle): as q_gini_spend — an all-unpriced customer's NULL
+    # total sorts at opposite ends of the decile order per engine.
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("bigint")
@@ -384,7 +389,7 @@ ORACLE_LORENZ = """
 WITH spend AS (
   SELECT o_custkey,
          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),
 deciled AS (
   SELECT o_custkey, s,

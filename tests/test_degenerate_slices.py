@@ -446,3 +446,58 @@ def test_nulltsvalue_slice_parity(qid, spark, nulltsvalue_dir):
         assert compare(spark, con, fn, sql, nulltsvalue_dir) == []
     finally:
         con.close()
+
+
+# --- NULL money / group-label axes (r08 fourth probe wave) --------------------
+#
+# orders.o_totalprice at 300‰ NULL: the spend-concentration family
+# (Gini rank sums, Lorenz deciles) ranks per-customer totals — a
+# customer whose EVERY order is unpriced gets a NULL total that sorts
+# at opposite ends per engine; unpriced orders now contribute no
+# spend on both sides. documents.source at 300‰ NULL (with partial
+# embeddings): Spark's groupBy/pivot keeps the NULL source as a group
+# while the oracle's plain equi-join zeroed it — IS NOT DISTINCT FROM
+# (the q_join_temporal precedent). Partial embeddings.embedding NULLs
+# confirmed clean everywhere else (the r07 boundary held).
+NULL_PRICE_QIDS = (
+    "q_gini_spend",
+    "q_lorenz_curve",
+)
+NULL_SRCEMBED_QIDS = ("q_pivot_unpivot",)
+
+
+@pytest.fixture(scope="module")
+def nullprice_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("orders", "o_totalprice"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nullsrcembed_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("documents", "source"): 300,
+                 ("embeddings", "embedding"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_PRICE_QIDS)
+def test_nullprice_slice_parity(qid, spark, nullprice_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullprice_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullprice_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_SRCEMBED_QIDS)
+def test_nullsrcembed_slice_parity(qid, spark, nullsrcembed_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullsrcembed_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullsrcembed_dir) == []
+    finally:
+        con.close()
