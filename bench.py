@@ -127,6 +127,16 @@ def main() -> None:
     sweep_totals = [
         round(sum(samples[qid][i] for qid in qids), 3) for i in range(reps)
     ]
+    # VERDICT r08 "What's wrong" #3: the driver's BENCH artifact keeps
+    # only the TAIL of stdout, and with query_brackets inlined the line
+    # grew past the truncation — 14 of 33 per-query scalars fell off
+    # the r08 artifact. Brackets go to stderr (and the 5-rep artifact
+    # runs commit them separately); the stdout JSON line stays compact
+    # so every headliner's scalar survives the driver's tail capture.
+    print(
+        "query_brackets " + json.dumps(brackets),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -137,7 +147,6 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
                 "sweep_totals": sweep_totals,
-                "query_brackets": brackets,
             }
         )
     )

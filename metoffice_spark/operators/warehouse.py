@@ -55,10 +55,24 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per RFM segment: customer count and exact mean
     recency/frequency/monetary (1e-6 fixed point)."""
     spark = tune(spark)
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.to_date("o_orderdate").alias("d"),
-        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    # rank-validity boundary (ADVICE r08, mirrored in the oracle): an
+    # order with NULL price or NULL date can't contribute to any RFM
+    # metric; without the filter a customer whose EVERY order is
+    # NULL-priced/dated gets NULL money/rec, which ntile places first
+    # in Spark (NULLS FIRST) and last in DuckDB (NULLS LAST), shifting
+    # quintile assignments. Same boundary as q_gini_spend.
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+        )
     )
     per_cust = scoped_persist(
         orders.groupBy("o_custkey").agg(
@@ -122,7 +136,9 @@ WITH per_cust AS (
          CAST(count(*) AS BIGINT) AS freq,
          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS money
-  FROM orders GROUP BY o_custkey
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
 ),
 obs AS (SELECT max(last_d) AS obs_d FROM per_cust),
 rfm AS (
@@ -435,11 +451,20 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per ABC class: parts, revenue cents, revenue share (1e-6),
     min/max cumulative-share position."""
     spark = tune(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents"),
+    # rank-validity boundary (ADVICE r08, mirrored in the oracle): an
+    # unpriced line contributes no revenue; without the filter a part
+    # whose EVERY line is unpriced gets NULL r, which the revenue
+    # ordering places first in Spark and last in DuckDB, shifting the
+    # running sum. Same boundary as q_gini_spend / q_lorenz_curve.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
     )
     rev = li.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("r"))
     cum = global_running_sum(
@@ -483,7 +508,7 @@ ORACLE_ABC = """
 WITH rev AS (
   SELECT l_partkey,
          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
-  FROM lineitem GROUP BY l_partkey
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_partkey
 ),
 cum AS (
   SELECT l_partkey, r,

@@ -71,18 +71,91 @@ _MODULES = (
     "mining",
 )
 
-# Round-8 rotation (ONE rotation per round — the driver checks once at
+# Round-9 rotation (ONE rotation per round — the driver checks once at
 # round end, so mid-round rotations burn the window on qids that never
-# get a row). R08 closes the book: the registry stays FROZEN at 292
-# qids and the window is the queue VERDICT r07 item 1 ordered — Part A:
-# the LAST 18 never-driver-checked qids (after this window lands,
-# cumulative driver coverage reads 292/292); Part B: 32 re-window
-# insurance picks, the oldest surviving greens (two r01 rows plus the
-# r02-era weather/ingest/rain/relational rows that predate two
-# testdata/code generations).
+# get a row). Driver coverage closed at 292/292 in r08; from here the
+# window is pure re-verification insurance, oldest latest-row first
+# (VERDICT r08 item 1). Registry stays FROZEN at 292 qids. Part A: the
+# 18 r02-era relational greens whose rows predate two testdata/code
+# generations (the queue named in r08's R09+ note); Part B: all 24
+# r03-era greens; Part C: 8 fill — the two warehouse qids whose NULL
+# rank-validity boundary changed this round (ADVICE r08: a changed
+# query needs a fresh driver row) + the 6 oldest-r4 relational rows.
 _PRIORITY = (
-    # --- R08 Part A: the final 18 never-checked qids ---
-    # mining.py remainder (5l wave)
+    # --- R09 Part A: r02-era relational remainder x18 ---
+    "q_project_nested",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_stats",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_join_theta_range",
+    "q_join_range_binned",
+    "q_join_asof",
+    "q_win_frame",
+    "q_win_analytic",
+    "q_topk",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_math_suite",
+    "q_fn_string_suite",
+    # --- R09 Part B: the 24 r03-era greens ---
+    # quality.py r03 x2
+    "q_dq_checks",
+    "q_cdc_diff",
+    # scale.py r03 x5
+    "q_incr_agg",
+    "q_topk_twophase",
+    "q_join_bloom",
+    "q_graph_pagerank",
+    "q_layout_zorder",
+    # relational.py r03 x1
+    "q_join_bucketed",
+    # temporal.py r03 x3
+    "q_interval_sweep",
+    "q_win_distribution",
+    "q_mode_agg",
+    # text.py r03 x2
+    "q_text_chunk",
+    "q_text_entropy",
+    # curation.py r03 x7
+    "q_text_boilerplate",
+    "q_bpe_pair_count",
+    "q_oov_rate",
+    "q_embed_dimstats",
+    "q_sample_weighted",
+    "q_fn_regex_suite",
+    "q_rank_bm25",
+    # pipeline.py r03 x2
+    "q_kmeans_train",
+    "q_negative_sample",
+    # ingest.py r03 x2
+    "q_sink_partitioned",
+    "q_src_multiformat",
+    # --- R09 Part C: 8 fill ---
+    # changed this round (ADVICE r08 NULL rank-validity boundary)
+    "q_rfm_segmentation",
+    "q_abc_classification",
+    # oldest-r4 relational re-windows
+    "q_pivot_unpivot",
+    "q_merge_upsert",
+    "q_join_salted",
+    "q_sketch_distinct",
+    "q_set_bag",
+    "q_sql_ansi",
+    # --- driver window ends here (50) ---
+    # R10+ QUEUE: after this window lands, no latest driver row
+    # predates r4. Next-oldest surviving greens for continued
+    # insurance: the r4-era llm.py dedup/sim-search family
+    # (q_dedup_exact q_dedup_fuzzy q_sim_search q_sim_search_lsh
+    # q_multimodal_cols q_dedup_simhash q_dedup_ngram_jaccard
+    # q_dedup_embed_cosine q_sim_search_ivf q_multimodal_decode
+    # q_split_train_val q_dedup_components q_embed_quantize), the r4
+    # text.py family, the r4 streaming_batch replays, and the r4
+    # pipeline/udf rows — then r5.
+    # The r08 window (all green in CORRECTNESS_r08) slides behind:
     "q_graph_kcore",
     "q_als_step",
     "q_cohort_ltv",
@@ -91,7 +164,6 @@ _PRIORITY = (
     "q_rolling_regression",
     "q_graph_modularity",
     "q_graph_assortativity",
-    # behavior/quality/relational never-checked tail
     "q_time_travel",
     "q_mad_outlier",
     "q_ts_trend",
@@ -102,11 +174,8 @@ _PRIORITY = (
     "q_k_anonymity",
     "q_agg_cube",
     "q_fn_bitwise_suite",
-    # --- R08 Part B: 32 oldest-green re-windows ---
-    # r01-era rows
     "q_fn_array_map_json",
     "q_fn_date_extract",
-    # weather.py r02 x11
     "q_fn_dewpoint",
     "q_fn_winddir",
     "q_fn_mast_corr",
@@ -118,20 +187,17 @@ _PRIORITY = (
     "q_fn_epoch2ts",
     "q_fn_concat",
     "q_fn_num_coerce",
-    # ingest.py r02 x5
     "q_fn_str_locate",
     "q_sink_error_alert",
     "q_sink_http_form",
     "q_src_json_rest",
     "q_src_text_scrape",
-    # rain.py r02 x6
     "q_join_state_lookup",
     "q_rain_rate",
     "q_sink_state_upsert",
     "q_src_state_table",
     "q_win_first_of_day",
     "q_win_lag",
-    # relational.py r02 x8
     "q_scan_parquet",
     "q_filter_predicate",
     "q_project_compute",
@@ -140,67 +206,6 @@ _PRIORITY = (
     "q_join_shuffle",
     "q_win_rank",
     "q_sort",
-    # --- driver window ends here (50) ---
-    # R09+ QUEUE: with this window green, every one of the 292 qids has
-    # a driver row (VERDICT r07's "one more round closes the book").
-    # Next-oldest surviving greens if re-window insurance continues:
-    # the r02 relational remainder (q_project_nested q_agg_distinct
-    # q_agg_grouping_sets q_agg_collect q_agg_stats q_join_outer
-    # q_join_semi_anti q_join_theta_range q_join_range_binned
-    # q_join_asof q_win_frame q_win_analytic q_topk q_set_union
-    # q_set_intersect q_set_except q_fn_math_suite q_fn_string_suite),
-    # then the r03-era quality/scale/curation rows.
-    # The r07 window (all green in CORRECTNESS_r07) slides behind:
-    "q_survival_hazard",
-    "q_compress_dict",
-    "q_sink_jsonl",
-    "q_forecast_snaive",
-    "q_target_encoding",
-    "q_drift_chi2",
-    "q_eval_multiclass",
-    "q_text_readability",
-    "q_rfm_segmentation",
-    "q_event_paths",
-    "q_dataset_fingerprint",
-    "q_lorenz_curve",
-    "q_abc_classification",
-    "q_hhi_concentration",
-    "q_skyline_pareto",
-    "q_quality_ensemble",
-    "q_hard_negatives",
-    "q_span_corruption",
-    "q_random_projection",
-    "q_heavy_hitters_mg",
-    "q_funnel_latency",
-    "q_knn_classify",
-    "q_sketch_quantile",
-    "q_er_blocking",
-    "q_ks_test",
-    "q_graph_bfs",
-    "q_feature_hashing",
-    "q_eval_ndcg",
-    "q_l_diversity",
-    "q_jackknife_var",
-    "q_pmi_collocations",
-    "q_time_weighted_avg",
-    "q_quantile_normalize",
-    "q_rare_label_encode",
-    "q_delta_encode",
-    "q_weighted_median",
-    "q_split_temporal",
-    "q_null_imputation",
-    "q_lag_features",
-    "q_benford_test",
-    "q_spearman_corr",
-    "q_batch_length_buckets",
-    "q_mix_temperature",
-    "q_sft_template",
-    "q_pref_pairs",
-    "q_bpe_train",
-    "q_dedup_containment",
-    "q_eval_rouge",
-    "q_eval_calibration",
-    "q_sample_coordinated",
 )
 
 

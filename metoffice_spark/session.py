@@ -103,6 +103,18 @@ class _RefreshOnFirstAction(_BaseDataFrame):
         self.refresh()
         return super().writeTo(*args, **kwargs)
 
+    # RDD-shaped escape hatches (ADVICE r08): toJSON()/.rdd fix the
+    # physical plan at access time, so the refresh must run first or
+    # the zero-exchange replan guarantee is silently lost.
+    def toJSON(self, *args, **kwargs):
+        self.refresh()
+        return super().toJSON(*args, **kwargs)
+
+    @property
+    def rdd(self):
+        self.refresh()
+        return _BaseDataFrame.rdd.fget(self)
+
 
 def _wrap_action(name: str):
     base = getattr(_BaseDataFrame, name)
@@ -130,6 +142,13 @@ for _name in (
     "foreach",
     "foreachPartition",
     "isEmpty",
+    # job-running materializers (ADVICE r08): checkpointing a frame
+    # whose levels aren't yet cached would checkpoint the un-replanned
+    # shape; summary/describe run aggregate jobs over the frame.
+    "checkpoint",
+    "localCheckpoint",
+    "summary",
+    "describe",
 ):
     if hasattr(_BaseDataFrame, _name):
         setattr(_RefreshOnFirstAction, _name, _wrap_action(_name))

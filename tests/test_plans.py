@@ -4,6 +4,7 @@ not its output — the scale properties VERDICT r01 flagged."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -123,6 +124,15 @@ def test_rollup_refresh_is_gated_behind_first_action(spark, sf_smoke):
     jobs at build time — only the first ACTION pays it (VERDICT r07
     item 6)."""
     from metoffice_spark.operators.rain import q_rollup_hypertable
+
+    # ADVICE r08: this test peers at classic-JVM internals
+    # (getRDDStorageInfo via _jsc, the _pending_refresh attribute) that
+    # do not exist under Spark Connect and may move across PySpark
+    # versions — skip loudly rather than fail cryptically there.
+    if not hasattr(spark, "sparkContext") or not hasattr(
+        getattr(spark, "sparkContext", None), "_jsc"
+    ):
+        pytest.skip("classic-mode JVM internals unavailable (connect mode?)")
 
     def materialized_cache_ids():
         # RDDs appear in storage info only once blocks exist, i.e.

@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R08_WINDOW = [
-    "q_graph_kcore",
-    "q_als_step",
-    "q_cohort_ltv",
-    "q_text_keyphrase",
-    "q_simpson_check",
-    "q_rolling_regression",
-    "q_graph_modularity",
-    "q_graph_assortativity",
-    "q_time_travel",
-    "q_mad_outlier",
-    "q_ts_trend",
-    "q_attribution_linear",
-    "q_gap_islands",
-    "q_bloom_file_index",
-    "q_profile_columns",
-    "q_k_anonymity",
-    "q_agg_cube",
-    "q_fn_bitwise_suite",
-    "q_fn_array_map_json",
-    "q_fn_date_extract",
-    "q_fn_dewpoint",
-    "q_fn_winddir",
-    "q_fn_mast_corr",
-    "q_fn_baro_reduce",
-    "q_case_when",
-    "q_fn_units",
-    "q_fn_round_fixed",
-    "q_fn_date_fmt",
-    "q_fn_epoch2ts",
-    "q_fn_concat",
-    "q_fn_num_coerce",
-    "q_fn_str_locate",
-    "q_sink_error_alert",
-    "q_sink_http_form",
-    "q_src_json_rest",
-    "q_src_text_scrape",
-    "q_join_state_lookup",
-    "q_rain_rate",
-    "q_sink_state_upsert",
-    "q_src_state_table",
-    "q_win_first_of_day",
-    "q_win_lag",
-    "q_scan_parquet",
-    "q_filter_predicate",
-    "q_project_compute",
-    "q_agg_hash",
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_win_rank",
-    "q_sort",
+_R09_WINDOW = [
+    "q_project_nested",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_stats",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_join_theta_range",
+    "q_join_range_binned",
+    "q_join_asof",
+    "q_win_frame",
+    "q_win_analytic",
+    "q_topk",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_math_suite",
+    "q_fn_string_suite",
+    "q_dq_checks",
+    "q_cdc_diff",
+    "q_incr_agg",
+    "q_topk_twophase",
+    "q_join_bloom",
+    "q_graph_pagerank",
+    "q_layout_zorder",
+    "q_join_bucketed",
+    "q_interval_sweep",
+    "q_win_distribution",
+    "q_mode_agg",
+    "q_text_chunk",
+    "q_text_entropy",
+    "q_text_boilerplate",
+    "q_bpe_pair_count",
+    "q_oov_rate",
+    "q_embed_dimstats",
+    "q_sample_weighted",
+    "q_fn_regex_suite",
+    "q_rank_bm25",
+    "q_kmeans_train",
+    "q_negative_sample",
+    "q_sink_partitioned",
+    "q_src_multiformat",
+    "q_rfm_segmentation",
+    "q_abc_classification",
+    "q_pivot_unpivot",
+    "q_merge_upsert",
+    "q_join_salted",
+    "q_sketch_distinct",
+    "q_set_bag",
+    "q_sql_ansi",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R08_WINDOW
+    assert list(all_queries())[:50] == _R09_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():

@@ -18,6 +18,7 @@ data-dependent parity bug even though the stock gate is green.
 
     PYTHONPATH=. python tools/fuzz_parity.py /root/testdata/sf0.001 \
         --seed 1 --keep 700 [--nullify table.column=permille ...] \
+        [--dupkey table.column=permille ...] [--duprows table=permille ...] \
         [--nullprobe] [--scramble] [--window] [qid ...]
 
 With no qids: every registered query. `--window` adds the driver's
@@ -74,6 +75,8 @@ def materialize_slice(
     keep_permille: int,
     nullify: dict[tuple[str, str], int] | None = None,
     scramble: bool = False,
+    dupkey: dict[tuple[str, str], int] | None = None,
+    duprows: dict[str, int] | None = None,
 ) -> str:
     """Write the sampled copy of ``src_dir`` and return its path.
 
@@ -92,13 +95,38 @@ def materialize_slice(
     nondeterministic at scale (parquet split order is a scheduling
     accident) yet passes every same-order gate. Against a scrambled
     slice both engines still see identical bytes, so any mismatch vs
-    the same-order run is a genuine order-dependence bug."""
+    the same-order run is a genuine order-dependence bug.
+
+    ``dupkey`` maps (table, column) -> permille: that fraction of the
+    table's rows (decorrelated keyed hash) get their id column REMAPPED
+    to the next-lower id that exists in the slice — producing genuine
+    duplicate ids carried by rows with DIFFERENT payloads (ts, value,
+    ...). This violates the fixture's id-uniqueness premise behind the
+    (ts, event_id) total-order tie-breaks (VERDICT r08 item 2): with
+    distinct ts per holder the tie-break order stays total, so the
+    contract decision is DEFINED SEMANTICS — every query must still
+    match its oracle bitwise, and a divergence is a real hidden
+    uniqueness assumption (a join that multiplies, a dedup that keeps
+    the wrong row, a searchsorted kernel that assumed strict keys).
+
+    ``duprows`` maps table -> permille: that fraction of rows is
+    APPENDED as exact byte-identical copies — exact (ts, id) ordering
+    ties with identical payloads. Contract: a total-order pick between
+    identical rows is pick-invariant, so parity must hold here too;
+    engines diverging means a kernel leaked a physical row identity
+    (pandas index, monotonically_increasing_id) into its output."""
     from metoffice_spark.io import TABLES, table_path
 
     nullify = nullify or {}
+    dupkey = dupkey or {}
+    duprows = duprows or {}
     tag = "".join(
         f"_n{t}.{c}.{p}" for (t, c), p in sorted(nullify.items())
     )
+    tag += "".join(
+        f"_dk{t}.{c}.{p}" for (t, c), p in sorted(dupkey.items())
+    )
+    tag += "".join(f"_dr{t}.{p}" for t, p in sorted(duprows.items()))
     if scramble:
         tag += "_scram"
     out = os.path.join(
@@ -144,6 +172,36 @@ def materialize_slice(
                 pa.array(~nmask), tbl.column(nc), pa.scalar(None, field.type)
             )
             tbl = tbl.set_column(idx, field, nulled)
+        for (dt, dc), permille in dupkey.items():
+            if dt != t:
+                continue
+            if key is None:
+                raise SystemExit(f"--dupkey only supports fact tables, not {t!r}")
+            keys = tbl.column(dc).to_numpy()
+            dmask = _keep_mask(keys, seed * 17 + 3, permille)
+            uniq = np.sort(np.unique(keys))
+            pos = np.searchsorted(uniq, keys, side="left")
+            # remap each selected row's id to the NEXT-LOWER id present
+            # in the slice; the minimum id's holders keep theirs (no
+            # lower neighbor exists). Deterministic, engine-agnostic.
+            sel = dmask & (pos > 0)
+            newkeys = keys.copy()
+            newkeys[sel] = uniq[pos[sel] - 1]
+            idx = tbl.schema.get_field_index(dc)
+            field = tbl.schema.field(idx)
+            tbl = tbl.set_column(
+                idx, field, pa.array(newkeys, type=field.type)
+            )
+        if t in duprows:
+            if key is None:
+                raise SystemExit(
+                    f"--duprows only supports fact tables, not {t!r}"
+                )
+            rmask = _keep_mask(
+                tbl.column(key).to_numpy(), seed * 13 + 5, duprows[t]
+            )
+            copies = tbl.filter(pa.array(rmask))
+            tbl = pa.concat_tables([tbl, copies])
         pq.write_table(tbl, dst)
     return out
 
@@ -225,6 +283,25 @@ if __name__ == "__main__":
         if not (t and c and p.isdigit()):
             sys.exit(f"bad --nullify spec {spec!r}; want table.column=permille")
         nullify[(t, c)] = int(p)
+    dupkey: dict[tuple[str, str], int] = {}
+    while "--dupkey" in args:
+        i = args.index("--dupkey")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        tc, _, p = spec.partition("=")
+        t, _, c = tc.partition(".")
+        if not (t and c and p.isdigit()):
+            sys.exit(f"bad --dupkey spec {spec!r}; want table.column=permille")
+        dupkey[(t, c)] = int(p)
+    duprows: dict[str, int] = {}
+    while "--duprows" in args:
+        i = args.index("--duprows")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        t, _, p = spec.partition("=")
+        if not (t and p.isdigit()):
+            sys.exit(f"bad --duprows spec {spec!r}; want table=permille")
+        duprows[t] = int(p)
     use_nullprobe = "--nullprobe" in args
     if use_nullprobe:
         args.remove("--nullprobe")
@@ -245,10 +322,19 @@ if __name__ == "__main__":
     if use_window:
         only |= set(list(_collect())[:50])
 
-    slice_dir = materialize_slice(src_dir, seed, keep, nullify, use_scramble)
+    slice_dir = materialize_slice(
+        src_dir, seed, keep, nullify, use_scramble, dupkey, duprows
+    )
     print(
         f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows"
-        f"{', scrambled row order' if use_scramble else ''})"
+        f"{', scrambled row order' if use_scramble else ''}"
+        + "".join(
+            f", {p}‰ dup ids in {t}.{c}" for (t, c), p in sorted(dupkey.items())
+        )
+        + "".join(
+            f", {p}‰ exact row copies in {t}" for t, p in sorted(duprows.items())
+        )
+        + ")"
     )
     spark = get_spark("fuzz-parity")
     con = connect_oracle(slice_dir)
