@@ -1366,10 +1366,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels); all data work is joins + aggregates. At 100 TB this is
     the alternating big-star/small-star pattern — each round is one
     shuffle on doc_id, diameter rounds total (here <= ~4)."""
-    # nodes FIRST: _corpus runs tune(), whose query-scope boundary
-    # releases all scoped persists — called after the edge build it
-    # would immediately unpersist the edge cache (and the posting-list
-    # cache inside it) that the 32-round loop depends on.
+    # nodes FIRST: _corpus runs tune(), the query-scope boundary.
+    # Since the r09 scope-retention queue a nested tune() no longer
+    # unpersists this builder's caches (they rotate, still cached),
+    # but ordering tune()-running helpers first keeps all the loop's
+    # persists in ONE scope with a single retention lifetime.
     nodes = _corpus(spark, sf_dir).select("doc_id")
     edges = scoped_persist(_ngram_edges(spark, sf_dir))
     # bidirectional edge list

@@ -34,6 +34,12 @@ from metoffice_spark.session import refresh_on_first_action, scoped_persist, tun
 _CTE = oracle_cte()
 
 # Shared CTE chain used by all rain oracle SQL. Dialect-common.
+# The counter is the FINAL ordering tie-break in both state windows
+# (r09 duprows probe class, fixed pre-emptively with q_win_lag):
+# byte-identical duplicate deliveries tie on (ts, obs_id) with
+# DISTINCT counter values, so FIRST_VALUE at a duplicated day-first
+# click and the 1-PRECEDING frame boundary between twins are
+# engine-arbitrary without it. No-op on unique-(ts, obs_id) input.
 _RAIN_BASE_SQL = """
 rain_base AS (
   SELECT *,
@@ -41,13 +47,13 @@ rain_base AS (
          CAST(rain_sensor_ts AS DATE) = day AS fresh,
          FIRST_VALUE(rain_counter_mm) OVER (
            PARTITION BY station_id, day
-           ORDER BY ts, obs_id) AS day_start
+           ORDER BY ts, obs_id, rain_counter_mm) AS day_start
   FROM observations
 ),
 rain_state AS (
   SELECT *,
          MAX(CASE WHEN fresh AND r <> day_start THEN r END) OVER (
-           PARTITION BY station_id, day ORDER BY ts, obs_id
+           PARTITION BY station_id, day ORDER BY ts, obs_id, rain_counter_mm
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_saved
   FROM rain_base
 )
@@ -58,7 +64,9 @@ def add_rain_state(df: DataFrame) -> DataFrame:
     """Attach day/fresh/day_start/prev_saved state columns to any
     obs-shaped DataFrame (station_id, ts, obs_id, rain_counter_mm,
     rain_sensor_ts). DataFrame mirror of the rain_base/rain_state CTEs."""
-    w_day = Window.partitionBy("station_id", "day").orderBy("ts", "obs_id")
+    w_day = Window.partitionBy("station_id", "day").orderBy(
+        "ts", "obs_id", "rain_counter_mm"
+    )
     if "day" not in df.columns:  # obs substrate already carries day
         df = df.withColumn("day", F.to_date("ts"))
     base = (
@@ -126,9 +134,21 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the window sort is local to one day of one station
     instead of a 4-key whole-history sort. The day's first observation
     has no previous row (prev_r NULL, delta 0) — exactly the day-reset
-    semantics."""
+    semantics.
+
+    The counter is the FINAL ordering tie-break (r09 duprows probe):
+    byte-identical duplicate deliveries tie on (ts, obs_id) but the
+    substrate's within-day running sum assigns them DISTINCT counter
+    values (prior+x, prior+2x — a deterministic SET, arbitrarily
+    paired to the twins), and this consumer's window re-sorts the tie
+    independently — without the tie-break, which twin lags which is
+    an engine accident. Ordering by the counter itself makes the
+    order total and naturally monotone; on unique-(ts, obs_id) data
+    it is a no-op."""
     df = observations(tune(spark), sf_dir)
-    w = Window.partitionBy("station_id", "day").orderBy("ts", "obs_id")
+    w = Window.partitionBy("station_id", "day").orderBy(
+        "ts", "obs_id", "rain_counter_mm"
+    )
     prev_r = F.lag("rain_counter_mm").over(w)
     return df.select(
         "station_id",
@@ -144,10 +164,10 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WIN_LAG = f"""{_CTE}
 SELECT station_id, obs_id, rain_counter_mm AS r,
        LAG(rain_counter_mm) OVER (PARTITION BY station_id, day
-                                  ORDER BY ts, obs_id) AS prev_r,
+                                  ORDER BY ts, obs_id, rain_counter_mm) AS prev_r,
        rain_counter_mm - COALESCE(
          LAG(rain_counter_mm) OVER (PARTITION BY station_id, day
-                                    ORDER BY ts, obs_id),
+                                    ORDER BY ts, obs_id, rain_counter_mm),
          rain_counter_mm) AS delta_r
 FROM observations
 """

@@ -1065,8 +1065,10 @@ def q_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1e-6 fixed point), plus overall accuracy_fp and kappa."""
     from metoffice_spark.operators.classify import q_nb_langid
 
-    # Runs tune() internally — must come BEFORE any scoped_persist of
-    # this builder (session.py scoped_persist contract).
+    # Runs tune() internally — ordered before this builder's own
+    # scoped persists so they all land in one retention scope
+    # (session.py scope contract; no longer correctness-critical
+    # since the r09 retention queue, but keeps lifetimes aligned).
     conf = q_nb_langid(spark, sf_dir)
     conf = scoped_persist(conf)
     actuals = conf.groupBy(F.col("actual_lang").alias("cls")).agg(

@@ -310,26 +310,39 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A new session starts when the gap is >= 30 min (session intervals are
 # half-open [ts, ts+gap), so an exactly-30-min gap does NOT merge).
+# Duplicate-delivery boundary (r09 duprows probe): session BOUNDARIES
+# depend only on the time axis — exactly session_window's semantics —
+# so the marks/sid chain runs over DISTINCT (station, ts) (tie-free:
+# a lag+cumsum pair over a TIED ordering pairs new_s with rows
+# engine-arbitrarily), and the row COUNT fans back out afterward so
+# duplicate deliveries still count as observations, matching Spark's
+# count(*) per session window.
 ORACLE_STREAM_SESSION = f"""{_CTE},
+dts AS (SELECT DISTINCT station_id, ts FROM observations),
 marks AS (
-  SELECT station_id, ts, obs_id,
-         CASE WHEN lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id) IS NULL
-                OR ts >= lag(ts) OVER (PARTITION BY station_id ORDER BY ts, obs_id)
+  SELECT station_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY station_id ORDER BY ts) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY station_id ORDER BY ts)
                          + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
-  FROM observations
+  FROM dts
 ),
 sess AS (
   SELECT station_id, ts,
-         sum(new_s) OVER (PARTITION BY station_id ORDER BY ts, obs_id
+         sum(new_s) OVER (PARTITION BY station_id ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marks
+),
+rows_in AS (
+  SELECT o.station_id, s.sid, o.ts
+  FROM observations o JOIN sess s
+    ON s.station_id IS NOT DISTINCT FROM o.station_id AND s.ts = o.ts
 )
 SELECT station_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_obs
-FROM sess
+FROM rows_in
 GROUP BY station_id, sid
 HAVING max(ts) + INTERVAL 30 MINUTE <= {_wm_cutoff_sql("1 SECOND")}
 """
@@ -405,7 +418,12 @@ def _rain_machine(key, pdf_iter, state: GroupState):
     else:
         cur_day, day_start, saved = -1, 0.0, 0.0
     chunks = list(pdf_iter)
-    pdf = pd.concat(chunks).sort_values(["ts", "obs_id"])
+    # counter as the final tie-break, mirroring _RAIN_BASE_SQL's
+    # windows (r09 duprows class): duplicate deliveries tie on
+    # (ts, obs_id) with DISTINCT counter values, and day_start/saved
+    # are order-dependent state — pandas' stable sort would otherwise
+    # pick the file-order twin where the oracle picks min-r.
+    pdf = pd.concat(chunks).sort_values(["ts", "obs_id", "rain_counter_mm"])
     out_rows = []
     for row in pdf.itertuples():
         day = row.ts.toordinal()
@@ -549,11 +567,18 @@ WHERE windspeed_ms <> 0
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the replay appends a second file that
     re-delivers every obs_id % 101 == 0 row (an at-least-once source
-    retry); ``dropDuplicates`` on the key holds seen-ids in state
-    across micro-batches and suppresses the redeliveries. Output ==
-    the original observation set — the streaming face of
-    q_dedup_exact. At scale the state store shards by key; with a
-    watermark (dropDuplicatesWithinWatermark) the state is bounded."""
+    retry); ``dropDuplicates`` holds seen keys in state across
+    micro-batches and suppresses the redeliveries. The dedup key is
+    the FULL output tuple — content identity, the streaming face of
+    q_dedup_exact's content digest (r09 dupkey probe: an id-only key
+    is UNDEFINED when the source violates id uniqueness — two
+    DIFFERENT readings sharing an id would keep whichever arrived
+    first, an arrival-order accident no oracle can mirror; the
+    sanctioned duplicate class is at-least-once redelivery, which is
+    byte-identical and content-keyed dedup suppresses it exactly).
+    Output == the distinct observation set. At scale the state store
+    shards by key hash; with a watermark
+    (dropDuplicatesWithinWatermark) the state is bounded."""
     spark = tune(spark)
     obs = observations(spark, sf_dir).select(*_OBS_COLS)
     dup_pred = F.col("obs_id") % 101 == 0
@@ -563,15 +588,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_file(obs, os.path.join(input_dir, "0000.parquet"), 1_000_000)
     _write_file(obs.filter(dup_pred), os.path.join(input_dir, "0001.parquet"), 1_001_000)
     sdf = _read_stream(spark, input_dir, one_file_batches=True)
-    deduped = sdf.dropDuplicates(["obs_id"]).select(
-        "station_id", "obs_id", "ts", "rain_counter_mm"
-    )
+    deduped = sdf.dropDuplicates(
+        ["station_id", "obs_id", "ts", "rain_counter_mm"]
+    ).select("station_id", "obs_id", "ts", "rain_counter_mm")
     out = _run_to_parquet(deduped, root)
     return spark.read.parquet(out)
 
 
 ORACLE_STREAM_DEDUP = f"""{_CTE}
-SELECT station_id, obs_id, ts, rain_counter_mm FROM observations
+SELECT DISTINCT station_id, obs_id, ts, rain_counter_mm FROM observations
 """
 
 
@@ -959,27 +984,45 @@ base AS (
 s1 AS (
   SELECT station_id, obs_id, ts, es, vfp,
          CAST(row_number() OVER w AS BIGINT) AS n_obs,
-         CAST(es - first_value(es) OVER w AS BIGINT) AS span_s,
          lag(es) OVER w AS pes,
          lag(vfp) OVER w AS pvfp
   FROM base
   WINDOW w AS (PARTITION BY station_id ORDER BY ts, obs_id)
 ),
-s2 AS (
-  SELECT station_id, obs_id, n_obs, span_s,
-         CAST(coalesce(sum(CASE WHEN pes IS NULL THEN 0
-                                ELSE (pvfp + vfp) * (es - pes) END)
-           OVER (PARTITION BY station_id ORDER BY ts, obs_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+-- duplicate-delivery boundary (r09 duprows probe): byte-identical
+-- rows tie on (ts, obs_id), and a tie group's per-row lag
+-- contributions are {{segment, 0, ...}} assigned in engine-arbitrary
+-- per-row order — a second ROWS-framed pass over the same tied
+-- ordering pairs cumulative sums with rows nondeterministically.
+-- Cumulative state is therefore only defined at TIE-GROUP
+-- granularity: sum each (ts, obs_id) group's contributions (group
+-- rows are tie-FREE), run the cumulative over those, then fan back
+-- out — every twin shares its group's num, exactly like the
+-- single-pass machine (GROUPS frame mode, which DuckDB lacks).
+grp AS (
+  SELECT station_id, ts, obs_id, max(es) AS es,
+         sum(CASE WHEN pes IS NULL THEN 0
+                  ELSE (pvfp + vfp) * (es - pes) END) AS gc
+  FROM s1 GROUP BY station_id, ts, obs_id
+),
+gcum AS (
+  SELECT station_id, ts, obs_id,
+         CAST(es - first_value(es) OVER w2 AS BIGINT) AS span_s,
+         CAST(coalesce(sum(gc) OVER (PARTITION BY station_id ORDER BY ts, obs_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
            AS BIGINT) AS num
-  FROM s1
+  FROM grp
+  WINDOW w2 AS (PARTITION BY station_id ORDER BY ts, obs_id)
 )
-SELECT station_id, obs_id, n_obs, span_s,
-       CASE WHEN span_s > 0 THEN
-         CASE WHEN num >= 0 THEN num // (2 * span_s)
-              ELSE -((-num) // (2 * span_s)) END
+SELECT s1.station_id, s1.obs_id, s1.n_obs, g.span_s,
+       CASE WHEN g.span_s > 0 THEN
+         CASE WHEN g.num >= 0 THEN g.num // (2 * g.span_s)
+              ELSE -((-g.num) // (2 * g.span_s)) END
        END AS twap_fp
-FROM s2
+FROM s1 JOIN gcum g
+  ON g.station_id IS NOT DISTINCT FROM s1.station_id
+ AND g.ts = s1.ts
+ AND g.obs_id IS NOT DISTINCT FROM s1.obs_id
 """
 
 

@@ -328,7 +328,14 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["gap_s"] = pd.array([None] * len(p), dtype="Int64")
             out["click_cents"] = pd.array([None] * len(p), dtype="Int64")
             return out
-        c = c.sort_values(["ep", "event_id"]).reset_index(drop=True)
+        # cents as the final click tie-break (r09 dupkey probe): two
+        # clicks can collide on (ep, event_id) — duplicate ids at the
+        # same SECOND-floored epoch — with different values; the
+        # searchsorted pick takes the LAST in-sort-order row of the
+        # winning ep, so the sort must be total for the pick to be an
+        # engine-independent max(ep, event_id, cents), mirrored by the
+        # oracle's ORDER BY ... DESC chain.
+        c = c.sort_values(["ep", "event_id", "cents"]).reset_index(drop=True)
         idx = np.searchsorted(c["ep"].values, p["ep"].values, side="right") - 1
         found = idx >= 0
         # vectorized gather + mask (no per-row Python): numpy take on
@@ -364,19 +371,30 @@ WITH ev AS (
 ),
 p AS (SELECT user_id, event_id, ep FROM ev WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id, ep, cents FROM ev WHERE event_type = 'click'),
+-- ROW granularity (r09 dupkey/duprows probes): the kernel emits one
+-- output row per purchase ROW; a rank partitioned by (user, id)
+-- would merge purchases that collide on event_id into one pick. The
+-- as-of pick runs once per DISTINCT (user, id, ep) key and fans back
+-- out over p, so duplicate-id purchases each keep their own pick and
+-- byte-identical duplicate purchases replicate theirs.
+pd AS (SELECT DISTINCT user_id, event_id, ep FROM p),
 best AS (
-  SELECT p.user_id, p.event_id AS purchase_event_id, p.ep AS purchase_s,
+  SELECT pd.user_id, pd.event_id, pd.ep,
          c.ep AS c_ep, c.cents AS c_cents,
-         row_number() OVER (PARTITION BY p.user_id, p.event_id
-                            ORDER BY c.ep DESC, c.event_id DESC) AS rn
-  FROM p LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM p.user_id
-                    AND c.ep <= p.ep
-)
-SELECT user_id, purchase_event_id, purchase_s,
-       CAST(c_ep AS BIGINT) AS last_click_s,
-       CAST(purchase_s - c_ep AS BIGINT) AS gap_s,
-       CAST(c_cents AS BIGINT) AS click_cents
-FROM best WHERE rn = 1
+         row_number() OVER (PARTITION BY pd.user_id, pd.event_id, pd.ep
+                            ORDER BY c.ep DESC, c.event_id DESC,
+                                     c.cents DESC) AS rn
+  FROM pd LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM pd.user_id
+                     AND c.ep <= pd.ep
+),
+b1 AS (SELECT * FROM best WHERE rn = 1)
+SELECT p.user_id, p.event_id AS purchase_event_id, p.ep AS purchase_s,
+       CAST(b1.c_ep AS BIGINT) AS last_click_s,
+       CAST(p.ep - b1.c_ep AS BIGINT) AS gap_s,
+       CAST(b1.c_cents AS BIGINT) AS click_cents
+FROM p JOIN b1 ON b1.user_id IS NOT DISTINCT FROM p.user_id
+              AND b1.event_id IS NOT DISTINCT FROM p.event_id
+              AND b1.ep = p.ep
 """
 
 QUERIES["q_udf_cogrouped"] = (q_udf_cogrouped, ORACLE_UDF_COGROUPED)

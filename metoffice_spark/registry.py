@@ -21,11 +21,12 @@ the returned frame's first ACTION (session.refresh_on_first_action),
 not at build time, so plan-only consumers (plan walkers, audit tools)
 build frames job-free. A builder may still run bounded setup scalars
 (q_graph_pagerank's nodes.count(), the streaming replays' max-ts
-lookups). The zero-exchange executed plan relies on the builder's
-scoped persists still being cached — calling ANOTHER builder (whose
-tune() releases scoped persists) before executing the frame degrades
-the plan to recompute. Build → inspect/execute → then build the next
-query.
+lookups). Scoped persists are retained across builder boundaries
+(session.py scope queue, VERDICT r08 stretch item 8): a frame's
+cached plan survives until _RETAIN_SCOPES newer builders have
+started, so drivers may freely interleave builds and executions; a
+scope that falls off the retention queue merely recomputes — always
+correct, just no longer exchange-free.
 """
 
 from __future__ import annotations

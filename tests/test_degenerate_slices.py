@@ -501,3 +501,86 @@ def test_nullsrcembed_slice_parity(qid, spark, nullsrcembed_dir):
         assert compare(spark, con, fn, sql, nullsrcembed_dir) == []
     finally:
         con.close()
+
+
+# --- duplicate-id / duplicate-row slices (r09 dup probes) --------------------
+#
+# The fixture's event_id uniqueness is an input CONTRACT the (ts,
+# event_id) total-order tie-breaks lean on. The r09 probes violate it
+# both ways and the contract decision is DEFINED SEMANTICS (VERDICT
+# r08 item 2):
+#
+# --dupkey events.event_id=300 (duplicate ids, DISTINCT payloads —
+# ts stays unique per holder, so every tie-break order stays total):
+#   - q_stream_dedup: an id-only dedup key kept whichever duplicate
+#     arrived first (an arrival-order accident) — now content-keyed
+#     over the full output tuple, the streaming face of
+#     q_dedup_exact's digest;
+#   - q_udf_cogrouped: the oracle's rank partition (user, event_id)
+#     merged duplicate-id purchases into one pick — now ranks per
+#     DISTINCT (user, id, ep) and fans back out to row granularity,
+#     with cents as the click tie-break for (ep, id) collisions.
+#
+# --duprows events=300 (byte-identical row copies — exact ordering
+# ties): the obs substrate's running counter assigns the twins a
+# deterministic value SET but pairs it to them arbitrarily, so any
+# consumer running a SECOND pass over the tied ordering re-pairs rows
+# engine-arbitrarily:
+#   - q_win_lag: counter added as the final window tie-break (total
+#     order; no-op on unique input);
+#   - q_stream_session: oracle boundaries now computed over DISTINCT
+#     (station, ts) — tie-free, exactly session_window's time-axis
+#     semantics — with counts fanned back out;
+#   - q_stream_twap: oracle cumulative now runs at tie-GROUP
+#     granularity (grp/gcum CTEs) so twins share their group's num,
+#     like the single-pass machine.
+DUP_QIDS = (
+    "q_stream_dedup",
+    "q_udf_cogrouped",
+    "q_stream_session",
+    "q_stream_twap",
+    "q_win_lag",
+    # rain-state family: fixed PRE-emptively (the probe pass was
+    # distributional luck — FIRST_VALUE/frame-boundary divergence
+    # needs a day's FIRST obs to be a duplicated click): counter
+    # tie-break in _RAIN_BASE_SQL + add_rain_state + _rain_machine.
+    "q_rain_daily_delta",
+    "q_rain_rate",
+    "q_win_first_of_day",
+    "q_stream_stateful",
+)
+
+
+@pytest.fixture(scope="module")
+def dupkey_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        dupkey={("events", "event_id"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def duprows_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000, duprows={"events": 300}
+    )
+
+
+@pytest.mark.parametrize("qid", DUP_QIDS)
+def test_dupkey_slice_parity(qid, spark, dupkey_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(dupkey_dir)
+    try:
+        assert compare(spark, con, fn, sql, dupkey_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", DUP_QIDS)
+def test_duprows_slice_parity(qid, spark, duprows_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(duprows_dir)
+    try:
+        assert compare(spark, con, fn, sql, duprows_dir) == []
+    finally:
+        con.close()

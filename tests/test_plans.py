@@ -138,11 +138,19 @@ def test_rollup_refresh_is_gated_behind_first_action(spark, sf_smoke):
         # RDDs appear in storage info only once blocks exist, i.e.
         # once a refresh job actually ran (read.parquet's footer job
         # is inherent to every builder and caches nothing). Compare
-        # ID SETS, not counts: the builder's tune() releases earlier
-        # tests' scoped persists asynchronously, so totals can shrink
-        # under us — only NEW ids mean this builder materialized.
+        # ID SETS, not counts: the builder's tune() may evict earlier
+        # tests' scope-queue overflow, so totals can shrink under us —
+        # only NEW ids mean this builder materialized.
         return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
+    # Cold-cache premise: the r09 scope-retention queue keeps an
+    # earlier test's rollup levels cached across builder boundaries,
+    # and a re-build of the SAME plans re-attaches to those entries —
+    # no NEW blocks would appear and the refresh-visibility assertions
+    # below would be vacuous. Flush first.
+    from metoffice_spark.session import release_scoped_persists
+
+    release_scoped_persists()
     before = materialized_cache_ids()
     df = q_rollup_hypertable(spark, sf_smoke)
     assert materialized_cache_ids() - before == set(), (
@@ -630,3 +638,36 @@ def test_pagerank_degree_join_no_window_sort(spark, sf_smoke):
 
     plan = _plan(q_graph_pagerank(spark, sf_smoke))
     assert "Window" not in plan, "outdeg window is back"
+
+
+def test_scope_retention_survives_interleaved_builds(spark):
+    """VERDICT r08 stretch item 8: a builder's scoped persists must
+    stay cached while up to _RETAIN_SCOPES newer builders start (each
+    tune() call is a scope rotation), so an interleaved build/execute
+    driver keeps the cached plan; only the retention-queue overflow is
+    unpersisted, and a full flush releases everything."""
+    from metoffice_spark.session import (
+        _RETAIN_SCOPES,
+        release_scoped_persists,
+        scoped_persist,
+        tune,
+    )
+
+    release_scoped_persists()
+    dfs = []
+    try:
+        for i in range(_RETAIN_SCOPES + 3):
+            tune(spark)  # scope boundary, as at every builder's top
+            dfs.append(scoped_persist(spark.range(100 + i)))
+        overflow = len(dfs) - (_RETAIN_SCOPES + 1)  # queue + current
+        for d in dfs[:overflow]:
+            assert not d.storageLevel.useMemory, "overflow not released"
+        for d in dfs[overflow:]:
+            assert d.storageLevel.useMemory, (
+                "retained scope lost its cache — interleaved "
+                "build/execute would degrade to recompute"
+            )
+    finally:
+        release_scoped_persists()
+    for d in dfs:
+        assert not d.storageLevel.useMemory, "full flush left a cache"

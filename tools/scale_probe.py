@@ -70,6 +70,13 @@ PROBE_QIDS = (
     "q_dedup_fuzzy",         # MinHash/LSH banding (near-dup clusters!)
     "q_sim_search_lsh",      # LSH bucketed ANN
     "q_graph_pagerank",      # iterative: |E| grows ~N
+    # r09: the other two slowest headliners (VERDICT r08 item 6) —
+    # never probed past the 13-family 8x/16x sweep. The replication
+    # scheme shifts user_id per copy, so each copy's edges stay within
+    # the copy: the graph becomes N disjoint same-shape components,
+    # |V| and |E| scale by exactly N and BFS depth stays fixed.
+    "q_graph_bfs",           # broadcast-frontier iterative expansion
+    "q_graph_jaccard",       # candidate-capped pair verify
 )
 
 
