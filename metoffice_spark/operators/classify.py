@@ -309,20 +309,21 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< 50% duplicated)."""
     spark = tune(spark)
     docs = load(spark, sf_dir, "documents")
-    # Spans are DISTINCT per doc already after array_distinct (a
-    # map-side row-local dedup), so the exploded (doc_id, sh) table
-    # needs no distinct shuffle; the cross-corpus doc-frequency is a
-    # COUNT window on sh (spans being per-doc-distinct makes the
-    # partition count exactly the doc frequency), which replaces the
-    # groupBy + join-back pair. 4 shuffles of the span table -> 2
-    # (window on sh, agg on doc_id); _spread parallelizes the
+    # The (doc_id, sh) table must be a SET across rows, not just
+    # row-local array_distinct (r09 drdocs probe: a duplicate-id
+    # delivery otherwise double-counts every span, inflating both the
+    # sh-window doc frequency and n_spans vs the oracle's SELECT
+    # DISTINCT) — hence the .distinct(). The cross-corpus
+    # doc-frequency stays a COUNT window on sh (per-doc-distinct spans
+    # make the partition count exactly the doc frequency), replacing
+    # the groupBy + join-back pair; _spread parallelizes the
     # tokenize+md5 work off the scan's few input partitions.
     from metoffice_spark.operators.llm import _spread
 
     doc_spans = _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_spans_spark()))).alias("sh"),
-    )
+    ).distinct()
     w_sh = Window.partitionBy("sh")
     per_doc = (
         doc_spans.withColumn("n_docs_span", F.count(F.lit(1)).over(w_sh))

@@ -487,10 +487,15 @@ def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _corpus(spark, sf_dir)
+    # .distinct(): the audit is per-document CONTENT — a byte-identical
+    # duplicate-id delivery (r09 drdocs probe) must collapse to one
+    # (doc_id, shingle-set) row on both sides, or every downstream
+    # doc_a join multiplies pair rows asymmetrically vs the oracle.
     shingled = scoped_persist(
         corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
         .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
     )
     hashed = shingled.select("doc_id", F.expr(_HS_SPARK).alias("hs"))
     mh_arr = "array(" + ", ".join(_mh_spark(j) for j in range(_N_MINHASH)) + ")"
@@ -552,9 +557,12 @@ def _minhash_audit_oracle() -> str:
     return f"""
 WITH {_CORPUS_DUCK.strip()},
 shingled AS (
+  -- DISTINCT (doc_id, sh) mirrors the Spark side's .distinct():
+  -- byte-identical duplicate-id deliveries collapse to one content
+  -- row before any doc_a join (r09 drdocs probe)
   SELECT doc_id, sh, {_HS_DUCK} AS hs
   FROM (
-    SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+    SELECT DISTINCT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
     FROM (SELECT doc_id, {TOKS_DUCK} AS toks FROM corpus)
     WHERE len(toks) >= 3
   )

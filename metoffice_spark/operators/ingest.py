@@ -606,27 +606,34 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(cdir)
         .withColumn("fmt", F.lit("csv"))
     )
-    truth = docs.select(
-        "doc_id",
-        F.col("text").alias("text_truth"),
-        F.col("n_chars").alias("chars_truth"),
+    # DISTINCT content tuples, matched null-safely on (doc_id, text)
+    # (r09 dup probes): a plain doc_id equi-join fans out 2x2 under
+    # duplicate-id deliveries, inflating n_rows; joining each
+    # round-tripped ROW against the distinct truth-tuple SET keeps row
+    # granularity (n_rows == rows read back) while still counting
+    # byte-exact survival — a corrupted text matches no tuple and
+    # drops from n_text_exact, exactly the fidelity property. The
+    # eqNullSafe text match keeps the r07 NULL-text finding fixed: a
+    # NULL that round-trips to NULL survived faithfully (JSON drops
+    # the field, ORC stores NULL, CSV uses the \\N sentinel).
+    truth = (
+        docs.select("doc_id", F.col("text").alias("text_truth"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
     )
     back_o = spark.read.schema(_DOCS_SCHEMA).orc(odir).withColumn(
         "fmt", F.lit("orc")
     )
-    back = back_j.unionByName(back_c).unionByName(back_o).join(truth, "doc_id")
+    back = back_j.unionByName(back_c).unionByName(back_o).alias("b")
+    back = back.join(
+        truth.alias("t"),
+        F.col("b.doc_id").eqNullSafe(F.col("t.doc_id"))
+        & F.col("b.text").eqNullSafe(F.col("t.text_truth")),
+        "left",
+    )
     return back.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        # eqNullSafe: a NULL text that rounds-trips to NULL survived
-        # faithfully (JSON drops the field, ORC stores NULL, CSV uses
-        # the \\N sentinel) — plain == returns NULL and silently drops
-        # such rows from the fidelity count, failing the oracle's
-        # every-row-survives contract on a NULL-bearing corpus (r07
-        # null-text fuzz finding). A format that corrupted NULL into
-        # '' still fails, as it should.
-        F.count(F.when(F.col("text").eqNullSafe(F.col("text_truth")), 1))
-        .cast("bigint")
-        .alias("n_text_exact"),
+        F.count("matched").cast("bigint").alias("n_text_exact"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
     )
 

@@ -751,10 +751,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew lever) and (doc_a, doc_b) pair ids. Jaccard is computed over
     the rare-bigram sets on both sides, identically."""
     corpus = _corpus(spark, sf_dir)
+    # .distinct() makes the posting list a SET at (doc_id, bg) level
+    # ACROSS rows, not just within one row's array_distinct — the
+    # oracle's SELECT DISTINCT semantics. Without it a duplicate-id
+    # delivery (r09 drdocs probe) double-counts every posting: DF
+    # counts drift past the cutoff asymmetrically and the intersection
+    # multiplicities can push c past na+nb-c (a DIVIDE_BY_ZERO crash,
+    # llm.py jaccard denominator). Standard inverted-index builds
+    # dedup postings; the extra (doc_id, bg) exchange is the price of
+    # a well-defined index under at-least-once ingest.
     bigr = (
         corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
         .filter(F.expr("size(toks) >= 2"))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_BIGRAMS_SPARK))).alias("bg"))
+        .distinct()
     )
     df_counts = bigr.groupBy("bg").agg(F.count("*").alias("n_docs"))
     # the rare-bigram inverted index feeds three consumers (sizes + both
@@ -1250,8 +1260,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_DECODE = f"""
 WITH px AS (
   -- coalesce(text, ''): a NULL payload is a MISSING asset and scores
-  -- as empty (n_bytes 0, zeroed stats) on both engines
-  SELECT doc_id,
+  -- as empty (n_bytes 0, zeroed stats) on both engines.
+  -- Single pass carrying n_chars — NO join-back on doc_id: the Spark
+  -- side is map-only one-output-per-input-ROW, and a doc_id join
+  -- would fan out 2x2 under duplicate-id deliveries (r09 drdocs
+  -- probe) where the row-granular pipeline emits one row per copy.
+  SELECT doc_id, n_chars,
          CASE WHEN octet_length(CAST(coalesce(text, '') AS BLOB))
                    <> length(coalesce(text, ''))
               THEN error('documents.text is not pure ASCII (doc_id '
@@ -1262,22 +1276,22 @@ WITH px AS (
                                              CAST(i AS INT), 1))) AS v
   FROM documents
 )
-SELECT d.doc_id,
-       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-            WHEN d.doc_id % 3 = 1 THEN 'audio'
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS fmt,
-       CAST((d.n_chars % 64) + 16 AS INT) AS width,
-       CAST(((d.doc_id * 7) % 64) + 16 AS INT) AS height,
-       CAST(p.n AS BIGINT) AS n_bytes,
-       CAST(COALESCE(list_aggregate(p.v, 'sum'), 0) // greatest(p.n, 1) AS INT)
+       CAST((n_chars % 64) + 16 AS INT) AS width,
+       CAST(((doc_id * 7) % 64) + 16 AS INT) AS height,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(COALESCE(list_aggregate(v, 'sum'), 0) // greatest(n, 1) AS INT)
          AS brightness,
-       CAST(COALESCE(list_aggregate(p.v, 'min'), 0) AS INT) AS px_min,
-       CAST(COALESCE(list_aggregate(p.v, 'max'), 0) AS INT) AS px_max,
-       CAST(1000000 * len(list_filter(p.v, x -> x < {_DARK_CUTOFF}))
-            // greatest(p.n, 1) AS BIGINT) AS dark_frac_fp,
-       CAST(CASE WHEN d.doc_id % 3 = 2 THEN (d.doc_id % 24) + 1 ELSE 1 END AS INT)
+       CAST(COALESCE(list_aggregate(v, 'min'), 0) AS INT) AS px_min,
+       CAST(COALESCE(list_aggregate(v, 'max'), 0) AS INT) AS px_max,
+       CAST(1000000 * len(list_filter(v, x -> x < {_DARK_CUTOFF}))
+            // greatest(n, 1) AS BIGINT) AS dark_frac_fp,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 24) + 1 ELSE 1 END AS INT)
          AS n_frames
-FROM documents d JOIN px p USING (doc_id)
+FROM px
 """
 
 

@@ -31,9 +31,12 @@ QUERIES: dict = {}
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per data-quality check: (check_name, n_checked,
-    n_violations, pass). Checks: primary-key uniqueness, not-null,
-    referential integrity (orders→customer), and domain ranges
-    (discount ∈ [0,1], quantity > 0).
+    n_violations, pass). Checks: primary-key uniqueness (orders,
+    documents), the corpus id-content-conflict contract (a doc_id
+    carrying >1 distinct text — the violation class under which the
+    per-doc operator families are out of contract, r09 dkdocs probe),
+    not-null, referential integrity (orders→customer), and domain
+    ranges (discount ∈ [0,1], quantity > 0).
 
     Scale: the three lineitem range/null checks share ONE scan (a
     single aggregate computes them all); the orders scan serves BOTH
@@ -43,6 +46,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
+    docs = load(spark, sf_dir, "documents")
 
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
@@ -102,8 +106,44 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.*")
-    return li_rows.unionByName(ord_rows).withColumn(
-        "pass", F.col("n_violations") == 0
+    # Corpus id contract (r09 dkdocs probe decision): the doc-keyed
+    # operator families assume doc_id identifies ONE content. Two
+    # checks, one scan: strict PK uniqueness (byte-identical
+    # redeliveries violate it but are IN-contract — the dedup/content
+    # operators collapse them deterministically), and the HARD
+    # contract — a doc_id carrying >1 DISTINCT text, under which "the
+    # document with id X" is ill-defined and the per-doc operator
+    # families' behavior is out of contract. Only md5 digests shuffle,
+    # never bodies (the q_dedup_exact wire discipline); the NULL-text
+    # sentinel keeps NULL distinct from absent.
+    per_id = docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct(
+            F.coalesce(F.md5("text"), F.lit("<null>"))
+        ).alias("nv"),
+    )
+    doc_agg = per_id.agg(
+        F.sum("c").alias("n"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dup_pk"),
+        F.count(F.lit(1)).alias("n_ids"),
+        F.count(F.when(F.col("nv") > 1, 1)).alias("n_conflict"),
+    )
+    doc_rows = doc_agg.select(
+        F.explode(
+            F.array(
+                crow("documents_pk_unique", F.col("n"), F.col("dup_pk")),
+                crow(
+                    "documents_id_content_conflict",
+                    F.col("n_ids"),
+                    F.col("n_conflict"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return (
+        li_rows.unionByName(ord_rows)
+        .unionByName(doc_rows)
+        .withColumn("pass", F.col("n_violations") == 0)
     )
 
 
@@ -121,6 +161,17 @@ ord_agg AS (
 orph AS (
   SELECT count(*) AS n_orphans FROM orders
   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+doc_agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c) - count(*) AS BIGINT) AS dup_pk,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         CAST(count(CASE WHEN nv > 1 THEN 1 END) AS BIGINT) AS n_conflict
+  FROM (
+    SELECT doc_id, count(*) AS c,
+           count(DISTINCT coalesce(md5(text), '<null>')) AS nv
+    FROM documents GROUP BY doc_id
+  )
 )
 SELECT 'lineitem_quantity_positive' AS check_name,
        CAST(n AS BIGINT) AS n_checked, CAST(bad_qty AS BIGINT) AS n_violations,
@@ -137,6 +188,12 @@ SELECT 'orders_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
 UNION ALL
 SELECT 'orders_custkey_references_customer', CAST(NULL AS BIGINT),
        CAST(n_orphans AS BIGINT), n_orphans = 0 FROM orph
+UNION ALL
+SELECT 'documents_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
+       dup_pk = 0 FROM doc_agg
+UNION ALL
+SELECT 'documents_id_content_conflict', CAST(n_ids AS BIGINT),
+       CAST(n_conflict AS BIGINT), n_conflict = 0 FROM doc_agg
 """
 
 QUERIES["q_dq_checks"] = (q_dq_checks, ORACLE_DQ_CHECKS)

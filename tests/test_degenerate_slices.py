@@ -584,3 +584,94 @@ def test_duprows_slice_parity(qid, spark, duprows_dir):
         assert compare(spark, con, fn, sql, duprows_dir) == []
     finally:
         con.close()
+
+
+# --- duplicate doc_id slices (r09 doc-axis dup probes) -----------------------
+#
+# The corpus contract (decision recorded in SURVEY §5): doc_id
+# identifies ONE content. Byte-identical duplicate-id deliveries
+# (at-least-once re-ingest) are IN contract — the content-keyed
+# operators collapse them deterministically on both engines:
+#   - q_dedup_ngram_jaccard / q_dedup_components: posting lists are
+#     SETS at (doc_id, bg) level across rows (the .distinct(); without
+#     it DF counts drift and intersection multiplicities can push c
+#     past na+nb-c, a DIVIDE_BY_ZERO crash);
+#   - q_dedup_lines: (doc_id, span) distinct across rows;
+#   - q_minhash_est_audit: one (doc_id, shingle-set) row per content;
+#   - q_multimodal_decode: oracle is single-pass row-granular (a
+#     doc_id join-back fanned out 2x2);
+#   - q_src_multiformat: fidelity via distinct content tuples matched
+#     null-safely on (doc_id, text), keeping row granularity.
+# A doc_id carrying >1 DISTINCT text is the OUT-of-contract class:
+# "the document with id X" is ill-defined, and the per-doc operator
+# families (q_nb_langid + the eval family built on it,
+# q_pack_sequences, q_sample_stratified/weighted, q_span_corruption,
+# q_text_keyphrase, q_tokenize_ids) are excused from parity there.
+# The shipped gate DETECTS it: q_dq_checks'
+# documents_id_content_conflict row — asserted below on both slices.
+DOC_DUP_QIDS = (
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_lines",
+    "q_minhash_est_audit",
+    "q_multimodal_decode",
+    "q_src_multiformat",
+    "q_dq_checks",
+)
+
+
+@pytest.fixture(scope="module")
+def dkdocs_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        dupkey={("documents", "doc_id"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def drdocs_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000, duprows={"documents": 300}
+    )
+
+
+@pytest.mark.parametrize("qid", DOC_DUP_QIDS)
+def test_drdocs_slice_parity(qid, spark, drdocs_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(drdocs_dir)
+    try:
+        assert compare(spark, con, fn, sql, drdocs_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", DOC_DUP_QIDS)
+def test_dkdocs_slice_parity(qid, spark, dkdocs_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(dkdocs_dir)
+    try:
+        assert compare(spark, con, fn, sql, dkdocs_dir) == []
+    finally:
+        con.close()
+
+
+def test_dq_gate_detects_id_content_conflict(spark, dkdocs_dir, drdocs_dir):
+    """The detect-and-fail half of the corpus contract: the conflict
+    check FIRES on conflicting-payload duplicate ids and stays quiet
+    on byte-identical redeliveries (which only trip the softer strict
+    PK row)."""
+    from metoffice_spark.operators.quality import q_dq_checks
+
+    def rows(d):
+        return {
+            r["check_name"]: r
+            for r in q_dq_checks(spark, d).collect()
+        }
+
+    conflicted = rows(dkdocs_dir)["documents_id_content_conflict"]
+    assert conflicted["n_violations"] > 0 and not conflicted["pass"]
+
+    redelivered = rows(drdocs_dir)
+    assert redelivered["documents_id_content_conflict"]["pass"]
+    strict = redelivered["documents_pk_unique"]
+    assert strict["n_violations"] > 0 and not strict["pass"]
