@@ -47,7 +47,17 @@ _RUNTIME_CONF = {
 #   - an evicted scope's unpersist may uncache a logical plan a newer
 #     re-build of the SAME query still references — that frame then
 #     recomputes (always correct, merely no longer exchange-free).
-_RETAIN_SCOPES = 4
+# Env-tunable depth. Default 1: the r09 bench A/B on local[32]/12g
+# (3-rep sweeps, sf0.1) measured depth 4 at ~5% slower than depth 0
+# (extra materialized caches squeeze execution memory in a single
+# JVM), while depth 1 was indistinguishable from 0 (48.2 vs 51.0 s
+# totals, warm sweeps 46.8 vs 47.0) — and depth 1 already delivers
+# the contract: the PREVIOUS builder's frame stays cached through the
+# next build (one-ahead interleave, the realistic driver pattern) and
+# a nested tune() can no longer release its own builder's persists.
+# Deployments interleaving deeper can raise it; 0 restores the
+# pre-r09 release-at-next-builder behavior.
+_RETAIN_SCOPES = int(os.environ.get("SPARK_GRAFT_RETAIN_SCOPES", "1"))
 _SCOPES: list[list] = []   # retention queue, oldest first
 _CURRENT: list = []        # persists of the currently building query
 
