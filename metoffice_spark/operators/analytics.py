@@ -733,7 +733,11 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_cnt = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    n_orders = baskets.select("l_orderkey").distinct().count()  # setup scalar
+    # setup scalar; countDistinct EXCLUDES the NULL key like the
+    # oracle's count(DISTINCT l_orderkey) — .distinct().count() would
+    # count a NULL-orderkey group as a basket (r09 null-id probe),
+    # shifting every lift by one order
+    n_orders = baskets.agg(F.countDistinct("l_orderkey")).collect()[0][0]
     a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     pairs = (

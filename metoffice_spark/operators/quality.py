@@ -127,11 +127,18 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c") - F.count(F.lit(1))).alias("dup_pk"),
         F.count(F.lit(1)).alias("n_ids"),
         F.count(F.when(F.col("nv") > 1, 1)).alias("n_conflict"),
+        # the NOT-NULL half of the PK contract (r09 null-id probe):
+        # a NULL doc_id can't join, hash-split, or order — SQL itself
+        # refuses NULL PKs; rows in the NULL-id group count here
+        F.sum(
+            F.when(F.col("doc_id").isNull(), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_null_pk"),
     )
     doc_rows = doc_agg.select(
         F.explode(
             F.array(
                 crow("documents_pk_unique", F.col("n"), F.col("dup_pk")),
+                crow("documents_pk_not_null", F.col("n"), F.col("n_null_pk")),
                 crow(
                     "documents_id_content_conflict",
                     F.col("n_ids"),
@@ -166,7 +173,9 @@ doc_agg AS (
   SELECT CAST(sum(c) AS BIGINT) AS n,
          CAST(sum(c) - count(*) AS BIGINT) AS dup_pk,
          CAST(count(*) AS BIGINT) AS n_ids,
-         CAST(count(CASE WHEN nv > 1 THEN 1 END) AS BIGINT) AS n_conflict
+         CAST(count(CASE WHEN nv > 1 THEN 1 END) AS BIGINT) AS n_conflict,
+         CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN c END), 0)
+              AS BIGINT) AS n_null_pk
   FROM (
     SELECT doc_id, count(*) AS c,
            count(DISTINCT coalesce(md5(text), '<null>')) AS nv
@@ -191,6 +200,9 @@ SELECT 'orders_custkey_references_customer', CAST(NULL AS BIGINT),
 UNION ALL
 SELECT 'documents_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
        dup_pk = 0 FROM doc_agg
+UNION ALL
+SELECT 'documents_pk_not_null', CAST(n AS BIGINT), CAST(n_null_pk AS BIGINT),
+       n_null_pk = 0 FROM doc_agg
 UNION ALL
 SELECT 'documents_id_content_conflict', CAST(n_ids AS BIGINT),
        CAST(n_conflict AS BIGINT), n_conflict = 0 FROM doc_agg

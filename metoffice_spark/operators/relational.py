@@ -990,7 +990,13 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
-    salted_fact = obs.withColumn("salt", (F.col("obs_id") % _N_SALTS).cast("int"))
+    # coalesce: a NULL obs_id must land in a deterministic salt bucket
+    # (r09 null-id probe) — NULL % N is NULL, and a NULL salt key
+    # silently drops the row from the inner equi-join the salt is
+    # supposed to be TRANSPARENT to (the oracle is the unsalted join).
+    salted_fact = obs.withColumn(
+        "salt", F.coalesce((F.col("obs_id") % _N_SALTS).cast("int"), F.lit(0))
+    )
     salted_dim = dim.crossJoin(
         spark.range(_N_SALTS).select(F.col("id").cast("int").alias("salt"))
     )

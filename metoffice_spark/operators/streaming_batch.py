@@ -773,14 +773,16 @@ def q_stream_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a small always-hot rollup; a production variant adds one to
     bound state."""
     spark = tune(spark)
+    # coalesce: the batch split must be EXHAUSTIVE (the r08 q_incr_agg
+    # lesson, re-found by the r09 null-id probe) — a NULL obs_id fails
+    # all three plain `% 3 == k` predicates and silently vanishes from
+    # the replay; bucketing NULL ids into batch 2 keeps every
+    # observation delivered exactly once.
+    bucket3 = F.coalesce(F.col("obs_id") % 3, F.lit(2))
     input_dir, root = _replay(
         spark,
         sf_dir,
-        split_preds=[
-            F.col("obs_id") % 3 == 0,
-            F.col("obs_id") % 3 == 1,
-            F.col("obs_id") % 3 == 2,
-        ],
+        split_preds=[bucket3 == 0, bucket3 == 1, bucket3 == 2],
     )
     sdf = _read_stream(spark, input_dir, one_file_batches=True)
     agg = (
@@ -864,14 +866,13 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metoffice_spark.io import load
 
     spark = tune(spark)
+    # coalesce: exhaustive batch split under NULL obs_id (r09 null-id
+    # probe; same class as q_stream_cagg / the r08 q_incr_agg split).
+    bucket3 = F.coalesce(F.col("obs_id") % 3, F.lit(2))
     input_dir, root = _replay(
         spark,
         sf_dir,
-        split_preds=[
-            F.col("obs_id") % 3 == 0,
-            F.col("obs_id") % 3 == 1,
-            F.col("obs_id") % 3 == 2,
-        ],
+        split_preds=[bucket3 == 0, bucket3 == 1, bucket3 == 2],
     )
     region = load(spark, sf_dir, "region").select(
         F.col("r_regionkey").cast("string").alias("station_id"),

@@ -225,7 +225,11 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.DataFrame(
             {
-                "event_id": pdf["event_id"].astype("int64"),
+                # masked Int64, not int64: a NULL event_id arrives as
+                # NaN, and .astype("int64") either raises or coins the
+                # int64-min sentinel (r09 null-id probe) — the id must
+                # pass through as a NULL like any other column
+                "event_id": pdf["event_id"].astype("Int64"),
                 "event_type": pdf["event_type"],
                 "v_fp": ints(v),
                 "norm_fp": ints(norm),
@@ -319,7 +323,9 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pd.DataFrame(
             {
                 "user_id": pd.array([key[0]] * len(p), dtype="Int64"),
-                "purchase_event_id": p["event_id"].astype("int64"),
+                # Int64 (masked), not int64: a NULL purchase event_id
+                # must pass through as NULL (r09 null-id probe)
+                "purchase_event_id": p["event_id"].astype("Int64"),
                 "purchase_s": p["ep"].astype("int64"),
             }
         )
@@ -335,7 +341,13 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # winning ep, so the sort must be total for the pick to be an
         # engine-independent max(ep, event_id, cents), mirrored by the
         # oracle's ORDER BY ... DESC chain.
-        c = c.sort_values(["ep", "event_id", "cents"]).reset_index(drop=True)
+        # na_position="first": NULL ids/cents sort SMALLEST, so the
+        # searchsorted "last row of the winning ep" pick prefers the
+        # max NON-NULL (event_id, cents) — exactly the oracle's DESC
+        # NULLS LAST rank (r09 null-id probe).
+        c = c.sort_values(
+            ["ep", "event_id", "cents"], na_position="first"
+        ).reset_index(drop=True)
         idx = np.searchsorted(c["ep"].values, p["ep"].values, side="right") - 1
         found = idx >= 0
         # vectorized gather + mask (no per-row Python): numpy take on

@@ -675,3 +675,86 @@ def test_dq_gate_detects_id_content_conflict(spark, dkdocs_dir, drdocs_dir):
     assert redelivered["documents_id_content_conflict"]["pass"]
     strict = redelivered["documents_pk_unique"]
     assert strict["n_violations"] > 0 and not strict["pass"]
+
+
+# --- NULL-id slices (r09 null-id probe wave) ---------------------------------
+#
+# The id columns themselves were the one unprobed nullable axis. Five
+# axes at 300 permille: embeddings.vec_id and orders.o_orderkey were
+# clean registry-wide; events.event_id found five real divergences
+# (fixed — defined semantics: event_id is a payload/tie-break
+# attribute, NOT the weather model's identity): q_join_salted's salt
+# now coalesces NULL ids into bucket 0 (a NULL salt key silently
+# dropped the row from the join the salt must be transparent to),
+# q_stream_cagg / q_stream_static_join replay splits are exhaustive
+# under NULL ids (the r08 q_incr_agg non-exhaustive-split class),
+# and the two pandas kernels pass NULL ids through as masked Int64
+# instead of crashing (q_udf_grouped_map, q_udf_cogrouped — whose
+# click tie-break now sorts NULLs first, matching the oracle's DESC
+# NULLS LAST pick). lineitem.l_orderkey found q_collab_filter's
+# basket scalar counting the NULL-key group where the oracle's
+# count(DISTINCT) excludes it.
+#
+# documents.doc_id is the PK axis: NULL ids join the OUT-of-contract
+# class (a PK is NOT NULL + UNIQUE — SQL refuses NULL PKs), the 16
+# affected per-doc qids are excused from parity there, and the gate
+# detects it: q_dq_checks's documents_pk_not_null row.
+NULL_EID_QIDS = (
+    "q_join_salted",
+    "q_stream_cagg",
+    "q_stream_static_join",
+    "q_udf_cogrouped",
+    "q_udf_grouped_map",
+)
+
+
+@pytest.fixture(scope="module")
+def nulleid_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("events", "event_id"): 300},
+    )
+
+
+@pytest.fixture(scope="module")
+def nulldocid_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("documents", "doc_id"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", NULL_EID_QIDS)
+def test_nulleid_slice_parity(qid, spark, nulleid_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulleid_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulleid_dir) == []
+    finally:
+        con.close()
+
+
+def test_nulllokey_collab_filter_parity(spark, sf_smoke):
+    d = materialize_slice(
+        sf_smoke, seed=42, keep_permille=1000,
+        nullify={("lineitem", "l_orderkey"): 300},
+    )
+    fn, sql = REG["q_collab_filter"]
+    con = connect_oracle(d)
+    try:
+        assert compare(spark, con, fn, sql, d) == []
+    finally:
+        con.close()
+
+
+def test_dq_gate_detects_null_pk(spark, nulldocid_dir):
+    """The detect half of the NULL-PK contract: documents_pk_not_null
+    fires on the NULL-id slice (and q_dq_checks itself stays
+    oracle-parity there — asserted by the probe log)."""
+    from metoffice_spark.operators.quality import q_dq_checks
+
+    rows = {
+        r["check_name"]: r for r in q_dq_checks(spark, nulldocid_dir).collect()
+    }
+    nn = rows["documents_pk_not_null"]
+    assert nn["n_violations"] > 0 and not nn["pass"]

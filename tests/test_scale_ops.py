@@ -137,7 +137,7 @@ def test_dq_checks_all_pass_on_clean_data(spark, sf_smoke):
     from metoffice_spark.operators.quality import q_dq_checks
 
     rows = q_dq_checks(spark, sf_smoke).collect()
-    assert len(rows) == 7  # +2 in r09: the documents corpus-contract checks
+    assert len(rows) == 8  # +3 in r09: the documents corpus-contract checks
     assert all(r["pass"] and r["n_violations"] == 0 for r in rows)
 
 
