@@ -129,9 +129,18 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("nv") > 1, 1)).alias("n_conflict"),
         # the NOT-NULL half of the PK contract (r09 null-id probe):
         # a NULL doc_id can't join, hash-split, or order — SQL itself
-        # refuses NULL PKs; rows in the NULL-id group count here
-        F.sum(
-            F.when(F.col("doc_id").isNull(), F.col("c")).otherwise(F.lit(0))
+        # refuses NULL PKs; rows in the NULL-id group count here.
+        # coalesce(…, 0): SUM over an EMPTY documents table is NULL,
+        # but "zero rows checked" has zero violations — and the oracle
+        # already coalesces, so without this the empty-slice gate
+        # diverges (ADVICE r09 item 1).
+        F.coalesce(
+            F.sum(
+                F.when(F.col("doc_id").isNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
         ).alias("n_null_pk"),
     )
     doc_rows = doc_agg.select(

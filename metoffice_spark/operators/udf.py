@@ -404,9 +404,14 @@ SELECT p.user_id, p.event_id AS purchase_event_id, p.ep AS purchase_s,
        CAST(b1.c_ep AS BIGINT) AS last_click_s,
        CAST(p.ep - b1.c_ep AS BIGINT) AS gap_s,
        CAST(b1.c_cents AS BIGINT) AS click_cents
+-- ep is provably non-NULL here (ev filters ts IS NOT NULL — the
+-- sequencing-validity boundary), but the join is null-safe anyway so
+-- a future relaxation of that boundary cannot silently drop rows on
+-- this one leg while the pandas kernel takes a different path
+-- (ADVICE r09 item 2).
 FROM p JOIN b1 ON b1.user_id IS NOT DISTINCT FROM p.user_id
               AND b1.event_id IS NOT DISTINCT FROM p.event_id
-              AND b1.ep = p.ep
+              AND b1.ep IS NOT DISTINCT FROM p.ep
 """
 
 QUERIES["q_udf_cogrouped"] = (q_udf_cogrouped, ORACLE_UDF_COGROUPED)

