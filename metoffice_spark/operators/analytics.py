@@ -733,11 +733,16 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_cnt = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    # setup scalar; countDistinct EXCLUDES the NULL key like the
-    # oracle's count(DISTINCT l_orderkey) — .distinct().count() would
-    # count a NULL-orderkey group as a basket (r09 null-id probe),
-    # shifting every lift by one order
-    n_orders = baskets.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    # basket total as a LAZY 1-row broadcast (the q_forecast_snaive /
+    # q_jackknife_var house pattern; VERDICT r09 item 6 — no collect()
+    # in the builder, so the whole query stays one lazy plan).
+    # countDistinct EXCLUDES the NULL key like the oracle's
+    # count(DISTINCT l_orderkey) — .distinct().count() would count a
+    # NULL-orderkey group as a basket (r09 null-id probe), shifting
+    # every lift by one order.
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
     a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     pairs = (
@@ -754,6 +759,7 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(part_cnt.withColumnRenamed("l_partkey", "pb")
                         .withColumnRenamed("cnt", "cnt_b")), "pb")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",
             "pb",
@@ -761,7 +767,7 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_a",
             "cnt_b",
             F.expr(
-                f"cast(1000000 * co_cnt * {n_orders} div (cnt_a * cnt_b) as bigint)"
+                "cast(1000000 * co_cnt * n_orders div (cnt_a * cnt_b) as bigint)"
             ).alias("lift_fp"),
         )
     )

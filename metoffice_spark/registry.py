@@ -72,18 +72,76 @@ _MODULES = (
     "mining",
 )
 
-# Round-9 rotation (ONE rotation per round — the driver checks once at
-# round end, so mid-round rotations burn the window on qids that never
-# get a row). Driver coverage closed at 292/292 in r08; from here the
-# window is pure re-verification insurance, oldest latest-row first
-# (VERDICT r08 item 1). Registry stays FROZEN at 292 qids. Part A: the
-# 18 r02-era relational greens whose rows predate two testdata/code
-# generations (the queue named in r08's R09+ note); Part B: all 24
-# r03-era greens; Part C: 8 fill — the two warehouse qids whose NULL
-# rank-validity boundary changed this round (ADVICE r08: a changed
-# query needs a fresh driver row) + the 6 oldest-r4 relational rows.
+# Round-10 rotation (ONE rotation per round). Driver coverage closed
+# at 292/292 in r08; the window stays pure re-verification insurance,
+# oldest latest-row first. Registry stays FROZEN at 292 qids.
+# Part A: ALL 44 r4-era greens — the llm.py dedup/sim-search family,
+# the text.py family, the r4 streaming replays, the r4 pipeline/udf
+# rows and the 5 OLAP flagships — whose latest driver rows predate
+# THREE testdata/code generations (the queue named in r09's R10+
+# note). Part B: 6 fill — the three queries whose builder or oracle
+# CHANGED this round (ADVICE r08 precedent: a changed query needs a
+# fresh driver row): q_dq_checks (empty-slice coalesce), q_udf_cogrouped
+# (null-safe oracle fan-out join), q_collab_filter (lazy 1-row
+# broadcast scalar) — plus the first 3 of the r5-era queue.
 _PRIORITY = (
-    # --- R09 Part A: r02-era relational remainder x18 ---
+    # --- R10 Part A: all 44 r4-era greens ---
+    "q_contamination_ngram",
+    "q_dedup_components",
+    "q_dedup_embed_cosine",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embed_quantize",
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_olap_local_supplier",
+    "q_olap_order_priority",
+    "q_olap_parts_suppliers",
+    "q_olap_returned_items",
+    "q_olap_shipping_priority",
+    "q_pack_sequences",
+    "q_quality_gopher",
+    "q_rain_daily_delta",
+    "q_sample_stratified",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_sketch_hll",
+    "q_split_train_val",
+    "q_stream_dedup",
+    "q_stream_ingest",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sink",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_tumbling",
+    "q_stream_watermark",
+    "q_text_analysis",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_tokens",
+    "q_text_vocab",
+    "q_tokenize_ids",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf",
+    # --- R10 Part B: 3 changed-this-round + 3 oldest-r5 fill ---
+    "q_dq_checks",
+    "q_udf_cogrouped",
+    "q_collab_filter",
+    "q_ab_ztest",
+    "q_agg_bitmap_distinct",
+    "q_agg_histogram",
+    # --- driver window ends here (50) ---
+    # R11+ QUEUE: after this window lands, no latest driver row
+    # predates r5. Next-oldest surviving greens: the remaining 47
+    # r5-era rows (alphabetical from q_attribution), then r6.
+    # The r09 window (all green in CORRECTNESS_r09) slides behind:
     "q_project_nested",
     "q_agg_distinct",
     "q_agg_grouping_sets",
@@ -102,26 +160,18 @@ _PRIORITY = (
     "q_set_except",
     "q_fn_math_suite",
     "q_fn_string_suite",
-    # --- R09 Part B: the 24 r03-era greens ---
-    # quality.py r03 x2
-    "q_dq_checks",
     "q_cdc_diff",
-    # scale.py r03 x5
     "q_incr_agg",
     "q_topk_twophase",
     "q_join_bloom",
     "q_graph_pagerank",
     "q_layout_zorder",
-    # relational.py r03 x1
     "q_join_bucketed",
-    # temporal.py r03 x3
     "q_interval_sweep",
     "q_win_distribution",
     "q_mode_agg",
-    # text.py r03 x2
     "q_text_chunk",
     "q_text_entropy",
-    # curation.py r03 x7
     "q_text_boilerplate",
     "q_bpe_pair_count",
     "q_oov_rate",
@@ -129,84 +179,18 @@ _PRIORITY = (
     "q_sample_weighted",
     "q_fn_regex_suite",
     "q_rank_bm25",
-    # pipeline.py r03 x2
     "q_kmeans_train",
     "q_negative_sample",
-    # ingest.py r03 x2
     "q_sink_partitioned",
     "q_src_multiformat",
-    # --- R09 Part C: 8 fill ---
-    # changed this round (ADVICE r08 NULL rank-validity boundary)
     "q_rfm_segmentation",
     "q_abc_classification",
-    # oldest-r4 relational re-windows
     "q_pivot_unpivot",
     "q_merge_upsert",
     "q_join_salted",
     "q_sketch_distinct",
     "q_set_bag",
     "q_sql_ansi",
-    # --- driver window ends here (50) ---
-    # R10+ QUEUE: after this window lands, no latest driver row
-    # predates r4. Next-oldest surviving greens for continued
-    # insurance: the r4-era llm.py dedup/sim-search family
-    # (q_dedup_exact q_dedup_fuzzy q_sim_search q_sim_search_lsh
-    # q_multimodal_cols q_dedup_simhash q_dedup_ngram_jaccard
-    # q_dedup_embed_cosine q_sim_search_ivf q_multimodal_decode
-    # q_split_train_val q_dedup_components q_embed_quantize), the r4
-    # text.py family, the r4 streaming_batch replays, and the r4
-    # pipeline/udf rows — then r5.
-    # The r08 window (all green in CORRECTNESS_r08) slides behind:
-    "q_graph_kcore",
-    "q_als_step",
-    "q_cohort_ltv",
-    "q_text_keyphrase",
-    "q_simpson_check",
-    "q_rolling_regression",
-    "q_graph_modularity",
-    "q_graph_assortativity",
-    "q_time_travel",
-    "q_mad_outlier",
-    "q_ts_trend",
-    "q_attribution_linear",
-    "q_gap_islands",
-    "q_bloom_file_index",
-    "q_profile_columns",
-    "q_k_anonymity",
-    "q_agg_cube",
-    "q_fn_bitwise_suite",
-    "q_fn_array_map_json",
-    "q_fn_date_extract",
-    "q_fn_dewpoint",
-    "q_fn_winddir",
-    "q_fn_mast_corr",
-    "q_fn_baro_reduce",
-    "q_case_when",
-    "q_fn_units",
-    "q_fn_round_fixed",
-    "q_fn_date_fmt",
-    "q_fn_epoch2ts",
-    "q_fn_concat",
-    "q_fn_num_coerce",
-    "q_fn_str_locate",
-    "q_sink_error_alert",
-    "q_sink_http_form",
-    "q_src_json_rest",
-    "q_src_text_scrape",
-    "q_join_state_lookup",
-    "q_rain_rate",
-    "q_sink_state_upsert",
-    "q_src_state_table",
-    "q_win_first_of_day",
-    "q_win_lag",
-    "q_scan_parquet",
-    "q_filter_predicate",
-    "q_project_compute",
-    "q_agg_hash",
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_win_rank",
-    "q_sort",
 )
 
 

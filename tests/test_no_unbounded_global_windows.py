@@ -53,6 +53,10 @@ _NLJ_RATCHET = {
     "q_benford_test": 1,
     "q_bpe_train": 4,
     "q_chi2_terms": 1,
+    # r10: n_orders folded from a collect() scalar into the 1-row
+    # broadcast crossJoin house pattern — BNLJ side is a single
+    # aggregate row, bounded by construction
+    "q_collab_filter": 1,
     "q_drift_chi2": 3,
     "q_er_blocking": 4,
     "q_eval_calibration": 1,

@@ -18,6 +18,7 @@ data-dependent parity bug even though the stock gate is green.
 
     PYTHONPATH=. python tools/fuzz_parity.py /root/testdata/sf0.001 \
         --seed 1 --keep 700 [--nullify table.column=permille ...] \
+        [--nullgroup table.keycol.valcol=permille ...] \
         [--dupkey table.column=permille ...] [--duprows table=permille ...] \
         [--nullprobe] [--scramble] [--window] [qid ...]
 
@@ -93,6 +94,7 @@ def materialize_slice(
     scramble: bool = False,
     dupkey: dict[tuple[str, str], int] | None = None,
     duprows: dict[str, int] | None = None,
+    nullgroup: dict[tuple[str, str, str], int] | None = None,
 ) -> str:
     """Write the sampled copy of ``src_dir`` and return its path.
 
@@ -130,14 +132,29 @@ def materialize_slice(
     ties with identical payloads. Contract: a total-order pick between
     identical rows is pick-invariant, so parity must hold here too;
     engines diverging means a kernel leaked a physical row identity
-    (pandas index, monotonically_increasing_id) into its output."""
+    (pandas index, monotonically_increasing_id) into its output.
+
+    ``nullgroup`` maps (table, keycol, valcol) -> permille: that
+    fraction of KEY GROUPS (selected by hashing the group-key VALUE,
+    so every row of a group gets the same verdict) gets ``valcol`` set
+    to NULL in ALL its rows — the all-NULL-per-key slice shape
+    (VERDICT r09 item 1) that i.i.d. ``nullify`` essentially never
+    produces for multi-row keys. This is the rank-validity stressor: a
+    customer whose EVERY order is unpriced / a part whose EVERY line
+    is unpriced must drop out of ntile/running-sum rankings
+    IDENTICALLY on both engines (without a validity boundary, Spark's
+    NULLS FIRST vs DuckDB's NULLS LAST shifts every quantile cut)."""
     from metoffice_spark.io import TABLES, table_path
 
     nullify = nullify or {}
     dupkey = dupkey or {}
     duprows = duprows or {}
+    nullgroup = nullgroup or {}
     tag = "".join(
         f"_n{t}.{c}.{p}" for (t, c), p in sorted(nullify.items())
+    )
+    tag += "".join(
+        f"_g{t}.{k}.{c}.{p}" for (t, k, c), p in sorted(nullgroup.items())
     )
     tag += "".join(
         f"_dk{t}.{c}.{p}" for (t, c), p in sorted(dupkey.items())
@@ -188,6 +205,34 @@ def materialize_slice(
 
             nulled = pc.if_else(
                 pa.array(~nmask), tbl.column(nc), pa.scalar(None, field.type)
+            )
+            tbl = tbl.set_column(idx, field, nulled)
+        for (gt, gk, gc), permille in nullgroup.items():
+            if gt != t:
+                continue
+            if key is None:
+                raise SystemExit(
+                    f"--nullgroup only supports fact tables, not {t!r}"
+                )
+            # hash the GROUP KEY value itself: every row of a group
+            # shares the hash, so selection is whole-group by
+            # construction. Seed decorrelated from every other axis
+            # AND from sibling nullgroup specs on the same key column
+            # (mix in the value-column name) so composing e.g.
+            # o_totalprice + o_orderdate doesn't null the exact same
+            # customers unless the hash says so.
+            gseed = seed * 23 + 11 + sum(gc.encode()) % 997
+            gmask = _keep_mask(
+                _int_keys(tbl.column(gk), f"nullgroup {t}.{gk}"),
+                gseed,
+                permille,
+            )
+            idx = tbl.schema.get_field_index(gc)
+            field = tbl.schema.field(idx)
+            import pyarrow.compute as pc
+
+            nulled = pc.if_else(
+                pa.array(~gmask), tbl.column(gc), pa.scalar(None, field.type)
             )
             tbl = tbl.set_column(idx, field, nulled)
         for (dt, dc), permille in dupkey.items():
@@ -322,6 +367,19 @@ if __name__ == "__main__":
         if not (t and p.isdigit()):
             sys.exit(f"bad --duprows spec {spec!r}; want table=permille")
         duprows[t] = int(p)
+    nullgroup: dict[tuple[str, str, str], int] = {}
+    while "--nullgroup" in args:
+        i = args.index("--nullgroup")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        tkc, _, p = spec.partition("=")
+        parts = tkc.split(".")
+        if len(parts) != 3 or not all(parts) or not p.isdigit():
+            sys.exit(
+                f"bad --nullgroup spec {spec!r}; "
+                "want table.keycol.valcol=permille"
+            )
+        nullgroup[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
     if use_nullprobe:
         args.remove("--nullprobe")
@@ -343,7 +401,8 @@ if __name__ == "__main__":
         only |= set(list(_collect())[:50])
 
     slice_dir = materialize_slice(
-        src_dir, seed, keep, nullify, use_scramble, dupkey, duprows
+        src_dir, seed, keep, nullify, use_scramble, dupkey, duprows,
+        nullgroup,
     )
     print(
         f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows"
@@ -353,6 +412,10 @@ if __name__ == "__main__":
         )
         + "".join(
             f", {p}‰ exact row copies in {t}" for t, p in sorted(duprows.items())
+        )
+        + "".join(
+            f", {p}‰ of {t}.{k} groups all-NULL in {c}"
+            for (t, k, c), p in sorted(nullgroup.items())
         )
         + ")"
     )
