@@ -536,12 +536,22 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per l_returnflag: total weight, row count, and the
     quantity-weighted median of l_extendedprice in cents."""
     spark = tune(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
+    # rank-validity boundary (r10 nullgroup probe, mirrored in the
+    # oracle): an unpriced line has no position on the value axis the
+    # median ranks over — a NULL cents group would enter the
+    # cumulative-weight prefix FIRST in Spark (NULLS FIRST) and LAST
+    # in DuckDB (NULLS LAST), shifting the half-weight cut. Same
+    # boundary as q_gini_spend / q_rfm_segmentation.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+        )
     )
     per_v = li.groupBy("l_returnflag", "cents").agg(
         F.sum("wt").cast("bigint").alias("w_v"),
@@ -575,7 +585,7 @@ WITH li AS (
   SELECT l_returnflag,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          CAST(l_quantity AS BIGINT) AS wt
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 per_v AS (
   SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w_v,

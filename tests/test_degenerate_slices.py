@@ -195,6 +195,49 @@ def test_nullembed_slice_parity(qid, spark, nullembed_dir):
         con.close()
 
 
+# --- all-NULL-PER-KEY slices (r10 nullgroup probe, VERDICT r09 item 1) -------
+#
+# A customer whose EVERY order is unpriced / a part whose EVERY line
+# is unpriced: the per-key aggregate itself goes NULL, which enters
+# ntile / running-sum / cumulative-weight rankings NULLS FIRST in
+# Spark and NULLS LAST in DuckDB — the rank-validity class. The r10
+# registry-wide probe (artifacts/FUZZPARITY_r10_nullgroup_prices*)
+# caught q_weighted_median's cumulative-weight prefix; the qids here
+# are that catch plus the boundary-bearing family it belongs to.
+NULLGROUP_QIDS = (
+    "q_weighted_median",
+    "q_rfm_segmentation",
+    "q_abc_classification",
+    "q_gini_spend",
+    "q_lorenz_curve",
+    "q_percentile_exact",
+)
+
+
+@pytest.fixture(scope="module")
+def nullgroup_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=1,
+        keep_permille=1000,
+        nullgroup={
+            ("orders", "o_custkey", "o_totalprice"): 300,
+            ("orders", "o_custkey", "o_orderdate"): 300,
+            ("lineitem", "l_partkey", "l_extendedprice"): 300,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", NULLGROUP_QIDS)
+def test_nullgroup_slice_parity(qid, spark, nullgroup_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullgroup_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullgroup_dir) == []
+    finally:
+        con.close()
+
+
 # --- partial-NULL GROUP KEYS (r07 second probe wave) --------------------------
 #
 # events.event_type at 300‰ NULL: NULL groups silently dropped by
