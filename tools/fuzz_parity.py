@@ -80,9 +80,22 @@ def _int_keys(col: "pa.ChunkedArray", what: str) -> np.ndarray:
 
 
 def _keep_mask(keys: np.ndarray, seed: int, keep_permille: int) -> np.ndarray:
+    # splitmix64 avalanche (r10): the original affine hash
+    # ((k*MIX + seed*c) % 1000) made every "decorrelated" mask a mere
+    # CONSTANT SHIFT of the keep mask — conditioned on keep<1000‰, a
+    # secondary mask's hit set is an interval that can MISS its target
+    # permille band entirely (the r09 stress battery's nullify axes at
+    # keep=500 selected 0 rows — mutations silently absent). A full
+    # avalanche makes masks at different seeds genuinely independent.
     k = keys.astype(np.uint64)
     with np.errstate(over="ignore"):
-        h = (k * _MIX + np.uint64(seed * 40503)) % np.uint64(1000)
+        z = (k + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)) * _MIX
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        h = z % np.uint64(1000)
     return h < np.uint64(keep_permille)
 
 
@@ -188,53 +201,14 @@ def materialize_slice(
             # permutation even when hashes collide across equal keys
             order = np.lexsort((np.arange(len(k)), h))
             tbl = tbl.take(pa.array(order))
-        for (nt, nc), permille in nullify.items():
-            if nt != t:
-                continue
-            if key is None:
-                raise SystemExit(f"--nullify only supports fact tables, not {t!r}")
-            # decorrelate from the keep mask: different seed stream
-            nmask = _keep_mask(
-                _int_keys(tbl.column(key), f"nullify {t}.{key}"),
-                seed * 31 + 7,
-                permille,
-            )
-            idx = tbl.schema.get_field_index(nc)
-            field = tbl.schema.field(idx)
-            import pyarrow.compute as pc
-
-            nulled = pc.if_else(
-                pa.array(~nmask), tbl.column(nc), pa.scalar(None, field.type)
-            )
-            tbl = tbl.set_column(idx, field, nulled)
-        for (gt, gk, gc), permille in nullgroup.items():
-            if gt != t:
-                continue
-            if key is None:
-                raise SystemExit(
-                    f"--nullgroup only supports fact tables, not {t!r}"
-                )
-            # hash the GROUP KEY value itself: every row of a group
-            # shares the hash, so selection is whole-group by
-            # construction. Seed decorrelated from every other axis
-            # AND from sibling nullgroup specs on the same key column
-            # (mix in the value-column name) so composing e.g.
-            # o_totalprice + o_orderdate doesn't null the exact same
-            # customers unless the hash says so.
-            gseed = seed * 23 + 11 + sum(gc.encode()) % 997
-            gmask = _keep_mask(
-                _int_keys(tbl.column(gk), f"nullgroup {t}.{gk}"),
-                gseed,
-                permille,
-            )
-            idx = tbl.schema.get_field_index(gc)
-            field = tbl.schema.field(idx)
-            import pyarrow.compute as pc
-
-            nulled = pc.if_else(
-                pa.array(~gmask), tbl.column(gc), pa.scalar(None, field.type)
-            )
-            tbl = tbl.set_column(idx, field, nulled)
+        # Mutation ORDER (r10, VERDICT r09 item 4): dup axes FIRST
+        # (they hash id columns, which must be intact), then
+        # nullgroup (hashes group-key columns), then nullify LAST —
+        # so --nullify can target the id columns themselves composed
+        # with --dupkey/--duprows on the same table. Masks keyed on a
+        # dupkey-remapped id give both holders of a remapped id the
+        # same verdict; duprows copies inherit their original's
+        # verdict (same key hash) — both deterministic.
         for (dt, dc), permille in dupkey.items():
             if dt != t:
                 continue
@@ -267,6 +241,62 @@ def materialize_slice(
             )
             copies = tbl.filter(pa.array(rmask))
             tbl = pa.concat_tables([tbl, copies])
+        for (gt, gk, gc), permille in nullgroup.items():
+            if gt != t:
+                continue
+            if key is None:
+                raise SystemExit(
+                    f"--nullgroup only supports fact tables, not {t!r}"
+                )
+            # hash the GROUP KEY value itself: every row of a group
+            # shares the hash, so selection is whole-group by
+            # construction. Seed decorrelated from every other axis
+            # AND from sibling nullgroup specs on the same key column
+            # (mix in the value-column name) so composing e.g.
+            # o_totalprice + o_orderdate doesn't null the exact same
+            # customers unless the hash says so.
+            gseed = seed * 23 + 11 + sum(gc.encode()) % 997
+            gmask = _keep_mask(
+                _int_keys(tbl.column(gk), f"nullgroup {t}.{gk}"),
+                gseed,
+                permille,
+            )
+            idx = tbl.schema.get_field_index(gc)
+            field = tbl.schema.field(idx)
+            import pyarrow.compute as pc
+
+            nulled = pc.if_else(
+                pa.array(~gmask), tbl.column(gc), pa.scalar(None, field.type)
+            )
+            tbl = tbl.set_column(idx, field, nulled)
+        # hash the key column ONCE before any nullify mutation: a
+        # nullify spec may target the key column itself, and the
+        # per-column masks must all derive from the PRE-null ids
+        # (hashing after a sibling spec nulled them trips _int_keys).
+        t_nullify = [(nc, p) for (nt, nc), p in nullify.items() if nt == t]
+        if t_nullify and key is None:
+            raise SystemExit(f"--nullify only supports fact tables, not {t!r}")
+        nullify_keys = (
+            _int_keys(tbl.column(key), f"nullify {t}.{key}")
+            if t_nullify
+            else None
+        )
+        for j, (nc, permille) in enumerate(sorted(t_nullify)):
+            # per-column seed stream (avalanched, so genuinely
+            # independent of the keep/dup masks AND of sibling columns)
+            nmask = _keep_mask(
+                nullify_keys,
+                seed * 31 + 7 + 104729 * j,
+                permille,
+            )
+            idx = tbl.schema.get_field_index(nc)
+            field = tbl.schema.field(idx)
+            import pyarrow.compute as pc
+
+            nulled = pc.if_else(
+                pa.array(~nmask), tbl.column(nc), pa.scalar(None, field.type)
+            )
+            tbl = tbl.set_column(idx, field, nulled)
         pq.write_table(tbl, dst)
     return out
 
