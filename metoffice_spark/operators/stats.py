@@ -570,7 +570,18 @@ QUERIES["q_graph_jaccard"] = (q_graph_jaccard, ORACLE_GRAPH_JACCARD)
 def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per lifetime day: events, censored, at-risk count, hazard_fp."""
     spark = tune(spark)
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # sequencing-validity boundary (r10 nullgroup probe, mirrored in
+    # the oracle): an untimestamped event has no position on the
+    # lifetime axis. Partial-NULL users were already consistent
+    # (min/max skip NULLs, and both engines sort DESC NULLS LAST for
+    # the last-event pick), but a user whose EVERY ts is NULL got a
+    # d=NULL day that the reverse-cumsum window orders NULLS FIRST in
+    # Spark and NULLS LAST in DuckDB, shifting every at-risk count.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     w_last = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -613,7 +624,7 @@ WITH ordered AS (
   SELECT user_id, ts, event_type,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 per_user AS (
   SELECT user_id,

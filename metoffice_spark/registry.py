@@ -83,8 +83,9 @@ _MODULES = (
 # CHANGED this round (ADVICE r08 precedent: a changed query needs a
 # fresh driver row): q_dq_checks (empty-slice coalesce), q_udf_cogrouped
 # (null-safe oracle fan-out join), q_collab_filter (lazy 1-row
-# broadcast scalar), q_weighted_median (the r10 nullgroup probe's
-# rank-validity catch) — plus the first 2 of the r5-era queue.
+# broadcast scalar), q_weighted_median + q_survival_hazard (the r10
+# nullgroup probe's rank-validity / sequencing-validity catches) —
+# plus the first 1 of the r5-era queue.
 _PRIORITY = (
     # --- R10 Part A: all 44 r4-era greens ---
     "q_contamination_ngram",
@@ -131,13 +132,13 @@ _PRIORITY = (
     "q_udaf_grouped",
     "q_udf_scalar",
     "q_udtf",
-    # --- R10 Part B: 4 changed-this-round + 2 oldest-r5 fill ---
+    # --- R10 Part B: 5 changed-this-round + 1 oldest-r5 fill ---
     "q_dq_checks",
     "q_udf_cogrouped",
     "q_collab_filter",
     "q_weighted_median",
+    "q_survival_hazard",
     "q_ab_ztest",
-    "q_agg_bitmap_distinct",
     # --- driver window ends here (50) ---
     # R11+ QUEUE: after this window lands, no latest driver row
     # predates r5. Next-oldest surviving greens: the remaining 47

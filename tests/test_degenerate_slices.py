@@ -238,6 +238,41 @@ def test_nullgroup_slice_parity(qid, spark, nullgroup_dir):
         con.close()
 
 
+# events axes: a user whose EVERY event is untimestamped/valueless.
+# q_survival_hazard was the r10 catch (d=NULL lifetime day ordered
+# NULLS FIRST vs LAST in the reverse-cumsum at-risk window); the
+# others are the lifetime/sessionization family sharing the axis.
+NULLGROUP_EVENTS_QIDS = (
+    "q_survival_hazard",
+    "q_sessionize_batch",
+    "q_cohort_retention",
+    "q_funnel_steps",
+)
+
+
+@pytest.fixture(scope="module")
+def nullgroup_events_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=2,
+        keep_permille=1000,
+        nullgroup={
+            ("events", "user_id", "value"): 300,
+            ("events", "user_id", "ts"): 250,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", NULLGROUP_EVENTS_QIDS)
+def test_nullgroup_events_slice_parity(qid, spark, nullgroup_events_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nullgroup_events_dir)
+    try:
+        assert compare(spark, con, fn, sql, nullgroup_events_dir) == []
+    finally:
+        con.close()
+
+
 # --- partial-NULL GROUP KEYS (r07 second probe wave) --------------------------
 #
 # events.event_type at 300‰ NULL: NULL groups silently dropped by
