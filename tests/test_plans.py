@@ -165,6 +165,28 @@ def test_rollup_refresh_is_gated_behind_first_action(spark, sf_smoke):
     )
 
 
+def test_rollup_refresh_propagates_to_derived_frames(spark, sf_smoke):
+    """A .filter/.select child of a pending-refresh frame must carry
+    the hook forward (VERDICT r09 item 3): its first action fires the
+    PARENT's one-shot refresh, and later actions anywhere are no-ops."""
+    from metoffice_spark.operators.rain import q_rollup_hypertable
+    from metoffice_spark.session import release_scoped_persists
+
+    release_scoped_persists()
+    df = q_rollup_hypertable(spark, sf_smoke)
+    assert df.refresh_pending
+    child = df.filter("n_obs >= 0").select("station_id", "bucket", "n_obs")
+    assert getattr(child, "refresh_pending", False), (
+        "derived frame lost the pending-refresh hook"
+    )
+    assert child.count() > 0
+    # the child's action fired the PARENT's refresh exactly once
+    assert not df.refresh_pending
+    assert not child.refresh_pending
+    # post-refresh derivations are plain frames (nothing left to carry)
+    assert not hasattr(df.limit(1), "refresh_pending")
+
+
 def test_olap_local_supplier_broadcasts_dims(spark, sf_smoke):
     """The six-table star join must resolve to broadcast joins for the
     dimension sides — no sort-merge of a dim at this scale."""
