@@ -175,10 +175,15 @@ def materialize_slice(
     tag += "".join(f"_dr{t}.{p}" for t, p in sorted(duprows.items()))
     if scramble:
         tag += "_scram"
-    out = os.path.join(
-        "/tmp/metoffice_fuzz",
-        f"{os.path.basename(os.path.normpath(src_dir))}_s{seed}_k{keep_permille}{tag}",
-    )
+    base = f"{os.path.basename(os.path.normpath(src_dir))}_s{seed}_k{keep_permille}{tag}"
+    if len(base) > 180:
+        # heavily composed batteries overflow the 255-byte filename
+        # limit; keep a readable prefix + a deterministic digest of
+        # the full spec (same spec -> same dir, still cacheable)
+        import hashlib
+
+        base = f"{base[:140]}_x{hashlib.md5(base.encode()).hexdigest()[:12]}"
+    out = os.path.join("/tmp/metoffice_fuzz", base)
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src = table_path(src_dir, t)
