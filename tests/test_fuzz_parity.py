@@ -108,3 +108,38 @@ def test_null_leading_running_probe_parity(spark, fuzz_dir):
         assert any(r["cum"] is not None for r in rows)
     finally:
         con.close()
+
+
+def test_mask_streams_are_independent_under_conditioning():
+    """The r10 mask-correlation regression guard (no Spark, pure
+    numpy): under the original affine hash, every 'decorrelated' mask
+    was a constant SHIFT of the keep mask, so conditioned on
+    keep<1000‰ a secondary mask could select ZERO rows (the r09
+    stress battery's nullify axes at keep=500 mutated nothing). With
+    the splitmix64 avalanche, masks at different seeds must behave
+    independently: the conditional hit rate of every secondary seed
+    stream, given keep, stays near its unconditional permille."""
+    import numpy as np
+
+    from tools.fuzz_parity import _keep_mask
+
+    keys = np.arange(1, 200_001, dtype=np.int64)
+    for seed in (1, 2, 3, 19, 23):
+        keep = _keep_mask(keys, seed, 500)
+        assert abs(keep.mean() - 0.5) < 0.02
+        # the harness's actual secondary streams for this seed
+        for s2, p in (
+            (seed * 31 + 7, 150),        # nullify (j=0)
+            (seed * 31 + 7 + 104729, 150),  # nullify (j=1)
+            (seed * 17 + 3, 150),        # dupkey
+            (seed * 13 + 5, 150),        # duprows
+            (seed * 23 + 11, 300),       # nullgroup
+        ):
+            m2 = _keep_mask(keys, s2, p)
+            cond = m2[keep].mean()
+            # affine-shift failure mode is cond == 0.0 or ~2x target;
+            # independence keeps it within a tight band of p/1000
+            assert abs(cond - p / 1000) < 0.02, (
+                f"seed {seed}/{s2}: conditional rate {cond:.4f} far "
+                f"from {p / 1000} — mask streams correlated"
+            )
