@@ -354,7 +354,14 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id; both window passes share the same
     (user, ts, event_id) sort, so Spark plans one exchange + one sort;
     per-user frames are bounded by that user's event count."""
-    ev = load(tune(spark), sf_dir, "events").select(
+    # sequencing-validity boundary (r10 composed stress probe,
+    # mirrored in the oracle): "strictly after" is defined on the
+    # time axis — a NULL-ts click sits at the frame's START in Spark
+    # (sees no prior view) but at its END in DuckDB (sees every view),
+    # flipping click_ok for that user.
+    ev = load(tune(spark), sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "event_id", "ts", "event_type"
     )
     prior = (
@@ -411,7 +418,7 @@ WITH s1 AS (
          min(CASE WHEN event_type = 'view' THEN ts END) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 s2 AS (
   SELECT *,

@@ -637,7 +637,15 @@ _BE_GAP_MIN = 30
 def q_behavior_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per touch channel: converting sessions and attributed revenue
     (cents), from one sessionize->attribute plan."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r10 composed stress probe,
+    # mirrored in the oracle): an untimestamped event cannot be
+    # sessionized — Spark's NULLS FIRST puts it in a leading solo
+    # session while DuckDB's NULLS LAST merges the first such row into
+    # the user's LAST real session, flipping its purchase's channel.
+    # The rest of this module got the boundary in r08; this builder
+    # survived the i.i.d. probes on seed luck until the independent-
+    # mask composition exposed it.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lag("ts").over(order_w)
     marked = ev.withColumn(
@@ -690,7 +698,7 @@ WITH marked AS (
                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
                       > {_BE_GAP_MIN * 60}
                  THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -855,7 +863,14 @@ QUERIES["q_win_range_interval"] = (q_win_range_interval, ORACLE_WIN_RANGE_INTERV
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, day): open/high/low/close (1e-3 fp) and
     event volume."""
-    ev = load(tune(spark), sf_dir, "events").select(
+    # sequencing-validity boundary (r10 composed stress probe,
+    # mirrored in the oracle): an untimestamped event has no position
+    # on the time axis a bar is defined over — NULL ts otherwise forms
+    # a NULL day group AND enters the open/close struct picks, where
+    # Spark compares NULL struct fields FIRST and DuckDB LAST.
+    ev = load(tune(spark), sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "event_type",
         F.to_date("ts").alias("day"),
         "ts",
@@ -875,7 +890,7 @@ ORACLE_OHLC_BARS = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type, day,
        CAST((min(struct_pack(ts := ts, e := event_id, v := v_fp))).v

@@ -164,12 +164,15 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: n and Spearman rho between n_chars and token
     count (double, shared expression)."""
     spark = tune(spark)
-    # rank-validity boundary (r08 null-nchars probe, mirrored in the
-    # oracle): a pair with a missing x cannot be rank-correlated —
-    # Spark ranks NULL first, DuckDB last, shifting every rank sum.
+    # rank-validity boundary (r08 null-nchars probe; text leg added by
+    # the r10 composed stress probe — PARTIAL-null text makes y NULL
+    # for some rows, which Spark ranks first and DuckDB last; the r07
+    # all-NULL-text probe missed it because all-equal ranks are
+    # accidentally symmetric). A pair missing EITHER coordinate cannot
+    # be rank-correlated; mirrored in the oracle.
     docs = _spread(
         load(spark, sf_dir, "documents")
-        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("n_chars").isNotNull() & F.col("text").isNotNull())
         .select(
             "doc_id", "source", "text", F.col("n_chars").cast("bigint").alias("x")
         ),
@@ -227,7 +230,7 @@ WITH base AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,
          CAST(len({TOKS_DUCK}) AS BIGINT) AS y
   FROM documents
-  WHERE n_chars IS NOT NULL
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
 ),
 ranked AS (
   SELECT source,

@@ -84,8 +84,12 @@ _MODULES = (
 # fresh driver row): q_dq_checks (empty-slice coalesce), q_udf_cogrouped
 # (null-safe oracle fan-out join), q_collab_filter (lazy 1-row
 # broadcast scalar), q_weighted_median + q_survival_hazard (the r10
-# nullgroup probe's rank-validity / sequencing-validity catches) —
-# plus the first 1 of the r5-era queue.
+# nullgroup probe's catches), q_behavior_e2e (the r10 composed-stress
+# catch; its three co-catches q_funnel_steps / q_ohlc_bars /
+# q_spearman_corr got the same one-line boundary, are pinned on their
+# triggering slice in test_degenerate_slices.py, and ride the
+# committed full-registry sf0.01+sf0.1 gates — window budget spent on
+# the compositional bench headliner).
 _PRIORITY = (
     # --- R10 Part A: all 44 r4-era greens ---
     "q_contamination_ngram",
@@ -132,13 +136,13 @@ _PRIORITY = (
     "q_udaf_grouped",
     "q_udf_scalar",
     "q_udtf",
-    # --- R10 Part B: 5 changed-this-round + 1 oldest-r5 fill ---
+    # --- R10 Part B: the 6 changed-this-round qids ---
     "q_dq_checks",
     "q_udf_cogrouped",
     "q_collab_filter",
     "q_weighted_median",
     "q_survival_hazard",
-    "q_ab_ztest",
+    "q_behavior_e2e",
     # --- driver window ends here (50) ---
     # R11+ QUEUE: after this window lands, no latest driver row
     # predates r5. Next-oldest surviving greens: the remaining 47

@@ -839,3 +839,53 @@ def test_dq_gate_detects_null_pk(spark, nulldocid_dir):
     }
     nn = rows["documents_pk_not_null"]
     assert nn["n_violations"] > 0 and not nn["pass"]
+
+
+# --- composed dup x NULL stress axes (r10, VERDICT r09 item 4) ----------------
+#
+# Single axes were green; the COMPOSITION (made real by the r10
+# avalanche-mask fix — the r09 battery's "composed" axes silently
+# selected zero rows) caught four sequencing/rank boundaries:
+# q_behavior_e2e and q_funnel_steps sessionize/order NULL-ts rows
+# (Spark leading solo vs DuckDB trailing merge), q_ohlc_bars' NULL ts
+# entered the day group and the struct picks, q_spearman_corr's token
+# count from partial-NULL text made NULL y ranks. All four got the
+# established validity boundary; this fixture is their triggering
+# slice (the composed battery's events/documents axes).
+STRESS_QIDS = (
+    "q_behavior_e2e",
+    "q_funnel_steps",
+    "q_ohlc_bars",
+    "q_spearman_corr",
+)
+
+
+@pytest.fixture(scope="module")
+def stress_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=23,
+        keep_permille=500,
+        scramble=True,
+        dupkey={("events", "event_id"): 150},
+        duprows={"events": 150, "documents": 150},
+        nullify={
+            ("events", "event_id"): 100,
+            ("events", "ts"): 150,
+            ("events", "value"): 150,
+            ("events", "user_id"): 150,
+            ("events", "event_type"): 150,
+            ("documents", "text"): 150,
+        },
+        nullgroup={("events", "user_id", "value"): 150},
+    )
+
+
+@pytest.mark.parametrize("qid", STRESS_QIDS)
+def test_composed_stress_slice_parity(qid, spark, stress_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(stress_dir)
+    try:
+        assert compare(spark, con, fn, sql, stress_dir) == []
+    finally:
+        con.close()

@@ -323,7 +323,14 @@ def _null_leading_probe():
         from metoffice_spark.io import load
         from metoffice_spark.session import tune
 
-        ev = load(tune(spark), d, "events")
+        # the probe targets NULL VALUES in the running sum, not NULL
+        # ordering keys — a NULL user_id group would sort NULLS FIRST
+        # in Spark's range partitioner and NULLS LAST in DuckDB's
+        # window (r10 composed battery), which is the separate,
+        # already-bounded sequencing class. Keep the axis clean.
+        ev = load(tune(spark), d, "events").filter(
+            F.col("user_id").isNotNull()
+        )
         per_u = ev.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
@@ -343,7 +350,8 @@ def _null_leading_probe():
 
     sql = """
 WITH per_u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 mx AS (SELECT max(user_id) AS mx FROM per_u),
 val AS (
