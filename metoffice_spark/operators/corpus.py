@@ -568,18 +568,18 @@ shingled AS (
   )
 ),
 sigs AS (SELECT doc_id, {mh_list} AS mh FROM shingled),
-sig_pairs AS (
-  SELECT o.doc_id AS doc_a, so.mh AS mh_a, sp.mh AS mh_b
-  FROM shingled o
-  JOIN sigs so ON so.doc_id = o.doc_id
-  JOIN sigs sp ON sp.doc_id = o.doc_id + 100000
-  WHERE o.doc_id % 25 = 0 AND o.doc_id < 100000
-),
+-- est joins sigs x sigs DIRECTLY (no shingled participation),
+-- mirroring the Spark side's orig_m x plant_m join graph: under an
+-- id carrying >1 distinct content (r10 dkdocs re-probe after the
+-- avalanche-mask fix changed the dup selection), routing through
+-- shingled fanned the oracle 2x per extra content while Spark did
+-- not — the est leg must be per (content_a, content_b) on BOTH sides.
 est AS (
-  SELECT doc_a,
+  SELECT so.doc_id AS doc_a,
          CAST(1000000 * len(list_filter(range(1, {_N_MINHASH} + 1),
-              i -> mh_a[i] = mh_b[i])) AS BIGINT) // {_N_MINHASH} AS est_fp
-  FROM sig_pairs
+              i -> so.mh[i] = sp.mh[i])) AS BIGINT) // {_N_MINHASH} AS est_fp
+  FROM sigs so JOIN sigs sp ON sp.doc_id = so.doc_id + 100000
+  WHERE so.doc_id % 25 = 0 AND so.doc_id < 100000
 ),
 exact AS (
   SELECT o.doc_id AS doc_a, p.doc_id AS doc_b,

@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R09_WINDOW = [
-    "q_project_nested",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_stats",
-    "q_join_outer",
-    "q_join_semi_anti",
-    "q_join_theta_range",
-    "q_join_range_binned",
-    "q_join_asof",
-    "q_win_frame",
-    "q_win_analytic",
-    "q_topk",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_math_suite",
-    "q_fn_string_suite",
+_R10_WINDOW = [
+    "q_contamination_ngram",
+    "q_dedup_components",
+    "q_dedup_embed_cosine",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embed_quantize",
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_olap_local_supplier",
+    "q_olap_order_priority",
+    "q_olap_parts_suppliers",
+    "q_olap_returned_items",
+    "q_olap_shipping_priority",
+    "q_pack_sequences",
+    "q_quality_gopher",
+    "q_rain_daily_delta",
+    "q_sample_stratified",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_sketch_hll",
+    "q_split_train_val",
+    "q_stream_dedup",
+    "q_stream_ingest",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sink",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_tumbling",
+    "q_stream_watermark",
+    "q_text_analysis",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_tokens",
+    "q_text_vocab",
+    "q_tokenize_ids",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf",
     "q_dq_checks",
-    "q_cdc_diff",
-    "q_incr_agg",
-    "q_topk_twophase",
-    "q_join_bloom",
-    "q_graph_pagerank",
-    "q_layout_zorder",
-    "q_join_bucketed",
-    "q_interval_sweep",
-    "q_win_distribution",
-    "q_mode_agg",
-    "q_text_chunk",
-    "q_text_entropy",
-    "q_text_boilerplate",
-    "q_bpe_pair_count",
-    "q_oov_rate",
-    "q_embed_dimstats",
-    "q_sample_weighted",
-    "q_fn_regex_suite",
-    "q_rank_bm25",
-    "q_kmeans_train",
-    "q_negative_sample",
-    "q_sink_partitioned",
-    "q_src_multiformat",
-    "q_rfm_segmentation",
-    "q_abc_classification",
-    "q_pivot_unpivot",
-    "q_merge_upsert",
-    "q_join_salted",
-    "q_sketch_distinct",
-    "q_set_bag",
-    "q_sql_ansi",
+    "q_udf_cogrouped",
+    "q_collab_filter",
+    "q_weighted_median",
+    "q_survival_hazard",
+    "q_behavior_e2e",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R09_WINDOW
+    assert list(all_queries())[:50] == _R10_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():
