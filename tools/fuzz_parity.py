@@ -60,6 +60,20 @@ SAMPLED = {
     "embeddings": "vec_id",
 }
 
+# Dimension-table PKs, used ONLY to key --nullify mutation masks
+# (r10): dims stay FULL (never sampled/duplicated — at 100 TB they
+# are the curated side), but their ATTRIBUTE columns are a real
+# defect surface (a NULL c_acctbal/s_comment/p_type reaches every
+# star join, LIKE filter, and balance aggregate) that no probe had
+# ever pushed NULLs through.
+DIM_KEYS = {
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
 _MIX = np.uint64(2654435761)
 
 
@@ -279,10 +293,14 @@ def materialize_slice(
         # per-column masks must all derive from the PRE-null ids
         # (hashing after a sibling spec nulled them trips _int_keys).
         t_nullify = [(nc, p) for (nt, nc), p in nullify.items() if nt == t]
-        if t_nullify and key is None:
-            raise SystemExit(f"--nullify only supports fact tables, not {t!r}")
+        # mutation-mask key: the sampling key for fact tables, the PK
+        # for dimension tables (dims are never sampled but their
+        # attribute columns can be nullified — r10 dim-axis probes)
+        mkey = key if key is not None else DIM_KEYS.get(t)
+        if t_nullify and mkey is None:
+            raise SystemExit(f"--nullify: no hash key known for {t!r}")
         nullify_keys = (
-            _int_keys(tbl.column(key), f"nullify {t}.{key}")
+            _int_keys(tbl.column(mkey), f"nullify {t}.{mkey}")
             if t_nullify
             else None
         )
