@@ -45,13 +45,20 @@ Only dialect-common constructs are used: CAST, CASE WHEN, floor,
 window SUM with ROWS frame, JOIN ON, INTERVAL 1 DAY, nested CTEs.
 
 Reading-validity boundary (r07 null-value fuzz finding; extended to
-the timestamp by the r08 null-ts probe): a NULL ``value`` is a FAILED
-sensor reading and a NULL ``ts`` is an UNPLACEABLE one — neither
-produces an observation (``WHERE value IS NOT NULL AND ts IS NOT
-NULL`` in the ev CTE), mirroring the reference's own
-non-numeric-reading guard (MWC:181-183) and its dated-row cadence
-assumption (MWC:34-39: every observation IS a 15-minute slot; a row
-that cannot be placed on the time axis has no slot). Without the
+the timestamp by the r08 null-ts probe, and to NON-FINITE readings by
+the r10 extreme-value probe): a NULL ``value`` is a FAILED sensor
+reading, a NULL ``ts`` is an UNPLACEABLE one, and a NaN/±Inf ``value``
+is a CORRUPT one — none produces an observation (``WHERE value IS NOT
+NULL AND ts IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)`` in
+the ev CTE; the abs-compare is the dialect-common isfinite — both
+engines order NaN above +Inf, so one predicate excludes NaN and ±Inf
+alike), mirroring the reference's own non-numeric-reading guard
+(MWC:181-183) and its dated-row cadence assumption (MWC:34-39: every
+observation IS a 15-minute slot; a row that cannot be placed on the
+time axis has no slot). Without the finite bound, the integer-cents
+discipline (``CAST(floor(value) AS BIGINT)``) CRASHES both ANSI
+engines on NaN — a single corrupt sensor word killing a 100 TB job
+instead of being quarantined at the substrate. Without the
 boundary, every downstream weather derivation (the WOW payload chain,
 the stream machines, the wind histogram) must agree with its oracle
 on three-valued logic through ~15 paired CASE expressions, where
@@ -79,6 +86,7 @@ WITH ev AS (
               ELSE CAST(0 AS BIGINT) END             AS rain_incr
   FROM events
   WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND abs(value) < CAST('inf' AS DOUBLE)
 ),
 day_tot AS (
   SELECT station_id, day, SUM(rain_incr) AS day_sum

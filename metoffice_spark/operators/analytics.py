@@ -31,13 +31,20 @@ from metoffice_spark.session import scoped_persist, tune
 
 
 def _rev_cents(price: str = "l_extendedprice", disc: str = "l_discount"):
-    return F.floor(
-        F.col(price) * (F.lit(1.0) - F.col(disc)) * F.lit(100.0) + F.lit(0.5)
-    ).cast("bigint")
+    # non-finite guard (r10 extreme-value probe): NaN/±Inf money is an
+    # invalid measurement — NULL cents (sums skip it identically in
+    # both engines) instead of a BIGINT-cast crash under ANSI
+    rev = F.col(price) * (F.lit(1.0) - F.col(disc))
+    return F.when(
+        F.abs(rev) < F.lit(float("inf")),
+        F.floor(rev * F.lit(100.0) + F.lit(0.5)).cast("bigint"),
+    )
 
 
 _REV_CENTS_SQL = (
-    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+    "CASE WHEN abs(l_extendedprice * (1.0 - l_discount)) < CAST('inf' AS DOUBLE)"
+    " THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+    " AS BIGINT) END"
 )
 
 
@@ -298,6 +305,7 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB, shifting every percentile index.
     ev = load(tune(spark), sf_dir, "events").filter(
         F.col("value").isNotNull()
+        & (F.abs(F.col("value")) < F.lit(float("inf")))
     ).select(
         "event_type",
         "event_id",
@@ -333,7 +341,7 @@ WITH ranked AS (
            CAST(floor(value * 1000 + 0.5) AS BIGINT), event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
 )
 SELECT event_type,
        CAST(max(n) AS BIGINT) AS n,
@@ -633,9 +641,11 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact interpolated value (1e-3 fixed point)."""
     spark = tune(spark)
     # rank-validity boundary (r08 ts+value probe): as
-    # q_percentile_exact — NULL readings are not distribution points.
+    # q_percentile_exact — NULL/non-finite readings are not
+    # distribution points.
     ev = load(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
+        & (F.abs(F.col("value")) < F.lit(float("inf")))
     ).select(
         "event_type",
         "event_id",
@@ -704,7 +714,7 @@ WITH ranked AS (
                                      event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
 )
 {" UNION ALL ".join(parts)}
 """
@@ -848,7 +858,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differently per engine (NULLS FIRST vs LAST).
     ev = scoped_persist(
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & (F.abs(F.col("value")) < F.lit(float("inf")))
+        )
         .select(
             "event_type",
             "event_id",
@@ -907,7 +920,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
 ),
 ranked AS (
   SELECT event_type, v_fp,
@@ -967,7 +980,10 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").select(
             "event_type",
             F.to_date("ts").alias("d"),
-            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+            F.expr(
+                "case when abs(value) < cast('inf' as double) "
+                "then cast(floor(value * 100 + 0.5) as bigint) end"
+            ).alias("cents"),
         )
     )
 
@@ -1014,7 +1030,8 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_METRIC_DECOMPOSE = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),
 p1 AS (

@@ -39,7 +39,10 @@ from metoffice_spark.session import scoped_persist, tune
 
 QUERIES: dict = {}
 
-_CENTS = "cast(floor(value * 100 + 0.5) as bigint)"
+_CENTS = (
+    "case when abs(value) < cast('inf' as double) "
+    "then cast(floor(value * 100 + 0.5) as bigint) end"
+)
 
 
 # --- q_attribution: last-touch conversion attribution ------------------------
@@ -602,8 +605,9 @@ WITH cells AS (
               AS INT) AS dow,
          CAST(hour(ts) AS INT) AS hr,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-           AS cents_total
+         CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS cents_total
   FROM events GROUP BY 1, 2
 )
 SELECT dow, hr, n_events, cents_total,
@@ -875,7 +879,10 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         "ts",
         "event_id",
-        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+        F.when(
+            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("v_fp"),
     )
     return ev.groupBy("event_type", "day").agg(
         F.expr("min(struct(ts, event_id, v_fp)).v_fp").alias("open_fp"),
@@ -889,7 +896,8 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_OHLC_BARS = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
-         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS v_fp
   FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type, day,
@@ -1043,13 +1051,17 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: n, median, MAD, and points beyond 3 MADs
     (count + share)."""
     spark = tune(spark)
-    # rank-validity boundary (r08 ts+value probe, mirrored in the
-    # oracle): a NULL reading is not a point of the distribution —
-    # its rank position differs per engine and shifts the median
-    # index for every other row.
+    # rank-validity boundary (r08 ts+value probe; non-finite added by
+    # the r10 extreme-value probe, mirrored in the oracle): a NULL or
+    # NaN/±Inf reading is not a point of the distribution — NULL rank
+    # position differs per engine, and a NaN would crash both ANSI
+    # engines' cents cast.
     ev = scoped_persist(
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & (F.abs(F.col("value")) < F.lit(float("inf")))
+        )
         .select(
             "event_type",
             "event_id",
@@ -1114,7 +1126,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
 ),
 ranked AS (
   SELECT event_type, v_fp,
@@ -1190,8 +1202,12 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
-            .alias("cents")
+            F.sum(
+                F.when(
+                    F.abs(F.col("value")) < F.lit(float("inf")),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+                )
+            ).alias("cents")
         )
         .select(
             "event_type",
@@ -1233,7 +1249,9 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TS_TREND = f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
 idx AS (

@@ -701,7 +701,12 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"))
+        F.sum(
+            F.when(
+                F.abs(F.col("value")) < F.lit(float("inf")),
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
+            )
+        )
         .cast("bigint")
         .alias("value_fp_total"),
     )
@@ -710,7 +715,8 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SINK_COMPACT = """
 SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+                THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END) AS BIGINT)
          AS value_fp_total
 FROM events
 GROUP BY event_type

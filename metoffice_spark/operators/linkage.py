@@ -250,8 +250,18 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = ev.select(
         F.col("value").alias("x"),
         (F.col("event_id") % 100).cast("double").alias("y"),
-        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
-        F.expr("cast(floor(value / 50) as int)").alias("cx"),
+        F.expr(
+            "case when abs(value) < cast('inf' as double) "
+            "then cast(floor(value * 100 + 0.5) as bigint) end"
+        ).alias("cents"),
+        # masked cell key (r10 extreme-value probe): floor(±inf) casts
+        # to INT overflow under ANSI; a non-finite x joins no grid cell
+        # — exactly what the oracle's direct range predicate does (NaN
+        # and ±Inf fail x < xhi in both engines)
+        F.expr(
+            "case when abs(value) < cast('inf' as double) "
+            "then cast(floor(value / 50) as int) end"
+        ).alias("cx"),
         F.expr("cast(floor((event_id % 100) / 25) as int)").alias("cy"),
     )
     rows = ", ".join(f"({r},{a},{b},{c},{d})" for r, a, b, c, d in _SP_RECTS)
@@ -299,7 +309,8 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JOIN_SPATIAL = f"""
 WITH points AS (
   SELECT value AS x, CAST(event_id % 100 AS DOUBLE) AS y,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),
 rects(rid, xlo, xhi, ylo, yhi) AS (

@@ -834,7 +834,10 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.col("ts").cast("long").alias("es"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+        F.when(
+            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ).alias("y"),
     )
     w_first = Window.partitionBy("user_id").orderBy("es", "event_id")
     based = ev.select(
@@ -866,7 +869,8 @@ ORACLE_ROLLING_REG = f"""
 WITH ev AS (
   SELECT user_id, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
   WHERE ts IS NOT NULL
 ),

@@ -207,7 +207,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").cast("long").alias("es"),
         "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vfp"),
+        F.when(
+            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ).alias("vfp"),
     )
     w = Window.partitionBy("user_id").orderBy("es", "event_id")
     seg = ev.select(
@@ -237,7 +240,8 @@ WITH ev AS (
   SELECT user_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
          event_id,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vfp
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS vfp
   FROM events
   WHERE ts IS NOT NULL
 ),
@@ -834,7 +838,10 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(
+            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ).alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w3 = w.rowsBetween(-2, Window.currentRow)
@@ -861,7 +868,8 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LAG_FEATURES = """
 WITH ev AS (
   SELECT user_id, event_id, ts,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
   WHERE ts IS NOT NULL
 )

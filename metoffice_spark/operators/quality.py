@@ -35,8 +35,11 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents), the corpus id-content-conflict contract (a doc_id
     carrying >1 distinct text — the violation class under which the
     per-doc operator families are out of contract, r09 dkdocs probe),
-    not-null, referential integrity (orders→customer), and domain
-    ranges (discount ∈ [0,1], quantity > 0).
+    not-null, referential integrity (orders→customer), domain
+    ranges (discount ∈ [0,1], quantity > 0), and finite-money domain
+    (no NaN/±Inf in any orders/lineitem money or quantity word — the
+    r10 extreme-value contract under which the TPC-H operator
+    families' integer-cents casts are defined).
 
     Scale: the three lineitem range/null checks share ONE scan (a
     single aggregate computes them all); the orders scan serves BOTH
@@ -48,6 +51,17 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     docs = load(spark, sf_dir, "documents")
 
+    # finite-domain contract (r10 extreme-value probe): a NaN/±Inf
+    # money or quantity word is corrupt upstream data, and the
+    # integer-cents discipline every money consumer shares would
+    # CRASH both ANSI engines on it (CAST nan AS BIGINT) — so
+    # non-finite money is OUT of contract for the TPC-H operator
+    # families and DETECTED here, the documents_id_content_conflict
+    # precedent. abs(x) >= inf is the dialect-common non-finite test:
+    # both engines order NaN above +Inf, so one predicate catches NaN
+    # and ±Inf alike (NULL stays NULL → not counted; the NULL axes
+    # have their own checks and probes).
+    _inf = F.lit(float("inf"))
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
@@ -55,6 +69,15 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bad_disc"
         ),
         F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("null_ship"),
+        F.count(
+            F.when(
+                (F.abs(F.col("l_quantity")) >= _inf)
+                | (F.abs(F.col("l_extendedprice")) >= _inf)
+                | (F.abs(F.col("l_discount")) >= _inf)
+                | (F.abs(F.col("l_tax")) >= _inf),
+                1,
+            )
+        ).alias("bad_money"),
     )
     # one scan of orders serves BOTH the uniqueness and the FK check:
     # broadcast-left-join the dim key set, count nulls instead of a
@@ -72,6 +95,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
             F.count(F.when(F.col("known").isNull(), 1)).alias("n_orphans"),
+            F.count(
+                F.when(F.abs(F.col("o_totalprice")) >= _inf, 1)
+            ).alias("bad_money"),
         )
     )
 
@@ -91,6 +117,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 crow("lineitem_quantity_positive", F.col("n"), F.col("bad_qty")),
                 crow("lineitem_discount_in_range", F.col("n"), F.col("bad_disc")),
                 crow("lineitem_shipdate_not_null", F.col("n"), F.col("null_ship")),
+                crow("lineitem_money_finite", F.col("n"), F.col("bad_money")),
             )
         ).alias("c")
     ).select("c.*")
@@ -98,6 +125,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 crow("orders_pk_unique", F.col("n"), F.col("dup_pk")),
+                crow("orders_totalprice_finite", F.col("n"), F.col("bad_money")),
                 crow(
                     "orders_custkey_references_customer",
                     F.lit(None).cast("bigint"),
@@ -168,11 +196,19 @@ WITH li_agg AS (
   SELECT count(*) AS n,
          count(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_qty,
          count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_disc,
-         count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_ship
+         count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_ship,
+         count(CASE WHEN abs(l_quantity)      >= CAST('inf' AS DOUBLE)
+                      OR abs(l_extendedprice) >= CAST('inf' AS DOUBLE)
+                      OR abs(l_discount)      >= CAST('inf' AS DOUBLE)
+                      OR abs(l_tax)           >= CAST('inf' AS DOUBLE)
+               THEN 1 END) AS bad_money
   FROM lineitem
 ),
 ord_agg AS (
-  SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS dup_pk FROM orders
+  SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS dup_pk,
+         count(CASE WHEN abs(o_totalprice) >= CAST('inf' AS DOUBLE)
+               THEN 1 END) AS bad_money
+  FROM orders
 ),
 orph AS (
   SELECT count(*) AS n_orphans FROM orders
@@ -201,8 +237,14 @@ UNION ALL
 SELECT 'lineitem_shipdate_not_null', CAST(n AS BIGINT), CAST(null_ship AS BIGINT),
        null_ship = 0 FROM li_agg
 UNION ALL
+SELECT 'lineitem_money_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
+       bad_money = 0 FROM li_agg
+UNION ALL
 SELECT 'orders_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
        dup_pk = 0 FROM ord_agg
+UNION ALL
+SELECT 'orders_totalprice_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
+       bad_money = 0 FROM ord_agg
 UNION ALL
 SELECT 'orders_custkey_references_customer', CAST(NULL AS BIGINT),
        CAST(n_orphans AS BIGINT), n_orphans = 0 FROM orph

@@ -28,12 +28,26 @@ from metoffice_spark.session import tune
 
 
 def _cents(col: F.Column, scale: int = 100):
-    """floor(x*scale + 0.5) as BIGINT — per-row exact in both engines."""
-    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    """floor(x*scale + 0.5) as BIGINT — per-row exact in both engines.
+
+    Non-finite guard (r10 extreme-value probe): a NaN/±Inf input would
+    CRASH both ANSI engines' BIGINT cast (one corrupt upstream word
+    killing a 100 TB job); it is an invalid measurement, so it becomes
+    a NULL fixed-point value — missing data, handled by the same NULL
+    semantics every null-axis probe already pins. Both engines order
+    NaN above +Inf, so ``abs(x) < inf`` excludes NaN and ±Inf alike.
+    Finite inputs are untouched."""
+    return F.when(
+        F.abs(col) < F.lit(float("inf")),
+        F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
 
 
 def _cents_sql(x: str, scale: int = 100) -> str:
-    return f"CAST(floor(({x}) * {scale} + 0.5) AS BIGINT)"
+    return (
+        f"CASE WHEN abs({x}) < CAST('inf' AS DOUBLE) "
+        f"THEN CAST(floor(({x}) * {scale} + 0.5) AS BIGINT) END"
+    )
 
 
 # --- scans / projections / filters ----------------------------------------

@@ -484,7 +484,10 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two engines.
     ev = scoped_persist(
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & (F.abs(F.col("value")) < F.lit(float("inf")))
+        )
         .select(
             "event_type",
             "event_id",
@@ -552,7 +555,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
 ),
 bins AS (
   SELECT event_type, v_fp // {_QSK_BIN} AS bin,

@@ -385,7 +385,10 @@ def q_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast((datediff(to_date(ts), to_date('1970-01-01')) + 4) % 7 as bigint)"
         ).alias("x2"),
-        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("y"),
+        F.expr(
+            "case when abs(value) < cast('inf' as double) "
+            "then cast(floor(value * 100 + 0.5) as bigint) end"
+        ).alias("y"),
     )
     gram = ev.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -414,7 +417,8 @@ WITH ev AS (
   SELECT CAST(hour(ts) AS BIGINT) AS x1,
          CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
               AS BIGINT) AS x2,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
 ),
 gram AS (
@@ -817,7 +821,10 @@ def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.to_date("ts").alias("day"),
             F.hour("ts").cast("int").alias("hr"),
-            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+            F.expr(
+                "case when abs(value) < cast('inf' as double) "
+                "then cast(floor(value * 100 + 0.5) as bigint) end"
+            ).alias("cents"),
         )
     )
     last_day = ev.agg(F.max("day").alias("dmax"))
@@ -856,7 +863,8 @@ def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FORECAST = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),
 last_day AS (SELECT max(day) AS dmax FROM ev),
@@ -903,7 +911,10 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").select(
             "event_id",
             "event_type",
-            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("y"),
+            F.expr(
+            "case when abs(value) < cast('inf' as double) "
+            "then cast(floor(value * 100 + 0.5) as bigint) end"
+        ).alias("y"),
         )
     )
     cats = ev.groupBy("event_type").agg(
@@ -932,7 +943,8 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TARGET_ENC = f"""
 WITH ev AS (
   SELECT event_id, event_type,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
 ),
 cats AS (

@@ -335,7 +335,11 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts at opposite ends on the two engines).
     ev = (
         load(tune(spark), sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.abs(F.col("value")) < F.lit(float("inf")))
+        )
         .select("event_id", "user_id", "ts", _cents(F.col("value")).alias("x_fp"))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -368,6 +372,7 @@ def _ewma_oracle() -> str:
 WITH src AS (
   SELECT event_id, user_id, ts, {_cents_sql("value")} AS x_fp
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND abs(value) < CAST('inf' AS DOUBLE)
 )
 SELECT event_id, user_id, ts, x_fp,
        CAST({" + ".join(nums)} AS BIGINT) AS ewma_num,
@@ -510,7 +515,10 @@ def q_cov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     #event-types rows — the textbook distributive-aggregate shape
     (a Welford/centered pass would need the same shuffle but lose
     exactness)."""
-    ev = load(tune(spark), sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load(tune(spark), sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.abs(F.col("value")) < F.lit(float("inf")))
+    )
     src = ev.select(
         "event_type",
         _cents(F.col("value")).alias("x"),
@@ -546,6 +554,7 @@ WITH src AS (
   SELECT event_type, {_cents_sql("value")} AS x,
          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
   FROM events WHERE value IS NOT NULL
+    AND abs(value) < CAST('inf' AS DOUBLE)
 ),
 agg AS (
   SELECT event_type, count(*) AS n,

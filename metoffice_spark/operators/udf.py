@@ -211,8 +211,12 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # float64 (cents * 1e6 < 2^53, so floor-div stays exact),
         # bound lo/hi over the NON-null values only (SQL min/max), and
         # ship masked Int64 arrays so NULLs arrive as NULLs.
+        # ~isfinite, not isnan (r10 extreme-value probe): a ±Inf
+        # reading is as unrepresentable in cents as a NaN one, and
+        # .astype("int64") of inf is platform-undefined — non-finite
+        # maps to NULL exactly like the oracle's masked cents CASE.
         v = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
-        null = np.isnan(v)
+        null = ~np.isfinite(v)
         valid = v[~null]
         lo = valid.min() if valid.size else 0.0
         span = max((valid.max() - lo) if valid.size else 1.0, 1.0)
@@ -247,7 +251,8 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UDF_GROUPED_MAP = """
 WITH ev AS (
   SELECT event_type, event_id,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v_fp
   FROM events
 ),
 b AS (
@@ -304,7 +309,14 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.col("ts").cast("long").alias("ep"),
-        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        # masked cents (r10 extreme-value probe): a NaN/±Inf click
+        # value is an invalid reading — NULL cents, same CASE as the
+        # oracle (an unmasked floor would diverge: Spark floor(NaN)=0,
+        # DuckDB crashes the BIGINT cast)
+        F.expr(
+            "case when abs(value) < cast('inf' as double) "
+            "then cast(floor(value * 100 + 0.5) as bigint) end"
+        ).alias("cents"),
     )
     clicks = ev.filter("event_type = 'click'").select(
         "user_id", "event_id", "ep", "cents"
@@ -377,7 +389,8 @@ ORACLE_UDF_COGROUPED = """
 WITH ev AS (
   SELECT user_id, event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
   WHERE ts IS NOT NULL
 ),

@@ -23,11 +23,18 @@ from pyspark.sql import functions as F
 
 
 def rhu_sql(x: str, d: int) -> str:
-    """Round-half-up(+inf) of expression ``x`` to ``d`` decimals, as DOUBLE."""
+    """Round-half-up(+inf) of expression ``x`` to ``d`` decimals, as DOUBLE.
+
+    Non-finite inputs round to NULL (r10 extreme-value probe): Spark's
+    ``floor`` converts NaN to BIGINT 0 where DuckDB keeps NaN — a
+    SILENT divergence, not even a crash. An unroundable value is an
+    invalid measurement; NULL is the engine-agnostic spelling."""
     if d == 0:
-        return f"floor(({x}) + 0.5)"
-    p = 10 ** d
-    return f"(floor(({x}) * {p} + 0.5) / {p})"
+        body = f"floor(({x}) + 0.5)"
+    else:
+        p = 10 ** d
+        body = f"(floor(({x}) * {p} + 0.5) / {p})"
+    return f"CASE WHEN abs({x}) < CAST('inf' AS DOUBLE) THEN {body} END"
 
 
 def fixed_str_sql(x: str, d: int) -> str:
@@ -55,9 +62,11 @@ def fixed_str_sql(x: str, d: int) -> str:
 def rhu(x: Column, d: int) -> Column:
     """Column form of ``rhu_sql`` (same arithmetic, DataFrame API)."""
     if d == 0:
-        return F.floor(x + F.lit(0.5)).cast("double")
-    p = float(10 ** d)
-    return F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
+        body = F.floor(x + F.lit(0.5)).cast("double")
+    else:
+        p = float(10 ** d)
+        body = F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
+    return F.when(F.abs(x) < F.lit(float("inf")), body)
 
 
 def fixed_str(x: Column, d: int) -> Column:

@@ -889,3 +889,78 @@ def test_composed_stress_slice_parity(qid, spark, stress_dir):
         assert compare(spark, con, fn, sql, stress_dir) == []
     finally:
         con.close()
+
+
+# --- extreme-value axes (r10 wave 2: --extval) --------------------------------
+#
+# The corrupt-upstream shapes no NULL probe reaches: NaN readings in
+# events.value. Registry-wide the NaN probe found 68 failures in one
+# run — the largest single-axis haul of any wave — almost all one
+# class: the integer-cents discipline's BIGINT cast CRASHES both ANSI
+# engines on NaN (DuckDB raises; Spark's floor() silently coins 0
+# where it doesn't). Contract decision: a non-finite reading is an
+# INVALID measurement — the reading-validity boundary (obs.py ev CTE)
+# extends to `abs(value) < CAST('inf' AS DOUBLE)` (the dialect-common
+# isfinite: both engines order NaN above +Inf), fixing every
+# weather/rain/stream consumer in one edit; the shared fixed-point
+# macros (_cents/_cents_sql, behavior._CENTS, parity.rhu/rhu_sql) and
+# the inline cents sites mask non-finite to NULL — missing data,
+# handled by the same NULL semantics every null-axis probe already
+# pins; and the pandas kernels use ~isfinite instead of isnan. Money
+# columns carry the same masked-cents semantics PLUS a detect row
+# (lineitem_money_finite / orders_totalprice_finite in q_dq_checks).
+EXTVAL_NAN_QIDS = (
+    "q_rain_rate",          # obs substrate boundary
+    "q_percentile_exact",   # rank-validity boundary extension
+    "q_mad_outlier",        # rank-validity boundary extension
+    "q_attribution",        # behavior._CENTS macro mask
+    "q_ts_trend",           # inline sum-cents mask
+    "q_ohlc_bars",          # masked v_fp through struct min/max picks
+    "q_udf_grouped_map",    # pandas kernel ~isfinite
+    "q_udf_cogrouped",      # pandas kernel + oracle CASE cents
+    "q_join_spatial",       # masked grid-cell key (±inf INT overflow)
+    "q_win_ewma",           # _cents_sql mask behind the finite filter
+    "q_forecast_snaive",    # inline cents in stats.py
+)
+
+
+@pytest.fixture(scope="module")
+def extnan_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=1,
+        keep_permille=700,
+        extval={("events", "value", "nan"): 300},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_NAN_QIDS)
+def test_extnan_slice_parity(qid, spark, extnan_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(extnan_dir)
+    try:
+        assert compare(spark, con, fn, sql, extnan_dir) == []
+    finally:
+        con.close()
+
+
+def test_dq_gate_detects_nonfinite_money(spark, sf_smoke):
+    """The detect half of the finite-money contract: the two finite
+    checks fire on NaN/±Inf money and stay quiet on clean data (the
+    stock-fixture half is test_dq_checks_all_pass_on_clean_data)."""
+    from metoffice_spark.operators.quality import q_dq_checks
+
+    d = materialize_slice(
+        sf_smoke,
+        seed=7,
+        keep_permille=1000,
+        extval={
+            ("lineitem", "l_extendedprice", "nan"): 200,
+            ("orders", "o_totalprice", "inf"): 200,
+        },
+    )
+    rows = {r["check_name"]: r for r in q_dq_checks(spark, d).collect()}
+    li = rows["lineitem_money_finite"]
+    od = rows["orders_totalprice_finite"]
+    assert li["n_violations"] > 0 and not li["pass"]
+    assert od["n_violations"] > 0 and not od["pass"]

@@ -137,7 +137,9 @@ def test_dq_checks_all_pass_on_clean_data(spark, sf_smoke):
     from metoffice_spark.operators.quality import q_dq_checks
 
     rows = q_dq_checks(spark, sf_smoke).collect()
-    assert len(rows) == 8  # +3 in r09: the documents corpus-contract checks
+    # +3 in r09 (documents corpus-contract checks), +2 in r10 (the
+    # finite-money domain checks of the extreme-value contract)
+    assert len(rows) == 10
     assert all(r["pass"] and r["n_violations"] == 0 for r in rows)
 
 

@@ -20,6 +20,7 @@ data-dependent parity bug even though the stock gate is green.
         --seed 1 --keep 700 [--nullify table.column=permille ...] \
         [--nullgroup table.keycol.valcol=permille ...] \
         [--dupkey table.column=permille ...] [--duprows table=permille ...] \
+        [--extval table.column.kind=permille ...] \
         [--nullprobe] [--scramble] [--window] [qid ...]
 
 With no qids: every registered query. `--window` adds the driver's
@@ -122,6 +123,7 @@ def materialize_slice(
     dupkey: dict[tuple[str, str], int] | None = None,
     duprows: dict[str, int] | None = None,
     nullgroup: dict[tuple[str, str, str], int] | None = None,
+    extval: dict[tuple[str, str, str], int] | None = None,
 ) -> str:
     """Write the sampled copy of ``src_dir`` and return its path.
 
@@ -177,8 +179,12 @@ def materialize_slice(
     dupkey = dupkey or {}
     duprows = duprows or {}
     nullgroup = nullgroup or {}
+    extval = extval or {}
     tag = "".join(
         f"_n{t}.{c}.{p}" for (t, c), p in sorted(nullify.items())
+    )
+    tag += "".join(
+        f"_x{t}.{c}.{k}.{p}" for (t, c, k), p in sorted(extval.items())
     )
     tag += "".join(
         f"_g{t}.{k}.{c}.{p}" for (t, k, c), p in sorted(nullgroup.items())
@@ -288,6 +294,80 @@ def materialize_slice(
                 pa.array(~gmask), tbl.column(gc), pa.scalar(None, field.type)
             )
             tbl = tbl.set_column(idx, field, nulled)
+        # --extval (r10 wave 2): overwrite that permille of rows'
+        # column with an EXTREME VALUE instead of NULL — the corrupt-
+        # upstream shapes a 100 TB ingest actually sees and that no
+        # NULL probe can reach: non-finite doubles (NaN/±Inf, where the
+        # engines' cast/floor/stddev semantics genuinely differ),
+        # domain-violating finite values (negated / zeroed money), and
+        # degenerate strings (empty "" and whitespace-only, which are
+        # NOT NULL and take the non-null branch of every boundary).
+        t_extval = [
+            (ec, kind, p)
+            for (et, ec, kind), p in sorted(extval.items())
+            if et == t
+        ]
+        if t_extval:
+            ekey = key if key is not None else DIM_KEYS.get(t)
+            if ekey is None:
+                raise SystemExit(f"--extval: no hash key known for {t!r}")
+            ekeys = _int_keys(tbl.column(ekey), f"extval {t}.{ekey}")
+            import pyarrow.compute as pc
+
+            for ec, kind, permille in t_extval:
+                emask = _keep_mask(
+                    ekeys,
+                    seed * 47 + 29 + sum(f"{ec}.{kind}".encode()) % 9973,
+                    permille,
+                )
+                idx = tbl.schema.get_field_index(ec)
+                field = tbl.schema.field(idx)
+                if kind in ("nan", "inf", "neginf", "zero"):
+                    if not pa.types.is_floating(field.type):
+                        raise SystemExit(
+                            f"--extval {kind} needs a float column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    val = {
+                        "nan": float("nan"),
+                        "inf": float("inf"),
+                        "neginf": float("-inf"),
+                        "zero": 0.0,
+                    }[kind]
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pa.scalar(val, field.type),
+                    )
+                elif kind == "neg":
+                    if not pa.types.is_floating(field.type):
+                        raise SystemExit(
+                            f"--extval neg needs a float column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pc.negate_checked(tbl.column(ec)),
+                    )
+                elif kind in ("empty", "blank"):
+                    if not pa.types.is_string(field.type):
+                        raise SystemExit(
+                            f"--extval {kind} needs a string column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    val = "" if kind == "empty" else " \t  "
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pa.scalar(val, field.type),
+                    )
+                else:
+                    raise SystemExit(
+                        f"--extval: unknown kind {kind!r}; want one of "
+                        "nan|inf|neginf|neg|zero|empty|blank"
+                    )
+                tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
         # nullify spec may target the key column itself, and the
         # per-column masks must all derive from the PRE-null ids
@@ -441,6 +521,20 @@ if __name__ == "__main__":
                 "want table.keycol.valcol=permille"
             )
         nullgroup[(parts[0], parts[1], parts[2])] = int(p)
+    extval: dict[tuple[str, str, str], int] = {}
+    while "--extval" in args:
+        i = args.index("--extval")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        tck, _, p = spec.partition("=")
+        parts = tck.split(".")
+        if len(parts) != 3 or not all(parts) or not p.isdigit():
+            sys.exit(
+                f"bad --extval spec {spec!r}; "
+                "want table.column.kind=permille "
+                "(kind: nan|inf|neginf|neg|zero|empty|blank)"
+            )
+        extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
     if use_nullprobe:
         args.remove("--nullprobe")
@@ -463,7 +557,7 @@ if __name__ == "__main__":
 
     slice_dir = materialize_slice(
         src_dir, seed, keep, nullify, use_scramble, dupkey, duprows,
-        nullgroup,
+        nullgroup, extval,
     )
     print(
         f"slice: {slice_dir} (seed={seed} keep={keep}‰ of fact rows"
@@ -477,6 +571,10 @@ if __name__ == "__main__":
         + "".join(
             f", {p}‰ of {t}.{k} groups all-NULL in {c}"
             for (t, k, c), p in sorted(nullgroup.items())
+        )
+        + "".join(
+            f", {p}‰ {k} values in {t}.{c}"
+            for (t, c, k), p in sorted(extval.items())
         )
         + ")"
     )
