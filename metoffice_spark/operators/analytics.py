@@ -1092,8 +1092,11 @@ def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_quantity",
         F.expr(
-            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
-            " * cast(100 - floor(l_discount * 100 + 0.5) as bigint) div 100"
+            "case when abs(l_extendedprice * 100 + 0.5) < cast('inf' as double)"
+            " then cast(floor(l_extendedprice * 100 + 0.5) as bigint) end"
+            " * case when abs(l_discount) < cast('inf' as double)"
+            " then cast(100 - floor(l_discount * 100 + 0.5) as bigint) end"
+            " div 100"
         ).alias("rev_cents"),
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
@@ -1114,8 +1117,10 @@ def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_OLAP_DISJUNCTIVE = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                * CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT) // 100)
+       CAST(sum(CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END
+                * CASE WHEN abs(l_discount) < CAST('inf' AS DOUBLE)
+                       THEN CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)
+                  END // 100)
          AS BIGINT) AS revenue_cents
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15

@@ -35,6 +35,15 @@ from metoffice_spark.session import scoped_persist, tune
 QUERIES: dict = {}
 
 
+def _finite_qty(col: str = "l_quantity"):
+    """BIGINT quantity with the finite-money guard (r10 extreme-value
+    probe): CAST(±inf AS BIGINT) raises under ANSI; a non-finite
+    quantity is an invalid measurement -> NULL, as the masked cents."""
+    return F.when(
+        F.abs(F.col(col)) < F.lit(float("inf")), F.col(col).cast("bigint")
+    )
+
+
 def _ols_num(n: str, sxy: str, sx: str, sy: str) -> str:
     """n·Sxy − Sx·Sy in DOUBLE — the OLS slope / correlation
     numerator over exact BIGINT sums. Defined ONCE and interpolated
@@ -88,8 +97,7 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     orders = load(spark, sf_dir, "orders").select(
         F.substring(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("bigint")
+            F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
             .cast("string"),
             1,
             1,
@@ -123,7 +131,7 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BENFORD = f"""
 WITH per_d AS (
-  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+  SELECT CAST(substring(CAST(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
                              AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS obs
   FROM orders GROUP BY 1
@@ -385,7 +393,7 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("qty")
+        "l_orderkey", "l_partkey", _finite_qty().alias("qty")
     )
     ratings = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
@@ -414,7 +422,8 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ALS = f"""
 WITH ratings AS (
   SELECT o.o_custkey, l.l_partkey,
-         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+         CAST(sum(CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+                  THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS r
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY o.o_custkey, l.l_partkey
 ),
@@ -469,8 +478,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ym"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
@@ -500,7 +508,7 @@ ORACLE_COHORT_LTV = """
 WITH orders_m AS (
   SELECT o_custkey,
          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
   FROM orders
   WHERE o_orderdate IS NOT NULL
 ),
@@ -698,9 +706,8 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        _finite_qty().alias("x"),
+        F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("y"),
     )
     g = li.groupBy("l_returnflag").agg(
@@ -756,8 +763,9 @@ def _simpson_oracle() -> str:
     return f"""
 WITH li AS (
   SELECT l_returnflag,
-         CAST(l_quantity AS BIGINT) AS x,
-         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+         CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+              THEN CAST(l_quantity AS BIGINT) END AS x,
+         CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS y
   FROM lineitem
 ),
 g AS (

@@ -479,11 +479,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nat"),
-        F.floor(
-            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
-            / F.lit(100000.0)
-        )
-        .cast("bigint")
+        F.when(F.abs(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)) < F.lit(float("inf")), F.floor(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)).cast("bigint"))
         .alias("bal_bucket"),
         "c_mktsegment",
     )
@@ -510,8 +506,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_L_DIVERSITY = f"""
 WITH base AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nat,
-         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
-           AS BIGINT) AS bal_bucket,
+         CASE WHEN abs(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) < CAST('inf' AS DOUBLE) THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) AS BIGINT) END AS bal_bucket,
          c_mktsegment
   FROM customer
 ),
@@ -560,8 +555,7 @@ def q_jackknife_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     per_g = orders.groupBy("o_orderpriority").agg(
@@ -611,7 +605,7 @@ ORACLE_JACKKNIFE = """
 WITH per_g AS (
   SELECT o_orderpriority,
          CAST(count(*) AS BIGINT) AS n_i,
-         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_i
+         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s_i
   FROM orders GROUP BY o_orderpriority
 ),
 totals AS (

@@ -27,7 +27,7 @@ from metoffice_spark.session import tune
 
 QUERIES: dict = {}
 
-_REV_CENTS = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+_REV_CENTS = "CASE WHEN abs(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) END"
 
 
 def _sql_query(qid: str, sql: str, tables: tuple, doc: str):
@@ -85,8 +85,7 @@ _sql_query(
 
 SQL_OLAP_REVENUE_DELTA = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents
+       CAST(sum(CASE WHEN abs(l_extendedprice * l_discount * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -142,9 +141,13 @@ _sql_query(
 
 SQL_OLAP_PRODUCT_PROFIT = """
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-       CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)
-                            - 0.5 * p.p_retailprice * l.l_quantity) * 100.0
-                           + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+       CAST(sum(CASE WHEN abs(l.l_extendedprice * (1.0 - l.l_discount)
+                             - 0.5 * p.p_retailprice * l.l_quantity)
+                          < CAST('inf' AS DOUBLE)
+                     THEN CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)
+                                      - 0.5 * p.p_retailprice * l.l_quantity)
+                                     * 100.0 + 0.5) AS BIGINT)
+                END) AS BIGINT) AS profit_cents
 FROM lineitem l, orders o, part p, supplier s, nation n
 WHERE o.o_orderkey = l.l_orderkey AND p.p_partkey = l.l_partkey
   AND s.s_suppkey = l.l_suppkey AND n.n_nationkey = s.s_nationkey
@@ -171,16 +174,16 @@ _sql_query(
 
 SQL_OLAP_IMPORTANT_STOCK = """
 SELECT l.l_partkey,
-       CAST(sum(CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5)
-                     AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(sum(CASE WHEN abs(l.l_quantity * p.p_retailprice * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS value_cents
 FROM lineitem l, part p, supplier s, nation n
 WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
   AND n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
 GROUP BY l.l_partkey
-HAVING 1000 * sum(CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5)
-                       AS BIGINT))
-       > (SELECT sum(CAST(floor(l2.l_quantity * p2.p_retailprice * 100.0
-                                + 0.5) AS BIGINT))
+HAVING 1000 * sum(CASE WHEN abs(l.l_quantity * p.p_retailprice * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END)
+       > (SELECT sum(CASE WHEN abs(l2.l_quantity * p2.p_retailprice * 100.0
+                                   + 0.5) < CAST('inf' AS DOUBLE)
+                          THEN CAST(floor(l2.l_quantity * p2.p_retailprice
+                                          * 100.0 + 0.5) AS BIGINT) END)
           FROM lineitem l2, part p2, supplier s2, nation n2
           WHERE p2.p_partkey = l2.l_partkey AND s2.s_suppkey = l2.l_suppkey
             AND n2.n_nationkey = s2.s_nationkey AND n2.n_name = 'NATION_3')
@@ -298,7 +301,8 @@ WHERE s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l.l_suppkey, l.l_partkey
-    HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50)
+    HAVING sum(CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+               THEN CAST(l.l_quantity AS BIGINT) END) > 50)
 ORDER BY s.s_name
 """
 

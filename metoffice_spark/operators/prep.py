@@ -548,13 +548,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary as q_gini_spend / q_rfm_segmentation.
     li = (
         load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_extendedprice").isNotNull())
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & (F.abs(F.col("l_extendedprice")) < F.lit(float("inf")))
+        )
         .select(
             "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("bigint")
+            F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
             .alias("cents"),
-            F.col("l_quantity").cast("bigint").alias("wt"),
+            F.when(
+                F.abs(F.col("l_quantity")) < F.lit(float("inf")),
+                F.col("l_quantity").cast("bigint"),
+            ).alias("wt"),
         )
     )
     per_v = li.groupBy("l_returnflag", "cents").agg(
@@ -587,9 +592,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEIGHTED_MEDIAN = """
 WITH li AS (
   SELECT l_returnflag,
-         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
-         CAST(l_quantity AS BIGINT) AS wt
+         CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS cents,
+         CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+              THEN CAST(l_quantity AS BIGINT) END AS wt
   FROM lineitem WHERE l_extendedprice IS NOT NULL
+    AND abs(l_extendedprice) < CAST('inf' AS DOUBLE)
 ),
 per_v AS (
   SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w_v,
@@ -735,8 +742,7 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nat"),
-        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("c_acctbal") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
         F.expr(
             "substring(md5(concat('IMP1|', CAST(c_custkey AS STRING))), 1, 1)"
@@ -777,7 +783,7 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NULL_IMPUTATION = """
 WITH cust AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nat,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN abs(c_acctbal * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
          substring(md5('IMP1|' || CAST(c_custkey AS VARCHAR)), 1, 1)
            IN ('0', '1') AS masked
   FROM customer

@@ -65,9 +65,19 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
-        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)).alias(
-            "bad_disc"
-        ),
+        # isnan spelled out (r10 money probe): Spark's total-order
+        # comparison says NaN > 1 (violation) while DuckDB's
+        # vectorized comparison is IEEE (NaN > 1 false) — the ONLY
+        # dialect-common spelling of "NaN is not in [0,1]" is an
+        # explicit isnan disjunct
+        F.count(
+            F.when(
+                (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+                | F.isnan("l_discount"),
+                1,
+            )
+        ).alias("bad_disc"),
         F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("null_ship"),
         F.count(
             F.when(
@@ -195,7 +205,8 @@ ORACLE_DQ_CHECKS = """
 WITH li_agg AS (
   SELECT count(*) AS n,
          count(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_qty,
-         count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_disc,
+         count(CASE WHEN l_discount < 0 OR l_discount > 1
+                      OR isnan(l_discount) THEN 1 END) AS bad_disc,
          count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_ship,
          count(CASE WHEN abs(l_quantity)      >= CAST('inf' AS DOUBLE)
                       OR abs(l_extendedprice) >= CAST('inf' AS DOUBLE)
@@ -371,7 +382,7 @@ def q_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     li = load(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 8).cast("int").alias("pid"),
-        F.expr("cast(floor(l_quantity * 1000000 + 0.5) as bigint)").alias("q_fp"),
+        F.expr("case when abs(l_quantity * 1000000 + 0.5) < cast('inf' as double) then cast(floor(l_quantity * 1000000 + 0.5) as bigint) end").alias("q_fp"),
         F.to_date("l_shipdate").alias("sd"),
         (
             (F.col("l_quantity") < 10)
@@ -419,7 +430,7 @@ def q_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STATS_COLLECT = f"""
 WITH li AS (
   SELECT CAST(l_orderkey % 8 AS INT) AS pid,
-         CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS q_fp,
+         CASE WHEN abs(l_quantity * 1000000 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END AS q_fp,
          CAST(l_shipdate AS DATE) AS sd,
          (l_quantity < 10 AND CAST(l_shipdate AS DATE) >= {_SC_DLIT}) AS hit
   FROM lineitem
@@ -844,17 +855,33 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_oracle() -> str:
+    # non-finite rendering (r10 extreme-value probe): Spark stringifies
+    # doubles as 'NaN'/'Infinity'/'-Infinity', DuckDB as 'nan'/'inf'/
+    # '-inf' — a profiler reporting the TRUE min/max/mode must agree on
+    # the spelling, so the oracle canonicalizes the double column to
+    # Spark's rendering (both spellings sort after digit strings, so
+    # only the rendering differs, never the pick).
+    def ren(c: str) -> str:
+        if c != "l_quantity":
+            return f"CAST({c} AS VARCHAR)"
+        return (
+            f"CASE WHEN isnan({c}) THEN 'NaN'"
+            f" WHEN {c} = CAST('inf' AS DOUBLE) THEN 'Infinity'"
+            f" WHEN {c} = CAST('-inf' AS DOUBLE) THEN '-Infinity'"
+            f" ELSE CAST({c} AS VARCHAR) END"
+        )
+
     stat_rows = " UNION ALL ".join(
         f"""SELECT '{c}' AS col_name,
         CAST(count({c}) AS BIGINT) AS n_nonnull,
         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-        min(CAST({c} AS VARCHAR)) AS min_val,
-        max(CAST({c} AS VARCHAR)) AS max_val
+        min({ren(c)}) AS min_val,
+        max({ren(c)}) AS max_val
         FROM lineitem"""
         for c in _PROFILE_COLS
     )
     long_rows = " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        f"SELECT '{c}' AS col_name, {ren(c)} AS val FROM lineitem"
         for c in _PROFILE_COLS
     )
     return f"""
@@ -913,11 +940,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_mktsegment",
         "c_nationkey",
-        F.floor(
-            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
-            / F.lit(100000.0)
-        )
-        .cast("bigint")
+        F.when(F.abs(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)) < F.lit(float("inf")), F.floor(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)).cast("bigint"))
         .alias("bal_bucket"),
     )
     classes = cust.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
@@ -955,8 +978,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_K_ANONYMITY = f"""
 WITH classes AS (
   SELECT c_mktsegment, c_nationkey,
-         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
-           AS BIGINT) AS bal_bucket,
+         CASE WHEN abs(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) < CAST('inf' AS DOUBLE) THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) AS BIGINT) END AS bal_bucket,
          CAST(count(*) AS BIGINT) AS n
   FROM customer
   GROUP BY 1, 2, 3

@@ -262,26 +262,50 @@ GROUP BY c_mktsegment
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates; rounded via rhu since the merge order of
-    the underlying moments differs across engines."""
+    the underlying moments differs across engines.
+
+    Moment-validity (r10 extreme-value probe): each aggregate's INPUT
+    is masked to finite — a NaN/±Inf measurement is not a point of the
+    distribution (DuckDB's STDDEV raises outright on one; Spark
+    returns NaN), and NULL-skipping aggregates drop the masked rows
+    identically in both engines. Group membership is untouched."""
+
+    def fin(c: str):
+        return F.when(F.abs(F.col(c)) < F.lit(float("inf")), F.col(c))
+
     li = load(tune(spark), sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        rhu(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        rhu(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        rhu(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        rhu(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+        rhu(F.stddev_samp(fin("l_quantity")), 6).alias("sd_qty"),
+        rhu(F.var_samp(fin("l_quantity")), 6).alias("var_qty"),
+        rhu(
+            F.corr(fin("l_quantity"), fin("l_extendedprice")), 6
+        ).alias("corr_qty_price"),
+        rhu(
+            F.expr(
+                "percentile(CASE WHEN abs(l_extendedprice) <"
+                " cast('inf' as double) THEN l_extendedprice END, 0.5)"
+            ),
+            4,
+        ).alias("median_price"),
+        F.min(fin("l_extendedprice")).alias("min_price"),
+        F.max(fin("l_extendedprice")).alias("max_price"),
     )
 
 
+_FIN_QTY = "CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE) THEN l_quantity END"
+_FIN_PRICE = (
+    "CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE)"
+    " THEN l_extendedprice END"
+)
+
 ORACLE_AGG_STATS = f"""
 SELECT l_returnflag,
-       {rhu_sql("stddev_samp(l_quantity)", 6)} AS sd_qty,
-       {rhu_sql("var_samp(l_quantity)", 6)} AS var_qty,
-       {rhu_sql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
-       {rhu_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
-       min(l_extendedprice) AS min_price,
-       max(l_extendedprice) AS max_price
+       {rhu_sql(f"stddev_samp({_FIN_QTY})", 6)} AS sd_qty,
+       {rhu_sql(f"var_samp({_FIN_QTY})", 6)} AS var_qty,
+       {rhu_sql(f"corr({_FIN_QTY}, {_FIN_PRICE})", 6)} AS corr_qty_price,
+       {rhu_sql(f"quantile_cont({_FIN_PRICE}, 0.5)", 4)} AS median_price,
+       min({_FIN_PRICE}) AS min_price,
+       max({_FIN_PRICE}) AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -442,7 +466,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer, different physical strategy."""
     spark = tune(spark)
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    binned = p.withColumn("bin", F.floor(F.col("p_retailprice") / 1.0).cast("bigint"))
+    binned = p.withColumn("bin", F.when(F.abs(F.col("p_retailprice") / 1.0) < F.lit(float("inf")), F.floor(F.col("p_retailprice") / 1.0).cast("bigint")))
     probe = binned.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_retailprice").alias("price_a"),
@@ -705,13 +729,21 @@ def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
         F.sqrt("l_quantity").alias("sqrt_qty"),
         rhu(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
-        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
-        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.when(F.abs("l_extendedprice") < F.lit(float("inf")), F.floor("l_extendedprice").cast("bigint")).alias("floor_price"),
+        F.when(
+            F.abs("l_extendedprice") < F.lit(float("inf")),
+            F.ceil("l_extendedprice").cast("bigint"),
+        ).alias("ceil_price"),
         rhu(F.exp("l_discount"), 8).alias("exp_disc"),
         rhu(F.log("l_extendedprice"), 8).alias("ln_price"),
         rhu(F.log10("l_extendedprice"), 8).alias("log10_price"),
         rhu(F.cos("l_discount"), 8).alias("cos_disc"),
-        F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+        # NaN masked (r10 money probe): sign(NaN) is NaN in Spark but
+        # 0.0 in DuckDB — the sign of an unmeasurable value is NULL
+        F.when(
+            ~F.isnan(F.col("l_discount")),
+            F.signum(F.col("l_discount") - 0.05),
+        ).alias("sign_v"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
     )
@@ -722,13 +754,15 @@ SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS abs_v,
        sqrt(l_quantity) AS sqrt_qty,
        {rhu_sql("pow(l_quantity, 2.0)", 6)} AS qty_sq,
-       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
-       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice) AS BIGINT) END AS floor_price,
+       CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE)
+            THEN CAST(ceil(l_extendedprice) AS BIGINT) END AS ceil_price,
        {rhu_sql("exp(l_discount)", 8)} AS exp_disc,
        {rhu_sql("ln(l_extendedprice)", 8)} AS ln_price,
        {rhu_sql("log10(l_extendedprice)", 8)} AS log10_price,
        {rhu_sql("cos(l_discount)", 8)} AS cos_disc,
-       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v,
+       CASE WHEN NOT isnan(l_discount)
+            THEN CAST(sign(l_discount - 0.05) AS DOUBLE) END AS sign_v,
        greatest(l_tax, l_discount) AS max_rate,
        least(l_tax, l_discount) AS min_rate
 FROM lineitem
@@ -1185,7 +1219,7 @@ _ANSI_SQL = """
 WITH order_totals AS (
   SELECT o.o_custkey AS custkey,
          count(*) AS n_orders,
-         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         sum(CASE WHEN abs(o.o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
   FROM orders o
   WHERE o.o_orderstatus <> 'F'
   GROUP BY o.o_custkey

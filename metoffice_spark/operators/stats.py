@@ -271,7 +271,7 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").isNotNull())
         .select(
             "o_custkey",
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+            F.expr("case when abs(o_totalprice * 100 + 0.5) < cast('inf' as double) then cast(floor(o_totalprice * 100 + 0.5) as bigint) end").alias("cents"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("bigint").alias("x"))
@@ -298,7 +298,7 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_GINI = """
 WITH spend AS (
-  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+  SELECT o_custkey, CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
                          AS BIGINT) AS x
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),

@@ -42,7 +42,7 @@ from metoffice_spark.session import tune
 
 QUERIES: dict = {}
 
-_REV_CENTS = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+_REV_CENTS = "CASE WHEN abs(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) END"
 
 
 # --- q_olap_scalar_subquery: Q17 shape (correlated scalar x2) ---------------
@@ -65,10 +65,12 @@ SELECT CAST(count(*) AS BIGINT) AS n_lines,
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
-  AND 5 * CAST(l.l_quantity AS BIGINT)
+  AND 5 * CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+               THEN CAST(l.l_quantity AS BIGINT) END
       * (SELECT count(*) FROM lineitem l2
          WHERE l2.l_partkey = l.l_partkey)
-      < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      < (SELECT CAST(sum(CASE WHEN abs(l2.l_quantity) < CAST('inf' AS DOUBLE)
+                            THEN CAST(l2.l_quantity AS BIGINT) END) AS BIGINT)
          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """
 
@@ -131,15 +133,17 @@ SELECT c.c_name AS c_name,
        c.c_custkey AS c_custkey,
        o.o_orderkey AS o_orderkey,
        o.o_orderdate AS o_orderdate,
-       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
-       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CASE WHEN abs(o.o_totalprice * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) END AS total_cents,
+       CAST(sum(CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+                  THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey IN (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+  HAVING sum(CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+             THEN CAST(l_quantity AS BIGINT) END) > 250)
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 ORDER BY total_cents DESC, o.o_orderkey
 LIMIT 20
@@ -286,7 +290,7 @@ QUERIES["q_olap_market_share"] = (q_olap_market_share, SQL_OLAP_MARKET_SHARE)
 
 SQL_OLAP_AVG_BALANCE = """
 WITH avg_bal AS (
-  SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+  SELECT CAST(sum(CASE WHEN abs(c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
            AS sum_cents,
          CAST(count(*) AS BIGINT) AS cnt
   FROM customer
@@ -294,12 +298,12 @@ WITH avg_bal AS (
 )
 SELECT n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100e0
+       CAST(sum(CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100e0
          AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 CROSS JOIN avg_bal a
-WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * a.cnt > a.sum_cents
+WHERE CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END * a.cnt > a.sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')

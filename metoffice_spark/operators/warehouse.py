@@ -69,7 +69,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.to_date("o_orderdate").alias("d"),
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            F.expr("case when abs(o_totalprice * 100 + 0.5) < cast('inf' as double) then cast(floor(o_totalprice * 100 + 0.5) as bigint) end").alias(
                 "cents"
             ),
         )
@@ -134,7 +134,7 @@ ORACLE_RFM = """
 WITH per_cust AS (
   SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
          CAST(count(*) AS BIGINT) AS freq,
-         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT)
            AS money
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
@@ -357,8 +357,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").isNotNull()
     ).select(
         "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     spend = orders.groupBy("o_custkey").agg(
@@ -404,7 +403,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LORENZ = """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
 ),
 deciled AS (
@@ -461,8 +460,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_extendedprice").isNotNull())
         .select(
             "l_partkey",
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("bigint")
+            F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
             .alias("cents"),
         )
     )
@@ -507,7 +505,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ABC = """
 WITH rev AS (
   SELECT l_partkey,
-         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+         CAST(sum(CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS r
   FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_partkey
 ),
 cum AS (
@@ -559,8 +557,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     spend = (
@@ -597,7 +594,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HHI = """
 WITH spend AS (
   SELECT c.c_nationkey, o.o_custkey,
-         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         CAST(sum(CASE WHEN abs(o.o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_nationkey, o.o_custkey
 ),
@@ -645,8 +642,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     part = load(spark, sf_dir, "part").select(
         "p_partkey",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("bigint")
+        F.when(F.abs(F.col("p_retailprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
@@ -672,7 +668,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKYLINE = """
 WITH part_p AS (
   SELECT p_partkey,
-         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CASE WHEN abs(p_retailprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) END AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
 ),

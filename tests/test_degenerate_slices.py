@@ -964,3 +964,56 @@ def test_dq_gate_detects_nonfinite_money(spark, sf_smoke):
     od = rows["orders_totalprice_finite"]
     assert li["n_violations"] > 0 and not li["pass"]
     assert od["n_violations"] > 0 and not od["pass"]
+
+
+# The money half of the extreme-value wave: non-finite words in every
+# orders/lineitem money column at once. 27 failures on the first run —
+# the inline (non-macro) cents spellings across the TPC-H families
+# (masked one by one), direct CAST(l_quantity AS BIGINT) weights, two
+# genuine engine-semantics splits (DuckDB's VECTORIZED comparison is
+# IEEE — NaN > 1 false — while its constant-folded path and Spark's
+# total order say true, so q_dq_checks' range check spells isnan
+# explicitly; DuckDB sign(NaN)=0 vs Spark NaN → masked to NULL), the
+# profiler's 'Infinity'/'inf' rendering split (oracle canonicalized),
+# q_agg_stats' moment-validity input masks (DuckDB STDDEV raises on
+# non-finite), and q_weighted_median's rank boundary extended to
+# finite (a NULL cents GROUP would shift the half-weight cut).
+EXTVAL_MONEY_QIDS = (
+    "q_dq_checks",          # isnan-explicit range check + finite rows fire
+    "q_agg_stats",          # moment-validity input masks
+    "q_fn_math_suite",      # masked floor/ceil/sign on money args
+    "q_profile_columns",    # canonical non-finite rendering
+    "q_weighted_median",    # finite rank boundary
+    "q_olap_disjunctive",   # masked discount factor
+    "q_olap_important_stock",  # masked shared-text scalar subquery
+    "q_olap_product_profit",   # masked multi-line profit expression
+    "q_als_step",           # masked quantity weight
+    "q_rfm_segmentation",   # masked o_totalprice cents
+    "q_gini_spend",         # masked cents under the r08 spend boundary
+)
+
+
+@pytest.fixture(scope="module")
+def extmoney_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=5,
+        keep_permille=700,
+        extval={
+            ("lineitem", "l_extendedprice", "nan"): 150,
+            ("lineitem", "l_quantity", "inf"): 100,
+            ("lineitem", "l_discount", "nan"): 100,
+            ("lineitem", "l_tax", "neginf"): 100,
+            ("orders", "o_totalprice", "nan"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_MONEY_QIDS)
+def test_extmoney_slice_parity(qid, spark, extmoney_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(extmoney_dir)
+    try:
+        assert compare(spark, con, fn, sql, extmoney_dir) == []
+    finally:
+        con.close()
