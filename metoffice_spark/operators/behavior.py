@@ -422,7 +422,10 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr(
+            "case when abs(c_acctbal) < cast('inf' as double) "
+            "then cast(floor(c_acctbal * 100 + 0.5) as bigint) end"
+        ).alias("cents"),
     )
     v1 = cust.select(
         "c_custkey", "c_nationkey", F.lit(1).alias("version"),
@@ -473,7 +476,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CDC_APPLY = """
 WITH cust AS (
   SELECT c_custkey, c_nationkey,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents
   FROM customer
 ),
 log AS (
@@ -936,7 +940,10 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr(
+            "case when abs(c_acctbal) < cast('inf' as double) "
+            "then cast(floor(c_acctbal * 100 + 0.5) as bigint) end"
+        ).alias("cents"),
     )
     v1 = cust.select(
         "c_custkey", "c_nationkey", F.lit(1).alias("version"),
@@ -984,7 +991,8 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TIME_TRAVEL = """
 WITH cust AS (
   SELECT c_custkey, c_nationkey,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents
   FROM customer
 ),
 log AS (

@@ -588,12 +588,20 @@ def q_src_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which would silently break byte-fidelity on empty documents)
     # probed: writer quotes an empty string ("") while NULL becomes
     # the \N sentinel, so both survive the round-trip distinctly
+    # whitespace fidelity (r10 degenerate-text probe): Spark's CSV
+    # WRITER trims leading/trailing whitespace by default
+    # (ignoreLeading/TrailingWhiteSpace default TRUE on write, unlike
+    # read) — a whitespace-only document silently loses its bytes
+    # through the round-trip. A byte-faithful sink must switch both
+    # off on write AND read.
     csv_opts = {
         "header": "true",
         "quote": '"',
         "escape": '"',
         "multiLine": "true",
         "nullValue": "\\N",
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
     }
     docs.write.mode("overwrite").options(**csv_opts).csv(cdir)
 

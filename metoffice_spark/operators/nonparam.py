@@ -479,8 +479,13 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nat"),
-        F.when(F.abs(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)) < F.lit(float("inf")), F.floor(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)).cast("bigint"))
-        .alias("bal_bucket"),
+        F.when(
+            F.abs(F.col("c_acctbal")) < F.lit(float("inf")),
+            F.floor(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+                / F.lit(100000.0)
+            ).cast("bigint"),
+        ).alias("bal_bucket"),
         "c_mktsegment",
     )
     classes = cust.groupBy("nat", "bal_bucket").agg(
@@ -506,7 +511,9 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_L_DIVERSITY = f"""
 WITH base AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nat,
-         CASE WHEN abs(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) < CAST('inf' AS DOUBLE) THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) AS BIGINT) END AS bal_bucket,
+         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                              / 100000.0) AS BIGINT) END AS bal_bucket,
          c_mktsegment
   FROM customer
 ),

@@ -940,8 +940,13 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_mktsegment",
         "c_nationkey",
-        F.when(F.abs(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)) < F.lit(float("inf")), F.floor(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100000.0)).cast("bigint"))
-        .alias("bal_bucket"),
+        F.when(
+            F.abs(F.col("c_acctbal")) < F.lit(float("inf")),
+            F.floor(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+                / F.lit(100000.0)
+            ).cast("bigint"),
+        ).alias("bal_bucket"),
     )
     classes = cust.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -978,7 +983,9 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_K_ANONYMITY = f"""
 WITH classes AS (
   SELECT c_mktsegment, c_nationkey,
-         CASE WHEN abs(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) < CAST('inf' AS DOUBLE) THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0) AS BIGINT) END AS bal_bucket,
+         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+              THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                              / 100000.0) AS BIGINT) END AS bal_bucket,
          CAST(count(*) AS BIGINT) AS n
   FROM customer
   GROUP BY 1, 2, 3

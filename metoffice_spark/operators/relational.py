@@ -727,7 +727,15 @@ def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
-        F.sqrt("l_quantity").alias("sqrt_qty"),
+        # domain guards (r10 neg/zero money probe): DuckDB RAISES on
+        # sqrt/ln of a negative where Spark returns NaN/NULL — the
+        # root/log of an out-of-domain value is NULL on both sides.
+        # NOT isnan is spelled out because the >= guard itself splits
+        # on NaN (Spark total-order true, DuckDB vectorized false).
+        F.when(
+            (F.col("l_quantity") >= 0) & ~F.isnan("l_quantity"),
+            F.sqrt("l_quantity"),
+        ).alias("sqrt_qty"),
         rhu(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
         F.when(F.abs("l_extendedprice") < F.lit(float("inf")), F.floor("l_extendedprice").cast("bigint")).alias("floor_price"),
         F.when(
@@ -735,8 +743,22 @@ def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil("l_extendedprice").cast("bigint"),
         ).alias("ceil_price"),
         rhu(F.exp("l_discount"), 8).alias("exp_disc"),
-        rhu(F.log("l_extendedprice"), 8).alias("ln_price"),
-        rhu(F.log10("l_extendedprice"), 8).alias("log10_price"),
+        rhu(
+            F.when(
+                (F.col("l_extendedprice") > 0)
+                & ~F.isnan("l_extendedprice"),
+                F.log("l_extendedprice"),
+            ),
+            8,
+        ).alias("ln_price"),
+        rhu(
+            F.when(
+                (F.col("l_extendedprice") > 0)
+                & ~F.isnan("l_extendedprice"),
+                F.log10("l_extendedprice"),
+            ),
+            8,
+        ).alias("log10_price"),
         rhu(F.cos("l_discount"), 8).alias("cos_disc"),
         # NaN masked (r10 money probe): sign(NaN) is NaN in Spark but
         # 0.0 in DuckDB — the sign of an unmeasurable value is NULL
@@ -752,14 +774,17 @@ def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FN_MATH_SUITE = f"""
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS abs_v,
-       sqrt(l_quantity) AS sqrt_qty,
+       CASE WHEN l_quantity >= 0 AND NOT isnan(l_quantity)
+            THEN sqrt(l_quantity) END AS sqrt_qty,
        {rhu_sql("pow(l_quantity, 2.0)", 6)} AS qty_sq,
        CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice) AS BIGINT) END AS floor_price,
        CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE)
             THEN CAST(ceil(l_extendedprice) AS BIGINT) END AS ceil_price,
        {rhu_sql("exp(l_discount)", 8)} AS exp_disc,
-       {rhu_sql("ln(l_extendedprice)", 8)} AS ln_price,
-       {rhu_sql("log10(l_extendedprice)", 8)} AS log10_price,
+       {rhu_sql("CASE WHEN l_extendedprice > 0 AND NOT isnan(l_extendedprice)"
+                " THEN ln(l_extendedprice) END", 8)} AS ln_price,
+       {rhu_sql("CASE WHEN l_extendedprice > 0 AND NOT isnan(l_extendedprice)"
+                " THEN log10(l_extendedprice) END", 8)} AS log10_price,
        {rhu_sql("cos(l_discount)", 8)} AS cos_disc,
        CASE WHEN NOT isnan(l_discount)
             THEN CAST(sign(l_discount - 0.05) AS DOUBLE) END AS sign_v,

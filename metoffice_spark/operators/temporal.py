@@ -461,8 +461,12 @@ def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_seg")
     )
+    # NULLS LAST spelled out (r10 dim-null probe): a NULL segment is a
+    # real category and may win the mode, but the ASC tie-break must
+    # place it identically — Spark ASC is NULLS FIRST, DuckDB ASC is
+    # NULLS LAST
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("n_seg"), F.asc("c_mktsegment")
+        F.desc("n_seg"), F.asc_nulls_last("c_mktsegment")
     )
     tot = Window.partitionBy("c_nationkey")
     modal = (
@@ -486,7 +490,8 @@ WITH counts AS (
 ranked AS (
   SELECT c_nationkey, c_mktsegment, n_seg,
          row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY n_seg DESC, c_mktsegment) AS rn,
+                            ORDER BY n_seg DESC,
+                                     c_mktsegment ASC NULLS LAST) AS rn,
          sum(n_seg) OVER (PARTITION BY c_nationkey) AS n_total
   FROM counts
 )

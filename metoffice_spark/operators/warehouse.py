@@ -640,11 +640,25 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The price/size Pareto frontier of parts: (p_partkey,
     price_cents, p_size), dominated rows removed."""
     spark = tune(spark)
-    part = load(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.when(F.abs(F.col("p_retailprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint"))
-        .alias("price_cents"),
-        F.col("p_size").cast("bigint").alias("size"),
+    # rank-validity boundary (r10 extreme-value + dim-null probes):
+    # the price is a RANK KEY of the dominance order — a part whose
+    # price is NULL or non-finite has no position on the price axis
+    # and is not a skyline candidate (a NULL cents group would sort
+    # NULLS FIRST in Spark's range partitioner and NULLS LAST in the
+    # oracle's RANGE window, flipping every dominance verdict).
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_retailprice").isNotNull()
+            & (F.abs(F.col("p_retailprice")) < F.lit(float("inf")))
+        )
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
     )
     w_same = Window.partitionBy("price_cents")
     flagged = global_strict_prefix_min(
@@ -668,9 +682,11 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKYLINE = """
 WITH part_p AS (
   SELECT p_partkey,
-         CASE WHEN abs(p_retailprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) END AS price_cents,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
+  WHERE p_retailprice IS NOT NULL
+    AND abs(p_retailprice) < CAST('inf' AS DOUBLE)
 ),
 flagged AS (
   SELECT p_partkey, price_cents, size,

@@ -1017,3 +1017,109 @@ def test_extmoney_slice_parity(qid, spark, extmoney_dir):
         assert compare(spark, con, fn, sql, extmoney_dir) == []
     finally:
         con.close()
+
+
+# Degenerate strings: empty "" and whitespace-only text — NOT NULL,
+# so they pass every NULL boundary into the tokenizers/shinglers/
+# langid/chunkers. Registry-wide the probe was green except ONE real
+# fidelity bug: Spark's CSV WRITER trims leading/trailing whitespace
+# by default (write-side ignoreLeading/TrailingWhiteSpace default
+# true, unlike read-side), so a whitespace-only document lost its
+# bytes through q_src_multiformat's CSV round-trip. The sink now
+# pins both options false on write and read.
+EXTVAL_TEXT_QIDS = ("q_src_multiformat",)
+
+
+@pytest.fixture(scope="module")
+def exttext_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=9,
+        keep_permille=700,
+        extval={
+            ("documents", "text", "empty"): 200,
+            ("documents", "text", "blank"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_TEXT_QIDS)
+def test_exttext_slice_parity(qid, spark, exttext_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(exttext_dir)
+    try:
+        assert compare(spark, con, fn, sql, exttext_dir) == []
+    finally:
+        con.close()
+
+
+# Dim-table extreme/NULL money axes: the star schema's attribute
+# columns (c_acctbal, p_retailprice, s_acctbal and the categorical
+# dims). Non-finite found five (the behavior.py acctbal cents pair
+# and the NESTED bucket exprs in q_k_anonymity/q_l_diversity, where
+# the masker's guard sat outside the crashing inner cast — the CASE
+# condition must test the RAW column); the composed 12-axis dim-NULL
+# probe (prepared by the dim-nullify harness work, first run here)
+# found q_mode_agg's ASC tie-break placing a NULL segment FIRST in
+# Spark and LAST in DuckDB (now ASC NULLS LAST, spelled on both
+# sides) and q_skyline_pareto's NULL/non-finite price entering the
+# dominance rank (rank-validity boundary: an unpriceable part is not
+# a skyline candidate).
+EXTVAL_DIM_QIDS = (
+    "q_cdc_apply",
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_skyline_pareto",
+    "q_time_travel",
+)
+NULL_DIM_QIDS = ("q_mode_agg", "q_skyline_pareto")
+
+
+@pytest.fixture(scope="module")
+def extdim_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=11,
+        keep_permille=700,
+        extval={
+            ("customer", "c_acctbal", "nan"): 150,
+            ("part", "p_retailprice", "inf"): 100,
+            ("supplier", "s_acctbal", "neginf"): 150,
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def nulldim_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        nullify={
+            ("customer", "c_acctbal"): 150,
+            ("customer", "c_mktsegment"): 150,
+            ("part", "p_retailprice"): 150,
+            ("part", "p_size"): 100,
+            ("supplier", "s_acctbal"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_DIM_QIDS)
+def test_extdim_slice_parity(qid, spark, extdim_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(extdim_dir)
+    try:
+        assert compare(spark, con, fn, sql, extdim_dir) == []
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("qid", NULL_DIM_QIDS)
+def test_nulldim_slice_parity(qid, spark, nulldim_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulldim_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulldim_dir) == []
+    finally:
+        con.close()
