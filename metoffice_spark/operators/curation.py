@@ -310,10 +310,14 @@ def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBED_DIMSTATS = f"""
-WITH dims AS (
-  SELECT unnest(range(len(embedding))) AS dim,
-         unnest({_ivec_duck("embedding")}) AS x
-  FROM embeddings
+WITH iv AS (
+  SELECT {_ivec_duck("embedding")} AS v FROM embeddings
+),
+dims AS (
+  -- dim and x both derive from the MASKED vector: a failed encoding
+  -- (NULL v, r10 nanvec contract) unnests to zero rows, exactly as
+  -- Spark's posexplode of a NULL array emits nothing
+  SELECT unnest(range(len(v))) AS dim, unnest(v) AS x FROM iv
 )
 SELECT CAST(dim AS INT) AS dim, count(*) AS n,
        CAST(sum(x) AS BIGINT) AS sum_fp,

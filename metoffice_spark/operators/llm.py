@@ -53,17 +53,35 @@ TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <
 
 
 def _ivec_spark(col: str) -> str:
-    """array<float> -> array<bigint> fixed-point at 1e-6 (Spark SQL)."""
+    """array<float> -> array<bigint> fixed-point at 1e-6 (Spark SQL).
+
+    Vector-validity (r10 nanvec probe): a vector carrying any NaN/±Inf
+    component is a FAILED encoding — it has no position in the vector
+    space, and its fixed-point cast crashes both ANSI engines. It
+    becomes a NULL vector, the exact shape the r07 NULL-embedding
+    probes already proved every consumer handles symmetrically
+    (NULL norms, NULL cosine, natural exclusion from candidate sets).
+    NULL COMPONENTS are untouched: the exists lambda yields NULL for
+    them (3VL), which falls to the ELSE branch — same as before."""
     return (
-        f"transform({col}, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
-        " as bigint))"
+        f"case when exists({col}, x ->"
+        " not (abs(cast(x as double)) < cast('inf' as double)))"
+        f" then null else transform({col},"
+        " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
+        " as bigint)) end"
     )
 
 
 def _ivec_duck(col: str) -> str:
+    # len(list_filter(...)) > 0 is DuckDB's exists-lambda: NULL lambda
+    # results are dropped by list_filter, matching the Spark spelling's
+    # fall-through for NULL components
     return (
-        f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
-        " AS BIGINT))"
+        f"CASE WHEN len(list_filter({col}, x ->"
+        " NOT (abs(CAST(x AS DOUBLE)) < CAST('inf' AS DOUBLE)))) > 0"
+        f" THEN NULL ELSE list_transform({col},"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT)) END"
     )
 
 
@@ -586,8 +604,10 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("payload")).alias("min_digest"),
             F.sum(
                 F.expr(
-                    "cast(floor(cast(element_at(embedding, 1) as double)"
-                    " * 1000000.0 + 0.5) as bigint)"
+                    "case when abs(cast(element_at(embedding, 1)"
+                    " as double)) < cast('inf' as double)"
+                    " then cast(floor(cast(element_at(embedding, 1)"
+                    " as double) * 1000000.0 + 0.5) as bigint) end"
                 )
             ).alias("emb0_fp_sum"),
         )
@@ -600,7 +620,9 @@ SELECT d.lang,
        count(*) AS n_assets,
        CAST(sum(octet_length(CAST(d.text AS BLOB))) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
-       CAST(sum(CAST(floor(CAST(e.embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < CAST('inf' AS DOUBLE)
+                THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE)
+                               * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
          AS emb0_fp_sum
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.n_chars > 200

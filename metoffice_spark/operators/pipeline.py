@@ -503,8 +503,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(tune(spark), sf_dir, "embeddings")
     # unembedded (NULL) vectors do not participate in clustering —
     # boundary filter mirrored in the oracle (r07 null-embed finding)
-    base = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", F.expr(_ivec_spark("embedding")).alias("v")
+    base = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+        # vector-validity (r10 nanvec contract): _ivec nulls a vector
+        # with non-finite components; a failed encoding clusters nowhere
+        .filter(F.col("v").isNotNull())
     )
     cent = (
         base.filter(F.col("vec_id") < _K_CLUSTERS)
@@ -542,8 +546,10 @@ def _oracle_kmeans() -> str:
 
     return f"""
 WITH base AS (
-  SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  SELECT * FROM (
+    SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+  ) WHERE v IS NOT NULL
 ),
 cent AS (
   SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}
@@ -877,8 +883,12 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(tune(spark), sf_dir, "embeddings")
     # unembedded (NULL) vectors do not participate in clustering —
     # boundary filter mirrored in the oracle (r07 null-embed finding)
-    base = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", F.expr(_ivec_spark("embedding")).alias("v")
+    base = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr(_ivec_spark("embedding")).alias("v"))
+        # vector-validity (r10 nanvec contract): _ivec nulls a vector
+        # with non-finite components; a failed encoding clusters nowhere
+        .filter(F.col("v").isNotNull())
     )
     cent = (
         base.filter(F.col("vec_id") < _K_CLUSTERS)
@@ -923,8 +933,10 @@ def _oracle_kmeans_train() -> str:
     )
     parts = [
         f"""WITH base AS (
-  SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  SELECT * FROM (
+    SELECT vec_id, {_ivec_duck("embedding")} AS v FROM embeddings
+    WHERE embedding IS NOT NULL
+  ) WHERE v IS NOT NULL
 ),
 cent0 AS (
   SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {_K_CLUSTERS}

@@ -1123,3 +1123,44 @@ def test_nulldim_slice_parity(qid, spark, nulldim_dir):
         assert compare(spark, con, fn, sql, nulldim_dir) == []
     finally:
         con.close()
+
+
+# NaN components inside embedding vectors (--extval nanvec: a
+# hash-chosen ~1/4 of components in selected rows) — the failed-
+# encoder shape no scalar axis reaches. 14 failures in one class:
+# the fixed-point vector cast crashes both ANSI engines. Contract:
+# VECTOR-validity — a vector carrying any non-finite component is a
+# failed encoding with no position in the vector space, so the
+# shared _ivec substrate nulls the WHOLE vector, reducing the new
+# axis to the NULL-embedding shape the r07 probes already proved
+# symmetric in every consumer. The four non-_ivec sites (dimstats'
+# oracle unnest, the kmeans pair's validity filters, multimodal's
+# dimension-1 checksum) carry their own one-line boundary.
+EXTVAL_NANVEC_QIDS = (
+    "q_sim_search",         # _ivec central mask
+    "q_dedup_embed_cosine", # _ivec + planted-pair perturb
+    "q_embed_dimstats",     # oracle unnests the masked vector
+    "q_kmeans_train",       # v IS NOT NULL validity filter
+    "q_multimodal_cols",    # dimension-1 checksum component mask
+    "q_ann_pq",             # _ivec central mask
+)
+
+
+@pytest.fixture(scope="module")
+def nanvec_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=19,
+        keep_permille=700,
+        extval={("embeddings", "embedding", "nanvec"): 200},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_NANVEC_QIDS)
+def test_nanvec_slice_parity(qid, spark, nanvec_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nanvec_dir)
+    try:
+        assert compare(spark, con, fn, sql, nanvec_dir) == []
+    finally:
+        con.close()

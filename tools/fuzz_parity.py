@@ -350,6 +350,33 @@ def materialize_slice(
                         tbl.column(ec),
                         pc.negate_checked(tbl.column(ec)),
                     )
+                elif kind == "nanvec":
+                    # corrupt-encoder shape: in selected rows, a
+                    # hash-chosen ~1/4 of the embedding's components
+                    # become NaN (failed encoder words) — the
+                    # list<float> axis no scalar kind reaches
+                    if not (
+                        pa.types.is_list(field.type)
+                        and pa.types.is_floating(field.type.value_type)
+                    ):
+                        raise SystemExit(
+                            f"--extval nanvec needs a list<float> column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    rows = tbl.column(ec).to_pylist()
+                    out_rows = []
+                    for ri, (hit, vec) in enumerate(zip(emask, rows)):
+                        if not hit or vec is None:
+                            out_rows.append(vec)
+                            continue
+                        k = int(ekeys[ri])
+                        out_rows.append(
+                            [
+                                float("nan") if (k * 31 + i) % 4 == 0 else v
+                                for i, v in enumerate(vec)
+                            ]
+                        )
+                    mutated = pa.array(out_rows, type=field.type)
                 elif kind in ("empty", "blank"):
                     if not pa.types.is_string(field.type):
                         raise SystemExit(
@@ -532,7 +559,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|empty|blank)"
+                "(kind: nan|inf|neginf|neg|zero|empty|blank|nanvec)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
