@@ -759,7 +759,12 @@ _PM_PATTERN = "vc*p"
 def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: event-sequence length, non-overlapping 'vc*p' match
     count, and the converted flag."""
-    ev = load(tune(spark), sf_dir, "events")
+    # sequencing-validity boundary (r08 rule, caught here by the r10
+    # composed battery): an untimestamped event has no position in
+    # the user's sequence — its char would sit at the FRONT of
+    # Spark's struct sort (NULL fields first) and the BACK of the
+    # oracle's ORDER BY (NULLS LAST), changing the match count.
+    ev = load(tune(spark), sf_dir, "events").filter(F.col("ts").isNotNull())
     seqs = (
         ev.select(
             "user_id",
@@ -789,7 +794,7 @@ WITH seqs AS (
   SELECT user_id,
          string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
            AS seq
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
        CAST(len(regexp_extract_all(seq, '{_PM_PATTERN}')) AS BIGINT)

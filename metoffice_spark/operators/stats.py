@@ -268,10 +268,17 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every i*x term in the segment.
     spend = (
         load(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice").isNotNull())
+        # finite extension (r10 composed battery): a customer whose
+        # EVERY surviving order is non-finite passes IS NOT NULL but
+        # sums to a NULL total — the same NULLS FIRST/LAST rank split
+        # the r08 boundary exists for
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
+        )
         .select(
             "o_custkey",
-            F.expr("case when abs(o_totalprice * 100 + 0.5) < cast('inf' as double) then cast(floor(o_totalprice * 100 + 0.5) as bigint) end").alias("cents"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("bigint").alias("x"))
@@ -298,9 +305,11 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_GINI = """
 WITH spend AS (
-  SELECT o_custkey, CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                          AS BIGINT) AS x
-  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+  GROUP BY o_custkey
 ),
 ranked AS (
   SELECT c.c_mktsegment AS seg, s.x,

@@ -64,12 +64,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load(spark, sf_dir, "orders")
         .filter(
-            F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            # finite extension (r10 composed battery, q_gini_spend
+            # class): all-non-finite customers must not reach ntile
+            & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
         )
         .select(
             "o_custkey",
             F.to_date("o_orderdate").alias("d"),
-            F.expr("case when abs(o_totalprice * 100 + 0.5) < cast('inf' as double) then cast(floor(o_totalprice * 100 + 0.5) as bigint) end").alias(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
                 "cents"
             ),
         )
@@ -134,10 +138,11 @@ ORACLE_RFM = """
 WITH per_cust AS (
   SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
          CAST(count(*) AS BIGINT) AS freq,
-         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT)
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS money
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
   GROUP BY o_custkey
 ),
 obs AS (SELECT max(last_d) AS obs_d FROM per_cust),
@@ -354,10 +359,14 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle): as q_gini_spend — an all-unpriced customer's NULL
     # total sorts at opposite ends of the decile order per engine.
     orders = load(spark, sf_dir, "orders").filter(
+        # finite extension (r10 composed battery): the q_gini_spend
+        # all-non-finite-customer shape — NULL totals rank per-engine
         F.col("o_totalprice").isNotNull()
+        & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
     ).select(
         "o_custkey",
-        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
         .alias("cents"),
     )
     spend = orders.groupBy("o_custkey").agg(
@@ -403,8 +412,10 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LORENZ = """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s
-  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+  GROUP BY o_custkey
 ),
 deciled AS (
   SELECT o_custkey, s,
@@ -457,10 +468,16 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum. Same boundary as q_gini_spend / q_lorenz_curve.
     li = (
         load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_extendedprice").isNotNull())
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            # finite extension (r10 composed battery, q_gini_spend
+            # class): an all-non-finite part must not reach the
+            # revenue-rank cumsum
+            & (F.abs(F.col("l_extendedprice")) < F.lit(float("inf")))
+        )
         .select(
             "l_partkey",
-            F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
             .alias("cents"),
         )
     )
@@ -505,8 +522,10 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ABC = """
 WITH rev AS (
   SELECT l_partkey,
-         CAST(sum(CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS r
-  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_partkey
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+    AND abs(l_extendedprice) < CAST('inf' AS DOUBLE)
+  GROUP BY l_partkey
 ),
 cum AS (
   SELECT l_partkey, r,

@@ -1164,3 +1164,56 @@ def test_nanvec_slice_parity(qid, spark, nanvec_dir):
         assert compare(spark, con, fn, sql, nanvec_dir) == []
     finally:
         con.close()
+
+
+# The composed extreme battery: extval axes on FOUR tables at once,
+# stacked on the r10 dup/NULL/scramble stress axes. Three finds the
+# single-axis extval runs missed: q_gini_spend and q_lorenz_curve's
+# all-non-finite-per-customer NULL totals entering the rank (the
+# q_weighted_median shape — boundary extended to finite, and
+# proactively to q_rfm_segmentation/q_abc_classification which share
+# it), and q_pattern_match missing the r08 sequencing-validity
+# boundary outright (a NULL-ts char sat at the FRONT of Spark's
+# struct sort and the BACK of the oracle's ORDER BY).
+STRESS_EXT_QIDS = (
+    "q_gini_spend",
+    "q_lorenz_curve",
+    "q_pattern_match",
+    "q_rfm_segmentation",
+    "q_abc_classification",
+)
+
+
+@pytest.fixture(scope="module")
+def stress_ext_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=29,
+        keep_permille=500,
+        scramble=True,
+        dupkey={("events", "event_id"): 150},
+        duprows={"events": 150, "documents": 150},
+        nullify={
+            ("events", "ts"): 150,
+            ("events", "value"): 100,
+            ("documents", "text"): 100,
+        },
+        nullgroup={("events", "user_id", "value"): 100},
+        extval={
+            ("events", "value", "nan"): 100,
+            ("lineitem", "l_extendedprice", "nan"): 100,
+            ("orders", "o_totalprice", "inf"): 100,
+            ("documents", "text", "blank"): 100,
+            ("embeddings", "embedding", "nanvec"): 100,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", STRESS_EXT_QIDS)
+def test_stress_ext_slice_parity(qid, spark, stress_ext_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(stress_ext_dir)
+    try:
+        assert compare(spark, con, fn, sql, stress_ext_dir) == []
+    finally:
+        con.close()

@@ -81,7 +81,10 @@ def test_fixed_point_cosine_bounds(con, vec):
     within an ulp, and |cos| <= 1 + ulp for any pair (here: v vs -v)."""
     from metoffice_spark.operators.llm import NORM2_DUCK, _cos_duck, _ivec_duck
 
-    base = f"SELECT {_ivec_duck('?')} AS v"
+    # bind the parameter ONCE through a CTE: _ivec_duck references its
+    # argument twice since the r10 vector-validity mask, so inlining
+    # '?' would change the prepared statement's parameter count
+    base = f"SELECT {_ivec_duck('rv')} AS v FROM (SELECT ? AS rv)"
     q = f"""
     WITH a AS ({base}), b AS (SELECT list_transform(v, x -> -x) AS v FROM a),
     an AS (SELECT v, {NORM2_DUCK.format(v='v')} AS n2 FROM a),
