@@ -377,6 +377,30 @@ def materialize_slice(
                             ]
                         )
                     mutated = pa.array(out_rows, type=field.type)
+                elif kind in ("epoch0", "tsfar"):
+                    # time-axis extremes: the Unix epoch origin
+                    # (1970-01-01, a sentinel many upstreams emit for
+                    # "unknown") and a far-future stamp (2199-12-31) —
+                    # both legal timestamps that stress date
+                    # arithmetic, extraction, and interval logic at
+                    # range ends no generated fixture reaches
+                    if not pa.types.is_timestamp(field.type):
+                        raise SystemExit(
+                            f"--extval {kind} needs a timestamp column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    import datetime as _dt
+
+                    val = (
+                        _dt.datetime(1970, 1, 1)
+                        if kind == "epoch0"
+                        else _dt.datetime(2199, 12, 31, 23, 59, 59)
+                    )
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pa.scalar(val, field.type),
+                    )
                 elif kind in ("empty", "blank"):
                     if not pa.types.is_string(field.type):
                         raise SystemExit(
