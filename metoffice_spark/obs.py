@@ -45,10 +45,13 @@ Only dialect-common constructs are used: CAST, CASE WHEN, floor,
 window SUM with ROWS frame, JOIN ON, INTERVAL 1 DAY, nested CTEs.
 
 Reading-validity boundary (r07 null-value fuzz finding; extended to
-the timestamp by the r08 null-ts probe, and to NON-FINITE readings by
-the r10 extreme-value probe): a NULL ``value`` is a FAILED sensor
-reading, a NULL ``ts`` is an UNPLACEABLE one, and a NaN/±Inf ``value``
-is a CORRUPT one — none produces an observation (``WHERE value IS NOT
+the timestamp by the r08 null-ts probe, to NON-FINITE readings by
+the r10 extreme-value probe, and to OUT-OF-HORIZON timestamps by the
+r11 epoch0/tsfar probe — see OBS_TIME_MIN/MAX below): a NULL
+``value`` is a FAILED sensor reading, a NULL ``ts`` is an
+UNPLACEABLE one, a NaN/±Inf ``value`` is a CORRUPT one, and a
+sentinel-dated ``ts`` is a POISONED one — none produces an
+observation (``WHERE value IS NOT
 NULL AND ts IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)`` in
 the ev CTE; the abs-compare is the dialect-common isfinite — both
 engines order NaN above +Inf, so one predicate excludes NaN and ±Inf
@@ -76,7 +79,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from metoffice_spark.io import load
 
-OBS_SQL = """
+# TIME-BOUNDS validity horizon (r11, the watermark-poisoning fix):
+# an observation stamped outside [TIME_MIN, TIME_MAX) is a corrupt
+# word — a 1970 epoch-zero sentinel or a far-future (e.g. 2199/9999)
+# sentinel — and is quarantined exactly like a NULL ts. Without this,
+# ONE far-future event advances every streaming watermark past the
+# entire stream and silently evicts/drops every subsequent row (the
+# real 100 TB ingest poisoning mode: watermark = max(event time) -
+# delay is not robust to a single corrupt timestamp), and an epoch-0
+# event re-bases every elapsed-time derivation. The horizon is a
+# CONFIGURED plausibility contract (the site-config discipline of the
+# reference's config block, MWC:29-104: a station has a commissioning
+# era; production ingest validators bound allowed event-time skew the
+# same way) — one century wide, so no in-contract datum is near it.
+OBS_TIME_MIN = "2000-01-01 00:00:00"
+OBS_TIME_MAX = "2100-01-01 00:00:00"
+
+OBS_SQL = f"""
 WITH ev AS (
   SELECT ts, event_id AS obs_id, event_type, value,
          CAST(user_id % 4 AS STRING)                 AS station_id,
@@ -87,6 +106,8 @@ WITH ev AS (
   FROM events
   WHERE value IS NOT NULL AND ts IS NOT NULL
     AND abs(value) < CAST('inf' AS DOUBLE)
+    AND ts >= TIMESTAMP '{OBS_TIME_MIN}'
+    AND ts < TIMESTAMP '{OBS_TIME_MAX}'
 ),
 day_tot AS (
   SELECT station_id, day, SUM(rain_incr) AS day_sum

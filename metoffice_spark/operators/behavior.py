@@ -893,11 +893,21 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
         ).alias("v_fp"),
     )
+    # open/close pick only rows with a FINITE reading (ADVICE r10
+    # item 3): a masked v_fp inside the struct would be compared when
+    # duplicate (ts, event_id) rows tie — Spark orders NULL struct
+    # fields FIRST, DuckDB LAST — so the corrupt row is excluded from
+    # the pick instead (a bar opens/closes at the first/last VALID
+    # price; min/max skip the NULL-conditioned structs identically).
     return ev.groupBy("event_type", "day").agg(
-        F.expr("min(struct(ts, event_id, v_fp)).v_fp").alias("open_fp"),
+        F.expr(
+            "min(case when v_fp is not null then struct(ts, event_id, v_fp) end).v_fp"
+        ).alias("open_fp"),
         F.max("v_fp").alias("high_fp"),
         F.min("v_fp").alias("low_fp"),
-        F.expr("max(struct(ts, event_id, v_fp)).v_fp").alias("close_fp"),
+        F.expr(
+            "max(case when v_fp is not null then struct(ts, event_id, v_fp) end).v_fp"
+        ).alias("close_fp"),
         F.count(F.lit(1)).cast("bigint").alias("volume"),
     )
 
@@ -910,11 +920,13 @@ WITH ev AS (
   FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type, day,
-       CAST((min(struct_pack(ts := ts, e := event_id, v := v_fp))).v
+       CAST((min(CASE WHEN v_fp IS NOT NULL
+                 THEN struct_pack(ts := ts, e := event_id, v := v_fp) END)).v
          AS BIGINT) AS open_fp,
        CAST(max(v_fp) AS BIGINT) AS high_fp,
        CAST(min(v_fp) AS BIGINT) AS low_fp,
-       CAST((max(struct_pack(ts := ts, e := event_id, v := v_fp))).v
+       CAST((max(CASE WHEN v_fp IS NOT NULL
+                 THEN struct_pack(ts := ts, e := event_id, v := v_fp) END)).v
          AS BIGINT) AS close_fp,
        CAST(count(*) AS BIGINT) AS volume
 FROM ev GROUP BY event_type, day

@@ -823,9 +823,28 @@ _ROLL_N = 8
 
 # ONE slope text for both dialects (the _ols helper discipline): the
 # trailing-window OLS slope, NULL when the window is degenerate.
+# sxx/sxy are 128-bit here (DECIMAL(38,0) / HUGEINT — sentinel-dated
+# events make x ~ 7.2e9 s and x*x overflow int64), and DuckDB's
+# direct HUGEINT->DOUBLE cast is NOT correctly rounded (1 ULP low on
+# e.g. 30846722877717498069) while Spark's Decimal->DOUBLE is — so
+# the 128-bit sums go through VARCHAR: string->double parses
+# correctly rounded in BOTH engines, keeping the shared text
+# bitwise-par. n/sx/sy stay int64 and cast directly.
+def _roll_d128(s: str) -> str:
+    return f"CAST(CAST({s} AS STRING) AS DOUBLE)"
+
+
+_ROLL_NUM = (
+    f"(CAST(n AS DOUBLE) * {_roll_d128('sxy')}"
+    f" - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ROLL_DEN = (
+    f"(CAST(n AS DOUBLE) * {_roll_d128('sxx')}"
+    f" - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
 _ROLL_SLOPE = (
-    f"CASE WHEN n >= 3 AND {_ols_den('n', 'sxx', 'sx')} > 0 THEN"
-    f" {_ols_num('n', 'sxy', 'sx', 'sy')} / {_ols_den('n', 'sxx', 'sx')}"
+    f"CASE WHEN n >= 3 AND {_ROLL_DEN} > 0 THEN"
+    f" {_ROLL_NUM} / {_ROLL_DEN}"
     f" ELSE NULL END"
 )
 
@@ -859,14 +878,22 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("x", "event_id")
         .rowsBetween(-(_ROLL_N - 1), Window.currentRow)
     )
+    # 128-bit cross-term discipline (r11, the q_stream_stats HUGEINT
+    # precedent at streaming_batch.py): x is elapsed SECONDS, so a
+    # sentinel-dated event (epoch-0 vs far-future in one user) makes
+    # x ~ 7.2e9 and x*x ~ 5e19 > int64 — per-window centering would
+    # NOT save a window that spans both sentinels, widening does.
+    # DECIMAL(38,0) here mirrors HUGEINT in the oracle; _ols_num/_den
+    # cast every sum to DOUBLE, so the slope text is unchanged.
+    x128 = F.col("x").cast("decimal(38,0)")
     sums = based.select(
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w_roll).cast("bigint").alias("n"),
         F.sum("x").over(w_roll).cast("bigint").alias("sx"),
         F.sum("y").over(w_roll).cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w_roll).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).over(w_roll).cast("bigint").alias("sxy"),
+        F.sum(x128 * F.col("x")).over(w_roll).cast("decimal(38,0)").alias("sxx"),
+        F.sum(x128 * F.col("y")).over(w_roll).cast("decimal(38,0)").alias("sxy"),
     )
     return sums.select(
         "user_id", "event_id", "n", F.expr(_ROLL_SLOPE).alias("slope")
@@ -893,8 +920,8 @@ sums AS (
          CAST(count(*) OVER w AS BIGINT) AS n,
          CAST(sum(x) OVER w AS BIGINT) AS sx,
          CAST(sum(y) OVER w AS BIGINT) AS sy,
-         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy
   FROM based
   WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
                ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)

@@ -65,11 +65,14 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
-        # isnan spelled out (r10 money probe): Spark's total-order
-        # comparison says NaN > 1 (violation) while DuckDB's
-        # vectorized comparison is IEEE (NaN > 1 false) — the ONLY
-        # dialect-common spelling of "NaN is not in [0,1]" is an
-        # explicit isnan disjunct
+        # isnan spelled out as EXPLICIT INTENT, not necessity
+        # (ADVICE r10 re-verification): on the pinned DuckDB 1.0.0
+        # BOTH the constant-folded and vectorized comparison paths
+        # order NaN above every finite (NaN > 1 true), same as
+        # Spark's total order — so the disjunct is redundant today.
+        # It stays, mirrored in the oracle, because "a NaN discount
+        # is a violation" should not hinge on an engine keeping
+        # non-IEEE comparison semantics across upgrades.
         F.count(
             F.when(
                 (F.col("l_discount") < 0)

@@ -36,7 +36,17 @@ def _cents(col: F.Column, scale: int = 100):
     a NULL fixed-point value — missing data, handled by the same NULL
     semantics every null-axis probe already pins. Both engines order
     NaN above +Inf, so ``abs(x) < inf`` excludes NaN and ±Inf alike.
-    Finite inputs are untouched."""
+    Finite inputs are untouched.
+
+    Contract boundary (ADVICE r10 item 2, decided r11): HUGE-FINITE
+    inputs (|x| >= ~9.2e16, i.e. the scaled value overflowing int64)
+    are OUT of contract — the cast still raises, identically, in both
+    ANSI engines. The money domain is TPC-H prices and event values;
+    a finite 1e17 money word is not a quarantinable sensor glitch but
+    a broken upstream schema, and a loud symmetric crash is the
+    correct surface for it. Every _cents-shaped site (here and the
+    inline spellings in stats.py/mining.py/behavior.py) shares this
+    single contract; do NOT widen individual sites ad hoc."""
     return F.when(
         F.abs(col) < F.lit(float("inf")),
         F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),

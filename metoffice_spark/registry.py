@@ -72,26 +72,78 @@ _MODULES = (
     "mining",
 )
 
-# Round-10 rotation (ONE rotation per round). Driver coverage closed
-# at 292/292 in r08; the window stays pure re-verification insurance,
-# oldest latest-row first. Registry stays FROZEN at 292 qids.
-# Part A: ALL 44 r4-era greens — the llm.py dedup/sim-search family,
-# the text.py family, the r4 streaming replays, the r4 pipeline/udf
-# rows and the 5 OLAP flagships — whose latest driver rows predate
-# THREE testdata/code generations (the queue named in r09's R10+
-# note). Part B: 6 fill — the three queries whose builder or oracle
-# CHANGED this round (ADVICE r08 precedent: a changed query needs a
-# fresh driver row): q_dq_checks (empty-slice coalesce), q_udf_cogrouped
-# (null-safe oracle fan-out join), q_collab_filter (lazy 1-row
-# broadcast scalar), q_weighted_median + q_survival_hazard (the r10
-# nullgroup probe's catches), q_behavior_e2e (the r10 composed-stress
-# catch; its three co-catches q_funnel_steps / q_ohlc_bars /
-# q_spearman_corr got the same one-line boundary, are pinned on their
-# triggering slice in test_degenerate_slices.py, and ride the
-# committed full-registry sf0.01+sf0.1 gates — window budget spent on
-# the compositional bench headliner).
+# Round-11 rotation (ONE rotation per round; registry stays FROZEN at
+# 292 qids). The window is ALL 49 qids whose latest driver row is
+# r5-era — after this lands, no latest row predates r6 (the r10
+# queue's "47 r5 + 3 r6" note undercounted: the VERDICT r10 age
+# distribution is r5x49) — plus ONE fill: q_ohlc_bars, the r6-era
+# query whose builder AND oracle changed this round (ADVICE r10 item
+# 3: open/close struct picks now exclude NULL-v_fp rows; the changed-
+# query precedent of ADVICE r08). The round's other changed query,
+# q_rolling_regression (128-bit cross-term sums, latest row r8), and
+# the obs substrate's new TIME-BOUNDS boundary (every stream/weather
+# consumer, all r10-era rows) don't fit the 50 budget — both are
+# pinned on their triggering slice in tests/test_degenerate_slices.py
+# (TS_EXTREME_QIDS) and ride the committed full-registry sf0.01 +
+# sf0.1 gates, the same treatment r10 gave q_funnel_steps.
 _PRIORITY = (
-    # --- R10 Part A: all 44 r4-era greens ---
+    # --- R11: all 49 r5-era greens, alphabetical ---
+    "q_ab_ztest",
+    "q_agg_bitmap_distinct",
+    "q_agg_histogram",
+    "q_attribution",
+    "q_bool_retrieval",
+    "q_cdc_apply",
+    "q_dataset_card",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_dp_release",
+    "q_eval_pr",
+    "q_fn_datetime_suite",
+    "q_fn_null_suite",
+    "q_fn_url_suite",
+    "q_graph_triangles",
+    "q_hierarchy_expand",
+    "q_join_spatial",
+    "q_link_editdist",
+    "q_lm_bigram_score",
+    "q_markov_transitions",
+    "q_minhash_est_audit",
+    "q_mmr_diversify",
+    "q_multimodal_framesample",
+    "q_nb_langid",
+    "q_pattern_match",
+    "q_pca_power",
+    "q_percentile_cont",
+    "q_pseudonymize",
+    "q_quality_classifier",
+    "q_rank_rrf_fusion",
+    "q_repetition_ngram",
+    "q_sample_reservoir",
+    "q_scd2_build",
+    "q_semdedup_centroid",
+    "q_sketch_cms",
+    "q_sketch_hll_merge",
+    "q_sketch_setops",
+    "q_skew_diag",
+    "q_src_schema_merge",
+    "q_stats_collect",
+    "q_stream_cagg",
+    "q_stream_cep",
+    "q_stream_static_join",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_gapfill",
+    "q_ts_seasonal_profile",
+    "q_win_range_interval",
+    "q_win_rolling_median",
+    # --- R11 fill: the changed-this-round qid ---
+    "q_ohlc_bars",
+    # --- driver window ends here (50) ---
+    # R12+ QUEUE: after this window lands, the oldest latest-rows are
+    # the 47 remaining r6-era qids (q_ohlc_bars moved to r11);
+    # alphabetical from q_agg_distinct_twophase, then r7.
+    # The r10 window (all green in CORRECTNESS_r10) slides behind:
     "q_contamination_ngram",
     "q_dedup_components",
     "q_dedup_embed_cosine",
@@ -136,67 +188,12 @@ _PRIORITY = (
     "q_udaf_grouped",
     "q_udf_scalar",
     "q_udtf",
-    # --- R10 Part B: the 6 changed-this-round qids ---
     "q_dq_checks",
     "q_udf_cogrouped",
     "q_collab_filter",
     "q_weighted_median",
     "q_survival_hazard",
     "q_behavior_e2e",
-    # --- driver window ends here (50) ---
-    # R11+ QUEUE: after this window lands, no latest driver row
-    # predates r5. Next-oldest surviving greens: the remaining 47
-    # r5-era rows (alphabetical from q_attribution), then r6.
-    # The r09 window (all green in CORRECTNESS_r09) slides behind:
-    "q_project_nested",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_collect",
-    "q_agg_stats",
-    "q_join_outer",
-    "q_join_semi_anti",
-    "q_join_theta_range",
-    "q_join_range_binned",
-    "q_join_asof",
-    "q_win_frame",
-    "q_win_analytic",
-    "q_topk",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_math_suite",
-    "q_fn_string_suite",
-    "q_cdc_diff",
-    "q_incr_agg",
-    "q_topk_twophase",
-    "q_join_bloom",
-    "q_graph_pagerank",
-    "q_layout_zorder",
-    "q_join_bucketed",
-    "q_interval_sweep",
-    "q_win_distribution",
-    "q_mode_agg",
-    "q_text_chunk",
-    "q_text_entropy",
-    "q_text_boilerplate",
-    "q_bpe_pair_count",
-    "q_oov_rate",
-    "q_embed_dimstats",
-    "q_sample_weighted",
-    "q_fn_regex_suite",
-    "q_rank_bm25",
-    "q_kmeans_train",
-    "q_negative_sample",
-    "q_sink_partitioned",
-    "q_src_multiformat",
-    "q_rfm_segmentation",
-    "q_abc_classification",
-    "q_pivot_unpivot",
-    "q_merge_upsert",
-    "q_join_salted",
-    "q_sketch_distinct",
-    "q_set_bag",
-    "q_sql_ansi",
 )
 
 

@@ -1181,6 +1181,11 @@ STRESS_EXT_QIDS = (
     "q_pattern_match",
     "q_rfm_segmentation",
     "q_abc_classification",
+    # r11 (ADVICE r10 item 3): dupkey + NaN together make a masked
+    # v_fp reachable inside the open/close struct comparators when
+    # duplicate (ts, event_id) rows tie — the picks now exclude
+    # NULL-v_fp rows (first/last VALID reading), proven here.
+    "q_ohlc_bars",
 )
 
 
@@ -1215,5 +1220,59 @@ def test_stress_ext_slice_parity(qid, spark, stress_ext_dir):
     con = connect_oracle(stress_ext_dir)
     try:
         assert compare(spark, con, fn, sql, stress_ext_dir) == []
+    finally:
+        con.close()
+
+
+# --- timestamp-extreme axes (r11: --extval epoch0/tsfar) ----------------------
+#
+# Sentinel DATES — the corruption class every 100 TB lake contains
+# (1970-01-01 epoch zeros, 2199/9999 far-future placeholders). Two
+# real classes found by the r10 probe and fixed r11:
+# 1. q_rolling_regression: x is elapsed SECONDS, so an epoch0 + tsfar
+#    pair in one user makes x ~ 7.2e9 and the x*x / x*y cross-terms
+#    overflow int64 under ANSI — the sums are now 128-bit
+#    (DECIMAL(38,0) / HUGEINT) with a VARCHAR-mediated double cast
+#    (DuckDB's direct HUGEINT->DOUBLE is not correctly rounded).
+# 2. Watermark poisoning: ONE far-future event advances the replay
+#    watermark past the whole stream and silently drops every later
+#    row. Fixed at the substrate: the obs ev CTE quarantines
+#    timestamps outside [OBS_TIME_MIN, OBS_TIME_MAX) like NULL ts
+#    (obs.py), so every stream machine and weather consumer inherits
+#    the TIME-BOUNDS validity contract symmetrically.
+TS_EXTREME_QIDS = (
+    "q_rolling_regression",   # 128-bit cross-term sums
+    "q_stream_join",          # the observed dropper (262 vs 493)
+    "q_stream_tumbling",      # watermark-evicted daily windows
+    "q_stream_watermark",     # the explicit late-data machine
+    "q_stream_session",       # session gap eviction
+    "q_stream_stateful",      # applyInPandasWithState staleness guard
+    "q_stream_cep",           # calendar-split replay order
+    "q_rollup_hypertable",    # obs substrate consumer (bucket tree)
+    "q_ts_trend",             # day-index centering (control: was green)
+)
+
+
+@pytest.fixture(scope="module")
+def tsext_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=31,
+        keep_permille=700,
+        extval={
+            ("events", "ts", "epoch0"): 100,
+            ("events", "ts", "tsfar"): 80,
+            ("orders", "o_orderdate", "epoch0"): 100,
+            ("lineitem", "l_shipdate", "tsfar"): 100,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", TS_EXTREME_QIDS)
+def test_tsextreme_slice_parity(qid, spark, tsext_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(tsext_dir)
+    try:
+        assert compare(spark, con, fn, sql, tsext_dir) == []
     finally:
         con.close()
