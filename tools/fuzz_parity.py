@@ -413,10 +413,41 @@ def materialize_slice(
                         tbl.column(ec),
                         pa.scalar(val, field.type),
                     )
+                elif kind == "unicode":
+                    # unicode extremes (r11): astral-plane code points
+                    # (outside the BMP — ONE code point but TWO UTF-16
+                    #  units on the JVM vs one UTF-8 sequence in
+                    #  DuckDB: length/substring/regex off-by-ones),
+                    # combining sequences (grapheme != code point),
+                    # RTL runs, and ZWJ emoji families. APPENDED to
+                    # the original text (not replacing it) so content-
+                    # dependent derivations still vary per row; the
+                    # variant is key-hash-chosen, deterministic.
+                    if not pa.types.is_string(field.type):
+                        raise SystemExit(
+                            f"--extval unicode needs a string column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    _UNI = (
+                        " \U0001D11E\U0001F600 astral",          # 2 astral cps
+                        " café naïve",               # combining
+                        " שלום مر", # RTL run
+                        " \U0001F469‍\U0001F469‍\U0001F467 zwj",
+                        " ＡＢＣ full⁠width",   # fullwidth + WJ
+                    )
+                    rows = tbl.column(ec).to_pylist()
+                    out_rows = []
+                    for ri, (hit, txt) in enumerate(zip(emask, rows)):
+                        if not hit or txt is None:
+                            out_rows.append(txt)
+                            continue
+                        k = int(ekeys[ri])
+                        out_rows.append(txt + _UNI[k % len(_UNI)])
+                    mutated = pa.array(out_rows, type=field.type)
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|empty|blank"
+                        "nan|inf|neginf|neg|zero|empty|blank|nanvec|epoch0|tsfar|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -583,7 +614,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|empty|blank|nanvec)"
+                "(kind: nan|inf|neginf|neg|zero|empty|blank|nanvec|epoch0|tsfar|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
