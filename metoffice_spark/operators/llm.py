@@ -575,6 +575,30 @@ WHERE rn <= 5
 
 # --- q_multimodal_cols: opaque binary payload + typed metadata ---------------
 
+
+def _utf8_bytes(t: str) -> str:
+    """DuckDB expression: the REAL UTF-8 byte list of text ``t``.
+
+    Each character's code point (unicode()) expands to its UTF-8
+    byte sequence with pure integer CASE arithmetic — the encoding is
+    a closed-form function of the code point, so the byte-domain
+    multimodal oracles hold for ARBITRARY text, not just ASCII (r11
+    unicode axis; verified exact against Python's encoder on
+    BMP/astral/RTL/combining probes). DuckDB's own STRING->BLOB cast
+    can't do this job: it RAISES on any non-ASCII character."""
+    return (
+        f"flatten(list_transform("
+        f"list_transform(range(1, length({t}) + 1),"
+        f" i -> unicode(substring({t}, CAST(i AS INT), 1))),"
+        f" cp -> CASE WHEN cp < 128 THEN [cp]"
+        f" WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]"
+        f" WHEN cp < 65536 THEN [224 + cp // 4096,"
+        f" 128 + (cp // 64) % 64, 128 + cp % 64]"
+        f" ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,"
+        f" 128 + (cp // 64) % 64, 128 + cp % 64] END))"
+    )
+
+
 def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: an opaque ``binary`` payload plus a
     typed metadata struct carried through filter -> join -> agg, with
@@ -618,7 +642,9 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_COLS = """
 SELECT d.lang,
        count(*) AS n_assets,
-       CAST(sum(octet_length(CAST(d.text AS BLOB))) AS BIGINT) AS total_bytes,
+       -- strlen = UTF-8 byte count (r11 unicode axis: the old
+       -- CAST(text AS BLOB) raises on any non-ASCII character)
+       CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
        CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < CAST('inf' AS DOUBLE)
                 THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE)
@@ -1272,13 +1298,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The oracle replays the byte-domain decode in SQL: the corpus text is
-# pure ASCII, so UTF-8 payload bytes == ascii() codes per character —
-# the same integers numpy reads with frombuffer(uint8). That equality
-# only holds for ASCII, so the CTE asserts it per row (ADVICE r04): a
-# datagen change introducing multi-byte characters makes the oracle
-# error() loudly instead of silently diverging from the byte-domain
-# numpy decode.
+# The oracle replays the byte-domain decode in SQL. r04-r10 it only
+# held for pure-ASCII corpora (ascii(char) == UTF-8 byte) behind a
+# loud error() guard; the r11 unicode axis promoted it to BYTE-TRUE
+# for ARBITRARY text: each character's code point (unicode()) expands
+# to its UTF-8 byte sequence with pure CASE arithmetic — the exact
+# integers numpy reads with frombuffer(uint8) off Spark's
+# encode(text, 'UTF-8') payload. Verified exact against Python's
+# encoder on BMP/astral/RTL/combining probes.
 ORACLE_MULTIMODAL_DECODE = f"""
 WITH px AS (
   -- coalesce(text, ''): a NULL payload is a MISSING asset and scores
@@ -1288,14 +1315,8 @@ WITH px AS (
   -- would fan out 2x2 under duplicate-id deliveries (r09 drdocs
   -- probe) where the row-granular pipeline emits one row per copy.
   SELECT doc_id, n_chars,
-         CASE WHEN octet_length(CAST(coalesce(text, '') AS BLOB))
-                   <> length(coalesce(text, ''))
-              THEN error('documents.text is not pure ASCII (doc_id '
-                         || doc_id || '): byte-domain oracle invalid')
-              ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) END AS n,
-         list_transform(range(1, length(coalesce(text, '')) + 1),
-                        i -> ascii(substring(coalesce(text, ''),
-                                             CAST(i AS INT), 1))) AS v
+         strlen(coalesce(text, '')) AS n,
+         {_utf8_bytes("coalesce(text, '')")} AS v
   FROM documents
 )
 SELECT doc_id,
@@ -1619,25 +1640,24 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_FRAMESAMPLE = f"""
 WITH vids AS (
   -- coalesce(text, ''): missing asset -> empty buffer -> zero frames,
-  -- matching the Spark side's None guard (r07 null-text finding)
-  SELECT doc_id, coalesce(text, '') AS text,
-         CASE WHEN octet_length(CAST(coalesce(text, '') AS BLOB))
-                   <> length(coalesce(text, ''))
-              THEN error('documents.text is not pure ASCII: byte-domain'
-                         ' frame oracle invalid')
-              ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) END AS n
+  -- matching the Spark side's None guard (r07 null-text finding).
+  -- v is the REAL UTF-8 byte list (r11 unicode axis): frames index
+  -- BYTES, and with multi-byte characters a substring-by-character
+  -- walk lands on the wrong byte offsets — so the byte list is
+  -- materialized once per doc and frames slice it.
+  SELECT doc_id, strlen(coalesce(text, '')) AS n,
+         {_utf8_bytes("coalesce(text, '')")} AS v
   FROM documents WHERE doc_id % 3 = 2
 ),
 frames AS (
-  SELECT doc_id, text, unnest(range(0, greatest(n // {_FRAME_BYTES}, 0)))
+  SELECT doc_id, v, unnest(range(0, greatest(n // {_FRAME_BYTES}, 0)))
            AS frame_idx
   FROM vids
 ),
 sampled AS (
   SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-         list_transform(range(1, {_FRAME_BYTES} + 1),
-           i -> ascii(substring(text,
-                CAST(frame_idx * {_FRAME_BYTES} + i AS INT), 1))) AS px
+         v[CAST(frame_idx * {_FRAME_BYTES} + 1 AS INT)
+           : CAST((frame_idx + 1) * {_FRAME_BYTES} AS INT)] AS px
   FROM frames WHERE frame_idx % {_FRAME_STRIDE} = 0
 )
 SELECT doc_id, frame_idx,

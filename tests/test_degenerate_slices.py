@@ -1276,3 +1276,45 @@ def test_tsextreme_slice_parity(qid, spark, tsext_dir):
         assert compare(spark, con, fn, sql, tsext_dir) == []
     finally:
         con.close()
+
+
+# --- unicode-extreme text axis (r11: --extval unicode) -------------------------
+#
+# Astral-plane code points (one code point, two UTF-16 units on the
+# JVM vs one UTF-8 sequence in DuckDB), combining sequences, RTL
+# runs, ZWJ emoji and fullwidth forms appended to documents.text.
+# Registry-wide run: the ENTIRE text stack (tokenizers, langid,
+# fingerprints, shinglers, regex suites, BM25, chunkers) was clean on
+# the first pass — the only failures were the three byte-domain
+# multimodal oracles, whose CAST(text AS BLOB) raises on any
+# non-ASCII character. Fixed by _utf8_bytes (llm.py): the oracle now
+# expands code points to real UTF-8 bytes arithmetically, so the
+# byte-domain simulation is exact for arbitrary text.
+UNICODE_TEXT_QIDS = (
+    "q_multimodal_cols",        # strlen byte totals
+    "q_multimodal_decode",      # full byte-list decode oracle
+    "q_multimodal_framesample", # byte-offset frame slicing
+    "q_text_tokens",            # control: JVM vs UTF-8 tokenizer walk
+    "q_text_fingerprint",       # control: rolling hash over code points
+    "q_dedup_simhash",          # control: shingle hashing
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=41,
+        keep_permille=700,
+        extval={("documents", "text", "unicode"): 250},
+    )
+
+
+@pytest.mark.parametrize("qid", UNICODE_TEXT_QIDS)
+def test_unicode_slice_parity(qid, spark, unicode_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(unicode_dir)
+    try:
+        assert compare(spark, con, fn, sql, unicode_dir) == []
+    finally:
+        con.close()
