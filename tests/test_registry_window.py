@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R10_WINDOW = [
-    "q_contamination_ngram",
-    "q_dedup_components",
-    "q_dedup_embed_cosine",
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embed_quantize",
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_olap_local_supplier",
-    "q_olap_order_priority",
-    "q_olap_parts_suppliers",
-    "q_olap_returned_items",
-    "q_olap_shipping_priority",
-    "q_pack_sequences",
-    "q_quality_gopher",
-    "q_rain_daily_delta",
-    "q_sample_stratified",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_sketch_hll",
-    "q_split_train_val",
-    "q_stream_dedup",
-    "q_stream_ingest",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sink",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_tumbling",
-    "q_stream_watermark",
-    "q_text_analysis",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_redact",
-    "q_text_tokens",
-    "q_text_vocab",
-    "q_tokenize_ids",
-    "q_udaf_grouped",
-    "q_udf_scalar",
-    "q_udtf",
-    "q_dq_checks",
-    "q_udf_cogrouped",
-    "q_collab_filter",
-    "q_weighted_median",
-    "q_survival_hazard",
-    "q_behavior_e2e",
+_R11_WINDOW = [
+    "q_ab_ztest",
+    "q_agg_bitmap_distinct",
+    "q_agg_histogram",
+    "q_attribution",
+    "q_bool_retrieval",
+    "q_cdc_apply",
+    "q_dataset_card",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_dp_release",
+    "q_eval_pr",
+    "q_fn_datetime_suite",
+    "q_fn_null_suite",
+    "q_fn_url_suite",
+    "q_graph_triangles",
+    "q_hierarchy_expand",
+    "q_join_spatial",
+    "q_link_editdist",
+    "q_lm_bigram_score",
+    "q_markov_transitions",
+    "q_minhash_est_audit",
+    "q_mmr_diversify",
+    "q_multimodal_framesample",
+    "q_nb_langid",
+    "q_pattern_match",
+    "q_pca_power",
+    "q_percentile_cont",
+    "q_pseudonymize",
+    "q_quality_classifier",
+    "q_rank_rrf_fusion",
+    "q_repetition_ngram",
+    "q_sample_reservoir",
+    "q_scd2_build",
+    "q_semdedup_centroid",
+    "q_sketch_cms",
+    "q_sketch_hll_merge",
+    "q_sketch_setops",
+    "q_skew_diag",
+    "q_src_schema_merge",
+    "q_stats_collect",
+    "q_stream_cagg",
+    "q_stream_cep",
+    "q_stream_static_join",
+    "q_ts_autocorr",
+    "q_ts_changepoint",
+    "q_ts_gapfill",
+    "q_ts_seasonal_profile",
+    "q_win_range_interval",
+    "q_win_rolling_median",
+    "q_ohlc_bars",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R10_WINDOW
+    assert list(all_queries())[:50] == _R11_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():
