@@ -728,7 +728,7 @@ WITH long AS (
 per_col AS (
   SELECT col, CAST(count(*) AS BIGINT) AS n,
          CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-         CAST(sum(octet_length(CAST(v AS BLOB))) AS BIGINT) AS plain_bytes
+         CAST(sum(strlen(v)) AS BIGINT) AS plain_bytes
   FROM long GROUP BY col
 )
 SELECT col, n, n_distinct,
@@ -776,7 +776,11 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SINK_JSONL = """
 SELECT doc_id, line,
-       CAST(octet_length(CAST(line AS BLOB)) AS BIGINT) AS line_bytes
+       -- strlen = UTF-8 byte count (r11 dim-unicode probe: DuckDB's
+       -- STRING -> BLOB cast RAISES on any non-ASCII character, and
+       -- Jackson writes non-ASCII JSON values raw, so a unicode
+       -- source/lang is a legal line the byte count must cover)
+       CAST(strlen(line) AS BIGINT) AS line_bytes
 FROM (
   SELECT doc_id,
          -- tripwire (ADVICE r05 house pattern): raw concatenation only

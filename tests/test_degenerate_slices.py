@@ -1318,3 +1318,45 @@ def test_unicode_slice_parity(qid, spark, unicode_dir):
         assert compare(spark, con, fn, sql, unicode_dir) == []
     finally:
         con.close()
+
+
+# dim/attribute-string unicode (r11 second unicode probe): unicode in
+# part.p_type/p_name (LIKE patterns), c_mktsegment (group keys),
+# s_name, and documents.source. ONE catch: q_sink_jsonl's oracle
+# counted line bytes via CAST(line AS BLOB), which RAISES in DuckDB
+# on any non-ASCII character — but Jackson writes non-ASCII JSON
+# values RAW, so a unicode source is a legal manifest line the byte
+# count must cover. Fixed with strlen (q_compress_dict's plain_bytes
+# proactively too); the LIKE/grouping surfaces were clean.
+DIM_UNICODE_QIDS = (
+    "q_sink_jsonl",      # the catch: strlen byte count
+    "q_compress_dict",   # proactive strlen fix
+    "q_olap_parts_suppliers",  # control: p_type LIKE surface
+    "q_text_vocab",      # control: source grouping unaffected
+)
+
+
+@pytest.fixture(scope="module")
+def dim_unicode_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=47,
+        keep_permille=700,
+        extval={
+            ("part", "p_type", "unicode"): 150,
+            ("part", "p_name", "unicode"): 150,
+            ("customer", "c_mktsegment", "unicode"): 100,
+            ("supplier", "s_name", "unicode"): 150,
+            ("documents", "source", "unicode"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", DIM_UNICODE_QIDS)
+def test_dim_unicode_slice_parity(qid, spark, dim_unicode_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(dim_unicode_dir)
+    try:
+        assert compare(spark, con, fn, sql, dim_unicode_dir) == []
+    finally:
+        con.close()
