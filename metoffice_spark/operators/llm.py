@@ -585,12 +585,23 @@ def _utf8_bytes(t: str) -> str:
     multimodal oracles hold for ARBITRARY text, not just ASCII (r11
     unicode axis; verified exact against Python's encoder on
     BMP/astral/RTL/combining probes). DuckDB's own STRING->BLOB cast
-    can't do this job: it RAISES on any non-ASCII character."""
+    can't do this job: it RAISES on any non-ASCII character.
+
+    Loud-failure tripwire (ADVICE r11 item 2): a code point outside
+    well-formed UTF-8's domain — the surrogate range U+D800-U+DFFF or
+    anything above U+10FFFF — error()s instead of silently emitting
+    CESU-8-style bytes that would diverge from Spark's
+    encode(text,'UTF-8') payload. Unreachable with well-formed parquet
+    strings; it exists so an oracle-invalid input fails loudly (the
+    house pattern the pre-r11 pure-ASCII guard established)."""
     return (
         f"flatten(list_transform("
         f"list_transform(range(1, length({t}) + 1),"
         f" i -> unicode(substring({t}, CAST(i AS INT), 1))),"
-        f" cp -> CASE WHEN cp < 128 THEN [cp]"
+        f" cp -> CASE"
+        f" WHEN (cp >= 55296 AND cp < 57344) OR cp > 1114111"
+        f" THEN [CAST(error('utf8 oracle: invalid code point') AS BIGINT)]"
+        f" WHEN cp < 128 THEN [cp]"
         f" WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]"
         f" WHEN cp < 65536 THEN [224 + cp // 4096,"
         f" 128 + (cp // 64) % 64, 128 + cp % 64]"

@@ -883,8 +883,10 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel-dated event (epoch-0 vs far-future in one user) makes
     # x ~ 7.2e9 and x*x ~ 5e19 > int64 — per-window centering would
     # NOT save a window that spans both sentinels, widening does.
-    # DECIMAL(38,0) here mirrors HUGEINT in the oracle; _ols_num/_den
-    # cast every sum to DOUBLE, so the slope text is unchanged.
+    # DECIMAL(38,0) here mirrors HUGEINT in the oracle; the slope text
+    # (_ROLL_NUM/_ROLL_DEN above) routes the two 128-bit sums through
+    # the VARCHAR-mediated _roll_d128 cast so both engines parse a
+    # correctly-rounded double, and casts the int64 sums directly.
     x128 = F.col("x").cast("decimal(38,0)")
     sums = based.select(
         "user_id",

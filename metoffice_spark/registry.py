@@ -72,22 +72,75 @@ _MODULES = (
     "mining",
 )
 
-# Round-11 rotation (ONE rotation per round; registry stays FROZEN at
-# 292 qids). The window is ALL 49 qids whose latest driver row is
-# r5-era — after this lands, no latest row predates r6 (the r10
-# queue's "47 r5 + 3 r6" note undercounted: the VERDICT r10 age
-# distribution is r5x49) — plus ONE fill: q_ohlc_bars, the r6-era
-# query whose builder AND oracle changed this round (ADVICE r10 item
-# 3: open/close struct picks now exclude NULL-v_fp rows; the changed-
-# query precedent of ADVICE r08). The round's other changed query,
-# q_rolling_regression (128-bit cross-term sums, latest row r8), and
-# the obs substrate's new TIME-BOUNDS boundary (every stream/weather
-# consumer, all r10-era rows) don't fit the 50 budget — both are
-# pinned on their triggering slice in tests/test_degenerate_slices.py
-# (TS_EXTREME_QIDS) and ride the committed full-registry sf0.01 +
-# sf0.1 gates, the same treatment r10 gave q_funnel_steps.
+# Round-12 rotation (ONE rotation per round; registry stays FROZEN at
+# 292 qids). The window is ALL 47 qids whose latest driver row is
+# r6-era (q_ohlc_bars moved to r11 last round) plus THREE fills: the
+# alphabetically-first r7-era qids (q_batch_length_buckets,
+# q_benford_test, q_bpe_train). After this lands no latest row
+# predates r7, and the window matches the queue pinned in the r11
+# registry comment and VERDICT r11 item 1. Window membership was
+# recomputed programmatically from CORRECTNESS_r01..r11 latest-row
+# ages (age dist at r11 head: r6x47 r7x46 r8x50 r9x49 r10x50 r11x50);
+# no builder or oracle changed between the r11 gate and this rotation,
+# so there is no changed-query fill this round.
 _PRIORITY = (
-    # --- R11: all 49 r5-era greens, alphabetical ---
+    # --- R12: all 47 r6-era greens, alphabetical ---
+    "q_agg_distinct_twophase",
+    "q_ann_pq",
+    "q_anomaly_zscore",
+    "q_chi2_terms",
+    "q_cohort_retention",
+    "q_cov_stats",
+    "q_eval_auc",
+    "q_fn_json_suite",
+    "q_funnel_steps",
+    "q_gini_spend",
+    "q_graph_jaccard",
+    "q_join_temporal",
+    "q_kmeans_step",
+    "q_metric_decompose",
+    "q_mix_rebalance",
+    "q_olap_avg_balance",
+    "q_olap_cust_distribution",
+    "q_olap_disjunctive",
+    "q_olap_exists",
+    "q_olap_having_in",
+    "q_olap_important_stock",
+    "q_olap_market_share",
+    "q_olap_min_cost_supp",
+    "q_olap_part_promotion",
+    "q_olap_product_profit",
+    "q_olap_promo_share",
+    "q_olap_revenue_delta",
+    "q_olap_scalar_subquery",
+    "q_olap_ship_latency",
+    "q_olap_top_supplier",
+    "q_olap_volume_shipping",
+    "q_olap_waiting_supplier",
+    "q_percentile_exact",
+    "q_pipeline_e2e",
+    "q_ridge_normal",
+    "q_rollup_hypertable",
+    "q_sessionize_batch",
+    "q_shard_assign",
+    "q_sink_compact",
+    "q_stream_anomaly",
+    "q_stream_gap_detector",
+    "q_stream_twap",
+    "q_tfidf",
+    "q_ts_interpolate",
+    "q_udf_grouped_map",
+    "q_win_ewma",
+    "q_winsorize",
+    # --- R12 fills: the 3 alphabetically-first r7-era qids ---
+    "q_batch_length_buckets",
+    "q_benford_test",
+    "q_bpe_train",
+    # --- driver window ends here (50) ---
+    # R13+ QUEUE: after this window lands, the oldest latest-rows
+    # are the 43 remaining r7-era qids (alphabetical from
+    # q_compress_dict), then r8.
+    # The r11 window (all green in CORRECTNESS_r11) slides behind:
     "q_ab_ztest",
     "q_agg_bitmap_distinct",
     "q_agg_histogram",
@@ -137,63 +190,7 @@ _PRIORITY = (
     "q_ts_seasonal_profile",
     "q_win_range_interval",
     "q_win_rolling_median",
-    # --- R11 fill: the changed-this-round qid ---
     "q_ohlc_bars",
-    # --- driver window ends here (50) ---
-    # R12+ QUEUE: after this window lands, the oldest latest-rows are
-    # the 47 remaining r6-era qids (q_ohlc_bars moved to r11);
-    # alphabetical from q_agg_distinct_twophase, then r7.
-    # The r10 window (all green in CORRECTNESS_r10) slides behind:
-    "q_contamination_ngram",
-    "q_dedup_components",
-    "q_dedup_embed_cosine",
-    "q_dedup_exact",
-    "q_dedup_fuzzy",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embed_quantize",
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_olap_local_supplier",
-    "q_olap_order_priority",
-    "q_olap_parts_suppliers",
-    "q_olap_returned_items",
-    "q_olap_shipping_priority",
-    "q_pack_sequences",
-    "q_quality_gopher",
-    "q_rain_daily_delta",
-    "q_sample_stratified",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_sketch_hll",
-    "q_split_train_val",
-    "q_stream_dedup",
-    "q_stream_ingest",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sink",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_tumbling",
-    "q_stream_watermark",
-    "q_text_analysis",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_redact",
-    "q_text_tokens",
-    "q_text_vocab",
-    "q_tokenize_ids",
-    "q_udaf_grouped",
-    "q_udf_scalar",
-    "q_udtf",
-    "q_dq_checks",
-    "q_udf_cogrouped",
-    "q_collab_filter",
-    "q_weighted_median",
-    "q_survival_hazard",
-    "q_behavior_e2e",
 )
 
 
