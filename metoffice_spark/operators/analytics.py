@@ -36,13 +36,13 @@ def _rev_cents(price: str = "l_extendedprice", disc: str = "l_discount"):
     # both engines) instead of a BIGINT-cast crash under ANSI
     rev = F.col(price) * (F.lit(1.0) - F.col(disc))
     return F.when(
-        F.abs(rev) < F.lit(float("inf")),
+        F.abs(rev) < F.lit(9.0e12),
         F.floor(rev * F.lit(100.0) + F.lit(0.5)).cast("bigint"),
     )
 
 
 _REV_CENTS_SQL = (
-    "CASE WHEN abs(l_extendedprice * (1.0 - l_discount)) < CAST('inf' AS DOUBLE)"
+    "CASE WHEN abs(l_extendedprice * (1.0 - l_discount)) < 9.0e12"
     " THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
     " AS BIGINT) END"
 )
@@ -305,7 +305,7 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB, shifting every percentile index.
     ev = load(tune(spark), sf_dir, "events").filter(
         F.col("value").isNotNull()
-        & (F.abs(F.col("value")) < F.lit(float("inf")))
+        & (F.abs(F.col("value")) < F.lit(9.0e12))
     ).select(
         "event_type",
         "event_id",
@@ -341,7 +341,7 @@ WITH ranked AS (
            CAST(floor(value * 1000 + 0.5) AS BIGINT), event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
-  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
+  WHERE value IS NOT NULL AND abs(value) < 9.0e12
 )
 SELECT event_type,
        CAST(max(n) AS BIGINT) AS n,
@@ -645,7 +645,7 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution points.
     ev = load(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
-        & (F.abs(F.col("value")) < F.lit(float("inf")))
+        & (F.abs(F.col("value")) < F.lit(9.0e12))
     ).select(
         "event_type",
         "event_id",
@@ -714,7 +714,7 @@ WITH ranked AS (
                                      event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
-  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
+  WHERE value IS NOT NULL AND abs(value) < 9.0e12
 )
 {" UNION ALL ".join(parts)}
 """
@@ -860,7 +860,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(
             F.col("value").isNotNull()
-            & (F.abs(F.col("value")) < F.lit(float("inf")))
+            & (F.abs(F.col("value")) < F.lit(9.0e12))
         )
         .select(
             "event_type",
@@ -920,7 +920,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
+  WHERE value IS NOT NULL AND abs(value) < 9.0e12
 ),
 ranked AS (
   SELECT event_type, v_fp,
@@ -981,7 +981,7 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.to_date("ts").alias("d"),
             F.expr(
-                "case when abs(value) < cast('inf' as double) "
+                "case when abs(value) < 9.0e12 "
                 "then cast(floor(value * 100 + 0.5) as bigint) end"
             ).alias("cents"),
         )
@@ -1030,7 +1030,7 @@ def q_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_METRIC_DECOMPOSE = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),
@@ -1092,9 +1092,9 @@ def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_quantity",
         F.expr(
-            "case when abs(l_extendedprice * 100 + 0.5) < cast('inf' as double)"
+            "case when abs(l_extendedprice) < 9.0e12"
             " then cast(floor(l_extendedprice * 100 + 0.5) as bigint) end"
-            " * case when abs(l_discount) < cast('inf' as double)"
+            " * case when abs(l_discount) < 9.0e12"
             " then cast(100 - floor(l_discount * 100 + 0.5) as bigint) end"
             " div 100"
         ).alias("rev_cents"),
@@ -1117,8 +1117,8 @@ def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_OLAP_DISJUNCTIVE = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END
-                * CASE WHEN abs(l_discount) < CAST('inf' AS DOUBLE)
+       CAST(sum(CASE WHEN abs(l_extendedprice) < 9.0e12 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END
+                * CASE WHEN abs(l_discount) < 9.0e12
                        THEN CAST(100 - floor(l_discount * 100 + 0.5) AS BIGINT)
                   END // 100)
          AS BIGINT) AS revenue_cents

@@ -39,8 +39,10 @@ from metoffice_spark.session import scoped_persist, tune
 
 QUERIES: dict = {}
 
+# validity guard: non-finite OR huge-finite value words quarantine to
+# NULL (r12, the FIXED_POINT_MAX contract — see relational._cents)
 _CENTS = (
-    "case when abs(value) < cast('inf' as double) "
+    "case when abs(value) < 9.0e12 "
     "then cast(floor(value * 100 + 0.5) as bigint) end"
 )
 
@@ -423,7 +425,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.expr(
-            "case when abs(c_acctbal) < cast('inf' as double) "
+            "case when abs(c_acctbal) < 9.0e12 "
             "then cast(floor(c_acctbal * 100 + 0.5) as bigint) end"
         ).alias("cents"),
     )
@@ -476,7 +478,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CDC_APPLY = """
 WITH cust AS (
   SELECT c_custkey, c_nationkey,
-         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(c_acctbal) < 9.0e12
               THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents
   FROM customer
 ),
@@ -609,7 +611,7 @@ WITH cells AS (
               AS INT) AS dow,
          CAST(hour(ts) AS INT) AS hr,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CAST(sum(CASE WHEN abs(value) < 9.0e12
                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
               AS BIGINT) AS cents_total
   FROM events GROUP BY 1, 2
@@ -889,7 +891,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.abs(F.col("value")) < F.lit(9.0e12),
             F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
         ).alias("v_fp"),
     )
@@ -915,7 +917,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_OHLC_BARS = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS v_fp
   FROM events WHERE ts IS NOT NULL
 )
@@ -958,7 +960,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.expr(
-            "case when abs(c_acctbal) < cast('inf' as double) "
+            "case when abs(c_acctbal) < 9.0e12 "
             "then cast(floor(c_acctbal * 100 + 0.5) as bigint) end"
         ).alias("cents"),
     )
@@ -1008,7 +1010,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TIME_TRAVEL = """
 WITH cust AS (
   SELECT c_custkey, c_nationkey,
-         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(c_acctbal) < 9.0e12
               THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents
   FROM customer
 ),
@@ -1085,7 +1087,7 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(
             F.col("value").isNotNull()
-            & (F.abs(F.col("value")) < F.lit(float("inf")))
+            & (F.abs(F.col("value")) < F.lit(9.0e12))
         )
         .select(
             "event_type",
@@ -1151,7 +1153,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
+  WHERE value IS NOT NULL AND abs(value) < 9.0e12
 ),
 ranked AS (
   SELECT event_type, v_fp,
@@ -1229,7 +1231,7 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(
-                    F.abs(F.col("value")) < F.lit(float("inf")),
+                    F.abs(F.col("value")) < F.lit(9.0e12),
                     F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
                 )
             ).alias("cents")
@@ -1274,7 +1276,7 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TS_TREND = f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CAST(sum(CASE WHEN abs(value) < 9.0e12
                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
               AS BIGINT) AS cents
   FROM events GROUP BY 1, 2

@@ -711,7 +711,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(
             F.when(
-                F.abs(F.col("value")) < F.lit(float("inf")),
+                F.abs(F.col("value")) < F.lit(9.0e12),
                 F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
             )
         )
@@ -723,7 +723,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SINK_COMPACT = """
 SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+       CAST(sum(CASE WHEN abs(value) < 9.0e12
                 THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END) AS BIGINT)
          AS value_fp_total
 FROM events

@@ -251,7 +251,7 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         (F.col("event_id") % 100).cast("double").alias("y"),
         F.expr(
-            "case when abs(value) < cast('inf' as double) "
+            "case when abs(value) < 9.0e12 "
             "then cast(floor(value * 100 + 0.5) as bigint) end"
         ).alias("cents"),
         # masked cell key (r10 extreme-value probe): floor(±inf) casts
@@ -259,7 +259,7 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — exactly what the oracle's direct range predicate does (NaN
         # and ±Inf fail x < xhi in both engines)
         F.expr(
-            "case when abs(value) < cast('inf' as double) "
+            "case when abs(value) < 9.0e12 "
             "then cast(floor(value / 50) as int) end"
         ).alias("cx"),
         F.expr("cast(floor((event_id % 100) / 25) as int)").alias("cy"),
@@ -309,7 +309,7 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JOIN_SPATIAL = f"""
 WITH points AS (
   SELECT value AS x, CAST(event_id % 100 AS DOUBLE) AS y,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),

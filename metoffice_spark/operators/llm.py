@@ -65,7 +65,7 @@ def _ivec_spark(col: str) -> str:
     them (3VL), which falls to the ELSE branch — same as before."""
     return (
         f"case when exists({col}, x ->"
-        " not (abs(cast(x as double)) < cast('inf' as double)))"
+        " not (abs(cast(x as double)) < 9.0e12))"
         f" then null else transform({col},"
         " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
         " as bigint)) end"
@@ -78,7 +78,7 @@ def _ivec_duck(col: str) -> str:
     # fall-through for NULL components
     return (
         f"CASE WHEN len(list_filter({col}, x ->"
-        " NOT (abs(CAST(x AS DOUBLE)) < CAST('inf' AS DOUBLE)))) > 0"
+        " NOT (abs(CAST(x AS DOUBLE)) < 9.0e12))) > 0"
         f" THEN NULL ELSE list_transform({col},"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
         " AS BIGINT)) END"
@@ -640,7 +640,7 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.expr(
                     "case when abs(cast(element_at(embedding, 1)"
-                    " as double)) < cast('inf' as double)"
+                    " as double)) < 9.0e12"
                     " then cast(floor(cast(element_at(embedding, 1)"
                     " as double) * 1000000.0 + 0.5) as bigint) end"
                 )
@@ -657,7 +657,7 @@ SELECT d.lang,
        -- CAST(text AS BLOB) raises on any non-ASCII character)
        CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
-       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < CAST('inf' AS DOUBLE)
+       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < 9.0e12
                 THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE)
                                * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
          AS emb0_fp_sum

@@ -40,7 +40,7 @@ def _finite_qty(col: str = "l_quantity"):
     probe): CAST(±inf AS BIGINT) raises under ANSI; a non-finite
     quantity is an invalid measurement -> NULL, as the masked cents."""
     return F.when(
-        F.abs(F.col(col)) < F.lit(float("inf")), F.col(col).cast("bigint")
+        F.abs(F.col(col)) < F.lit(9.0e12), F.col(col).cast("bigint")
     )
 
 
@@ -97,7 +97,7 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     orders = load(spark, sf_dir, "orders").select(
         F.substring(
-            F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            F.when(F.abs(F.col("o_totalprice")) < F.lit(9.0e12), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
             .cast("string"),
             1,
             1,
@@ -131,7 +131,7 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BENFORD = f"""
 WITH per_d AS (
-  SELECT CAST(substring(CAST(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
+  SELECT CAST(substring(CAST(CASE WHEN abs(o_totalprice) < 9.0e12 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
                              AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS obs
   FROM orders GROUP BY 1
@@ -422,7 +422,7 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ALS = f"""
 WITH ratings AS (
   SELECT o.o_custkey, l.l_partkey,
-         CAST(sum(CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+         CAST(sum(CASE WHEN abs(l.l_quantity) < 9.0e12
                   THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS r
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY o.o_custkey, l.l_partkey
@@ -478,7 +478,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ym"),
-        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        F.when(F.abs(F.col("o_totalprice")) < F.lit(9.0e12), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
@@ -508,7 +508,7 @@ ORACLE_COHORT_LTV = """
 WITH orders_m AS (
   SELECT o_custkey,
          CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-         CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+         CASE WHEN abs(o_totalprice) < 9.0e12 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
   FROM orders
   WHERE o_orderdate IS NOT NULL
 ),
@@ -707,7 +707,7 @@ def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         _finite_qty().alias("x"),
-        F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        F.when(F.abs(F.col("l_extendedprice")) < F.lit(9.0e12), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("y"),
     )
     g = li.groupBy("l_returnflag").agg(
@@ -763,9 +763,9 @@ def _simpson_oracle() -> str:
     return f"""
 WITH li AS (
   SELECT l_returnflag,
-         CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(l_quantity) < 9.0e12
               THEN CAST(l_quantity AS BIGINT) END AS x,
-         CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS y
+         CASE WHEN abs(l_extendedprice) < 9.0e12 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS y
   FROM lineitem
 ),
 g AS (
@@ -862,7 +862,7 @@ def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("ts").cast("long").alias("es"),
         F.when(
-            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.abs(F.col("value")) < F.lit(9.0e12),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
         ).alias("y"),
     )
@@ -906,7 +906,7 @@ ORACLE_ROLLING_REG = f"""
 WITH ev AS (
   SELECT user_id, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
   WHERE ts IS NOT NULL

@@ -480,7 +480,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nat"),
         F.when(
-            F.abs(F.col("c_acctbal")) < F.lit(float("inf")),
+            F.abs(F.col("c_acctbal")) < F.lit(9.0e12),
             F.floor(
                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
                 / F.lit(100000.0)
@@ -511,7 +511,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_L_DIVERSITY = f"""
 WITH base AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nat,
-         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(c_acctbal) < 9.0e12
               THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
                               / 100000.0) AS BIGINT) END AS bal_bucket,
          c_mktsegment
@@ -562,7 +562,7 @@ def q_jackknife_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        F.when(F.abs(F.col("o_totalprice")) < F.lit(9.0e12), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     per_g = orders.groupBy("o_orderpriority").agg(
@@ -612,7 +612,7 @@ ORACLE_JACKKNIFE = """
 WITH per_g AS (
   SELECT o_orderpriority,
          CAST(count(*) AS BIGINT) AS n_i,
-         CAST(sum(CASE WHEN abs(o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s_i
+         CAST(sum(CASE WHEN abs(o_totalprice) < 9.0e12 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s_i
   FROM orders GROUP BY o_orderpriority
 ),
 totals AS (

@@ -208,7 +208,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("es"),
         "event_id",
         F.when(
-            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.abs(F.col("value")) < F.lit(9.0e12),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
         ).alias("vfp"),
     )
@@ -240,7 +240,7 @@ WITH ev AS (
   SELECT user_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
          event_id,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS vfp
   FROM events
   WHERE ts IS NOT NULL
@@ -550,14 +550,14 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .filter(
             F.col("l_extendedprice").isNotNull()
-            & (F.abs(F.col("l_extendedprice")) < F.lit(float("inf")))
+            & (F.abs(F.col("l_extendedprice")) < F.lit(9.0e12))
         )
         .select(
             "l_returnflag",
-            F.when(F.abs(F.col("l_extendedprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+            F.when(F.abs(F.col("l_extendedprice")) < F.lit(9.0e12), F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
             .alias("cents"),
             F.when(
-                F.abs(F.col("l_quantity")) < F.lit(float("inf")),
+                F.abs(F.col("l_quantity")) < F.lit(9.0e12),
                 F.col("l_quantity").cast("bigint"),
             ).alias("wt"),
         )
@@ -592,11 +592,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEIGHTED_MEDIAN = """
 WITH li AS (
   SELECT l_returnflag,
-         CASE WHEN abs(l_extendedprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS cents,
-         CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(l_extendedprice) < 9.0e12 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END AS cents,
+         CASE WHEN abs(l_quantity) < 9.0e12
               THEN CAST(l_quantity AS BIGINT) END AS wt
   FROM lineitem WHERE l_extendedprice IS NOT NULL
-    AND abs(l_extendedprice) < CAST('inf' AS DOUBLE)
+    AND abs(l_extendedprice) < 9.0e12
 ),
 per_v AS (
   SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w_v,
@@ -742,7 +742,7 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nat"),
-        F.when(F.abs(F.col("c_acctbal") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+        F.when(F.abs(F.col("c_acctbal")) < F.lit(9.0e12), F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
         F.expr(
             "substring(md5(concat('IMP1|', CAST(c_custkey AS STRING))), 1, 1)"
@@ -783,7 +783,7 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NULL_IMPUTATION = """
 WITH cust AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nat,
-         CASE WHEN abs(c_acctbal * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+         CASE WHEN abs(c_acctbal) < 9.0e12 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
          substring(md5('IMP1|' || CAST(c_custkey AS VARCHAR)), 1, 1)
            IN ('0', '1') AS masked
   FROM customer
@@ -845,7 +845,7 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.when(
-            F.abs(F.col("value")) < F.lit(float("inf")),
+            F.abs(F.col("value")) < F.lit(9.0e12),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
         ).alias("cents"),
     )
@@ -874,7 +874,7 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LAG_FEATURES = """
 WITH ev AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
   WHERE ts IS NOT NULL

@@ -36,20 +36,35 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying >1 distinct text — the violation class under which the
     per-doc operator families are out of contract, r09 dkdocs probe),
     not-null, referential integrity (orders→customer), domain
-    ranges (discount ∈ [0,1], quantity > 0), and finite-money domain
+    ranges (discount ∈ [0,1], quantity > 0), finite-money domain
     (no NaN/±Inf in any orders/lineitem money or quantity word — the
     r10 extreme-value contract under which the TPC-H operator
-    families' integer-cents casts are defined).
+    families' integer-cents casts are defined), and the huge-finite
+    fixed-point bound (r12, ADVICE r10 item 2): a FINITE word with
+    |x| >= 9.0e12 passes every non-finite guard but overflows the
+    int64 fixed-point cast at the strictest scale in use (10^6;
+    2^63/10^6 ≈ 9.22e12). The r12 kind=huge probe showed such words
+    SILENTLY SATURATE Spark's floor->LONG where DuckDB's cast raises
+    (13 asymmetric divergences), so they are QUARANTINED to NULL at
+    every fixed-point guard (the FIXED_POINT_MAX contract,
+    parity.py/relational._cents) and DETECTED here — the
+    documents_id_content_conflict precedent. Probed, not argued:
+    tools/fuzz_parity.py --extval kind=huge, registry-wide green
+    (tests/test_degenerate_slices.py pins the slice). The events.value
+    word — the money-domain input of the behavior/stats/stream
+    families — gets both the finite and the fixed-point check too.
 
-    Scale: the three lineitem range/null checks share ONE scan (a
-    single aggregate computes them all); the orders scan serves BOTH
-    the PK-uniqueness count and the FK-orphan count (broadcast left
-    join + null count). No check shuffles row bodies — counts only."""
+    Scale: the five lineitem range/null/domain checks share ONE scan
+    (a single aggregate computes them all), as do the two events
+    checks; the orders scan serves the PK-uniqueness, FK-orphan
+    (broadcast left join + null count), and money-domain counts at
+    once. No check shuffles row bodies — counts only."""
     spark = tune(spark)
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     docs = load(spark, sf_dir, "documents")
+    events = load(spark, sf_dir, "events")
 
     # finite-domain contract (r10 extreme-value probe): a NaN/±Inf
     # money or quantity word is corrupt upstream data, and the
@@ -62,6 +77,15 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and ±Inf alike (NULL stays NULL → not counted; the NULL axes
     # have their own checks and probes).
     _inf = F.lit(float("inf"))
+    # huge-finite bound: finite (< inf excludes NaN/±Inf on both
+    # engines' NaN-above-all total order) but too large for the int64
+    # fixed-point cast at the strictest scale in use. Detection only —
+    # a pure double comparison, so the check itself can never crash.
+    _huge = F.lit(9.0e12)
+
+    def _huge_hit(c: str):
+        return (F.abs(F.col(c)) >= _huge) & (F.abs(F.col(c)) < _inf)
+
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
@@ -91,6 +115,22 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("bad_money"),
+        F.count(
+            F.when(
+                _huge_hit("l_quantity")
+                | _huge_hit("l_extendedprice")
+                | _huge_hit("l_discount")
+                | _huge_hit("l_tax"),
+                1,
+            )
+        ).alias("huge_money"),
+    )
+    ev_agg = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.abs(F.col("value")) >= _inf, 1)
+        ).alias("bad_money"),
+        F.count(F.when(_huge_hit("value"), 1)).alias("huge_money"),
     )
     # one scan of orders serves BOTH the uniqueness and the FK check:
     # broadcast-left-join the dim key set, count nulls instead of a
@@ -111,6 +151,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(
                 F.when(F.abs(F.col("o_totalprice")) >= _inf, 1)
             ).alias("bad_money"),
+            F.count(F.when(_huge_hit("o_totalprice"), 1)).alias("huge_money"),
         )
     )
 
@@ -131,6 +172,23 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 crow("lineitem_discount_in_range", F.col("n"), F.col("bad_disc")),
                 crow("lineitem_shipdate_not_null", F.col("n"), F.col("null_ship")),
                 crow("lineitem_money_finite", F.col("n"), F.col("bad_money")),
+                crow(
+                    "lineitem_money_fits_fixed_point",
+                    F.col("n"),
+                    F.col("huge_money"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    ev_rows = ev_agg.select(
+        F.explode(
+            F.array(
+                crow("events_value_finite", F.col("n"), F.col("bad_money")),
+                crow(
+                    "events_value_fits_fixed_point",
+                    F.col("n"),
+                    F.col("huge_money"),
+                ),
             )
         ).alias("c")
     ).select("c.*")
@@ -139,6 +197,11 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 crow("orders_pk_unique", F.col("n"), F.col("dup_pk")),
                 crow("orders_totalprice_finite", F.col("n"), F.col("bad_money")),
+                crow(
+                    "orders_totalprice_fits_fixed_point",
+                    F.col("n"),
+                    F.col("huge_money"),
+                ),
                 crow(
                     "orders_custkey_references_customer",
                     F.lit(None).cast("bigint"),
@@ -198,7 +261,8 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     ).select("c.*")
     return (
-        li_rows.unionByName(ord_rows)
+        li_rows.unionByName(ev_rows)
+        .unionByName(ord_rows)
         .unionByName(doc_rows)
         .withColumn("pass", F.col("n_violations") == 0)
     )
@@ -215,13 +279,34 @@ WITH li_agg AS (
                       OR abs(l_extendedprice) >= CAST('inf' AS DOUBLE)
                       OR abs(l_discount)      >= CAST('inf' AS DOUBLE)
                       OR abs(l_tax)           >= CAST('inf' AS DOUBLE)
-               THEN 1 END) AS bad_money
+               THEN 1 END) AS bad_money,
+         count(CASE WHEN (abs(l_quantity) >= 9.0e12
+                          AND abs(l_quantity) < CAST('inf' AS DOUBLE))
+                      OR (abs(l_extendedprice) >= 9.0e12
+                          AND abs(l_extendedprice) < CAST('inf' AS DOUBLE))
+                      OR (abs(l_discount) >= 9.0e12
+                          AND abs(l_discount) < CAST('inf' AS DOUBLE))
+                      OR (abs(l_tax) >= 9.0e12
+                          AND abs(l_tax) < CAST('inf' AS DOUBLE))
+               THEN 1 END) AS huge_money
   FROM lineitem
+),
+ev_agg AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN abs(value) >= CAST('inf' AS DOUBLE)
+               THEN 1 END) AS bad_money,
+         count(CASE WHEN abs(value) >= 9.0e12
+                     AND abs(value) < CAST('inf' AS DOUBLE)
+               THEN 1 END) AS huge_money
+  FROM events
 ),
 ord_agg AS (
   SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS dup_pk,
          count(CASE WHEN abs(o_totalprice) >= CAST('inf' AS DOUBLE)
-               THEN 1 END) AS bad_money
+               THEN 1 END) AS bad_money,
+         count(CASE WHEN abs(o_totalprice) >= 9.0e12
+                     AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+               THEN 1 END) AS huge_money
   FROM orders
 ),
 orph AS (
@@ -254,11 +339,23 @@ UNION ALL
 SELECT 'lineitem_money_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
        bad_money = 0 FROM li_agg
 UNION ALL
+SELECT 'lineitem_money_fits_fixed_point', CAST(n AS BIGINT),
+       CAST(huge_money AS BIGINT), huge_money = 0 FROM li_agg
+UNION ALL
+SELECT 'events_value_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
+       bad_money = 0 FROM ev_agg
+UNION ALL
+SELECT 'events_value_fits_fixed_point', CAST(n AS BIGINT),
+       CAST(huge_money AS BIGINT), huge_money = 0 FROM ev_agg
+UNION ALL
 SELECT 'orders_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
        dup_pk = 0 FROM ord_agg
 UNION ALL
 SELECT 'orders_totalprice_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
        bad_money = 0 FROM ord_agg
+UNION ALL
+SELECT 'orders_totalprice_fits_fixed_point', CAST(n AS BIGINT),
+       CAST(huge_money AS BIGINT), huge_money = 0 FROM ord_agg
 UNION ALL
 SELECT 'orders_custkey_references_customer', CAST(NULL AS BIGINT),
        CAST(n_orphans AS BIGINT), n_orphans = 0 FROM orph
@@ -385,7 +482,7 @@ def q_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     li = load(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 8).cast("int").alias("pid"),
-        F.expr("case when abs(l_quantity * 1000000 + 0.5) < cast('inf' as double) then cast(floor(l_quantity * 1000000 + 0.5) as bigint) end").alias("q_fp"),
+        F.expr("case when abs(l_quantity) < 9.0e12 then cast(floor(l_quantity * 1000000 + 0.5) as bigint) end").alias("q_fp"),
         F.to_date("l_shipdate").alias("sd"),
         (
             (F.col("l_quantity") < 10)
@@ -433,7 +530,7 @@ def q_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STATS_COLLECT = f"""
 WITH li AS (
   SELECT CAST(l_orderkey % 8 AS INT) AS pid,
-         CASE WHEN abs(l_quantity * 1000000 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END AS q_fp,
+         CASE WHEN abs(l_quantity) < 9.0e12 THEN CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) END AS q_fp,
          CAST(l_shipdate AS DATE) AS sd,
          (l_quantity < 10 AND CAST(l_shipdate AS DATE) >= {_SC_DLIT}) AS hit
   FROM lineitem
@@ -944,7 +1041,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_nationkey",
         F.when(
-            F.abs(F.col("c_acctbal")) < F.lit(float("inf")),
+            F.abs(F.col("c_acctbal")) < F.lit(9.0e12),
             F.floor(
                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
                 / F.lit(100000.0)
@@ -986,7 +1083,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_K_ANONYMITY = f"""
 WITH classes AS (
   SELECT c_mktsegment, c_nationkey,
-         CASE WHEN abs(c_acctbal) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(c_acctbal) < 9.0e12
               THEN CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
                               / 100000.0) AS BIGINT) END AS bal_bucket,
          CAST(count(*) AS BIGINT) AS n

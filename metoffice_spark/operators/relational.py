@@ -30,32 +30,40 @@ from metoffice_spark.session import tune
 def _cents(col: F.Column, scale: int = 100):
     """floor(x*scale + 0.5) as BIGINT — per-row exact in both engines.
 
-    Non-finite guard (r10 extreme-value probe): a NaN/±Inf input would
-    CRASH both ANSI engines' BIGINT cast (one corrupt upstream word
-    killing a 100 TB job); it is an invalid measurement, so it becomes
-    a NULL fixed-point value — missing data, handled by the same NULL
-    semantics every null-axis probe already pins. Both engines order
-    NaN above +Inf, so ``abs(x) < inf`` excludes NaN and ±Inf alike.
-    Finite inputs are untouched.
+    Validity guard (r10 non-finite probe, TIGHTENED r12 by the
+    huge-finite probe): an input that is NaN/±Inf OR huge-finite
+    (|x| >= FIXED_POINT_MAX = 9.0e12, where the scaled value
+    overflows int64 at the strictest scale in use) is an invalid
+    measurement and becomes a NULL fixed-point value — missing data,
+    handled by the NULL semantics every null-axis probe pins.
 
-    Contract boundary (ADVICE r10 item 2, decided r11): HUGE-FINITE
-    inputs (|x| >= ~9.2e16, i.e. the scaled value overflowing int64)
-    are OUT of contract — the cast still raises, identically, in both
-    ANSI engines. The money domain is TPC-H prices and event values;
-    a finite 1e17 money word is not a quarantinable sensor glitch but
-    a broken upstream schema, and a loud symmetric crash is the
-    correct surface for it. Every _cents-shaped site (here and the
-    inline spellings in stats.py/mining.py/behavior.py) shares this
-    single contract; do NOT widen individual sites ad hoc."""
+    Why quarantine rather than crash (supersedes the r11 "loud
+    symmetric crash" decision): the r12 registry-wide probe
+    (--extval kind=huge at 1e17, --raise-symmetric) FALSIFIED the
+    crash-symmetry premise — Spark's floor(double) returns LONG via
+    Java's SATURATING conversion, so un-summed floor paths silently
+    answer Long.MAX-shaped values (q_benford_test, q_case_when, 13
+    asymmetric divergences total) while DuckDB's explicit CAST
+    raises. Silent saturation is worse than either crash or NULL.
+    Huge-finite is now the fourth quarantined validity class (after
+    NULL, non-finite, out-of-horizon), DETECTED by q_dq_checks'
+    *_fits_fixed_point rows. Every _cents-shaped site (here, the
+    inline spellings in stats.py/mining.py/behavior.py, rhu/
+    fixed_str in parity.py, and the obs substrate) shares this ONE
+    bound; do NOT widen individual sites ad hoc."""
+    from metoffice_spark.parity import FIXED_POINT_MAX
+
     return F.when(
-        F.abs(col) < F.lit(float("inf")),
+        F.abs(col) < F.lit(FIXED_POINT_MAX),
         F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
     )
 
 
 def _cents_sql(x: str, scale: int = 100) -> str:
+    from metoffice_spark.parity import FIXED_POINT_MAX_SQL
+
     return (
-        f"CASE WHEN abs({x}) < CAST('inf' AS DOUBLE) "
+        f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} "
         f"THEN CAST(floor(({x}) * {scale} + 0.5) AS BIGINT) END"
     )
 
@@ -281,7 +289,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines. Group membership is untouched."""
 
     def fin(c: str):
-        return F.when(F.abs(F.col(c)) < F.lit(float("inf")), F.col(c))
+        return F.when(F.abs(F.col(c)) < F.lit(9.0e12), F.col(c))
 
     li = load(tune(spark), sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -293,7 +301,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhu(
             F.expr(
                 "percentile(CASE WHEN abs(l_extendedprice) <"
-                " cast('inf' as double) THEN l_extendedprice END, 0.5)"
+                " 9.0e12 THEN l_extendedprice END, 0.5)"
             ),
             4,
         ).alias("median_price"),
@@ -302,9 +310,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FIN_QTY = "CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE) THEN l_quantity END"
+_FIN_QTY = "CASE WHEN abs(l_quantity) < 9.0e12 THEN l_quantity END"
 _FIN_PRICE = (
-    "CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE)"
+    "CASE WHEN abs(l_extendedprice) < 9.0e12"
     " THEN l_extendedprice END"
 )
 
@@ -476,7 +484,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer, different physical strategy."""
     spark = tune(spark)
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    binned = p.withColumn("bin", F.when(F.abs(F.col("p_retailprice") / 1.0) < F.lit(float("inf")), F.floor(F.col("p_retailprice") / 1.0).cast("bigint")))
+    binned = p.withColumn("bin", F.when(F.abs(F.col("p_retailprice") / 1.0) < F.lit(9.0e12), F.floor(F.col("p_retailprice") / 1.0).cast("bigint")))
     probe = binned.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_retailprice").alias("price_a"),
@@ -747,9 +755,9 @@ def q_fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt("l_quantity"),
         ).alias("sqrt_qty"),
         rhu(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
-        F.when(F.abs("l_extendedprice") < F.lit(float("inf")), F.floor("l_extendedprice").cast("bigint")).alias("floor_price"),
+        F.when(F.abs("l_extendedprice") < F.lit(9.0e12), F.floor("l_extendedprice").cast("bigint")).alias("floor_price"),
         F.when(
-            F.abs("l_extendedprice") < F.lit(float("inf")),
+            F.abs("l_extendedprice") < F.lit(9.0e12),
             F.ceil("l_extendedprice").cast("bigint"),
         ).alias("ceil_price"),
         rhu(F.exp("l_discount"), 8).alias("exp_disc"),
@@ -787,8 +795,8 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN l_quantity >= 0 AND NOT isnan(l_quantity)
             THEN sqrt(l_quantity) END AS sqrt_qty,
        {rhu_sql("pow(l_quantity, 2.0)", 6)} AS qty_sq,
-       CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice) AS BIGINT) END AS floor_price,
-       CASE WHEN abs(l_extendedprice) < CAST('inf' AS DOUBLE)
+       CASE WHEN abs(l_extendedprice) < 9.0e12 THEN CAST(floor(l_extendedprice) AS BIGINT) END AS floor_price,
+       CASE WHEN abs(l_extendedprice) < 9.0e12
             THEN CAST(ceil(l_extendedprice) AS BIGINT) END AS ceil_price,
        {rhu_sql("exp(l_discount)", 8)} AS exp_disc,
        {rhu_sql("CASE WHEN l_extendedprice > 0 AND NOT isnan(l_extendedprice)"
@@ -1254,7 +1262,7 @@ _ANSI_SQL = """
 WITH order_totals AS (
   SELECT o.o_custkey AS custkey,
          count(*) AS n_orders,
-         sum(CASE WHEN abs(o.o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
+         sum(CASE WHEN abs(o.o_totalprice) < 9.0e12 THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS cents
   FROM orders o
   WHERE o.o_orderstatus <> 'F'
   GROUP BY o.o_custkey

@@ -486,7 +486,7 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .filter(
             F.col("value").isNotNull()
-            & (F.abs(F.col("value")) < F.lit(float("inf")))
+            & (F.abs(F.col("value")) < F.lit(9.0e12))
         )
         .select(
             "event_type",
@@ -555,7 +555,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
   FROM events
-  WHERE value IS NOT NULL AND abs(value) < CAST('inf' AS DOUBLE)
+  WHERE value IS NOT NULL AND abs(value) < 9.0e12
 ),
 bins AS (
   SELECT event_type, v_fp // {_QSK_BIN} AS bin,

@@ -274,7 +274,7 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the r08 boundary exists for
         .filter(
             F.col("o_totalprice").isNotNull()
-            & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
+            & (F.abs(F.col("o_totalprice")) < F.lit(9.0e12))
         )
         .select(
             "o_custkey",
@@ -308,7 +308,7 @@ WITH spend AS (
   SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                          AS BIGINT) AS x
   FROM orders WHERE o_totalprice IS NOT NULL
-    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+    AND abs(o_totalprice) < 9.0e12
   GROUP BY o_custkey
 ),
 ranked AS (
@@ -395,7 +395,7 @@ def q_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((datediff(to_date(ts), to_date('1970-01-01')) + 4) % 7 as bigint)"
         ).alias("x2"),
         F.expr(
-            "case when abs(value) < cast('inf' as double) "
+            "case when abs(value) < 9.0e12 "
             "then cast(floor(value * 100 + 0.5) as bigint) end"
         ).alias("y"),
     )
@@ -426,7 +426,7 @@ WITH ev AS (
   SELECT CAST(hour(ts) AS BIGINT) AS x1,
          CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
               AS BIGINT) AS x2,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
 ),
@@ -835,7 +835,7 @@ def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"),
             F.hour("ts").cast("int").alias("hr"),
             F.expr(
-                "case when abs(value) < cast('inf' as double) "
+                "case when abs(value) < 9.0e12 "
                 "then cast(floor(value * 100 + 0.5) as bigint) end"
             ).alias("cents"),
         )
@@ -876,7 +876,7 @@ def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FORECAST = """
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
 ),
@@ -925,7 +925,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.expr(
-            "case when abs(value) < cast('inf' as double) "
+            "case when abs(value) < 9.0e12 "
             "then cast(floor(value * 100 + 0.5) as bigint) end"
         ).alias("y"),
         )
@@ -956,7 +956,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TARGET_ENC = f"""
 WITH ev AS (
   SELECT event_id, event_type,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS y
   FROM events
 ),

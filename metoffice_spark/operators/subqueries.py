@@ -42,7 +42,7 @@ from metoffice_spark.session import tune
 
 QUERIES: dict = {}
 
-_REV_CENTS = "CASE WHEN abs(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) END"
+_REV_CENTS = "CASE WHEN abs(l_extendedprice * (1.0 - l_discount)) < 9.0e12 THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) END"
 
 
 # --- q_olap_scalar_subquery: Q17 shape (correlated scalar x2) ---------------
@@ -65,11 +65,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_lines,
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
-  AND 5 * CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+  AND 5 * CASE WHEN abs(l.l_quantity) < 9.0e12
                THEN CAST(l.l_quantity AS BIGINT) END
       * (SELECT count(*) FROM lineitem l2
          WHERE l2.l_partkey = l.l_partkey)
-      < (SELECT CAST(sum(CASE WHEN abs(l2.l_quantity) < CAST('inf' AS DOUBLE)
+      < (SELECT CAST(sum(CASE WHEN abs(l2.l_quantity) < 9.0e12
                             THEN CAST(l2.l_quantity AS BIGINT) END) AS BIGINT)
          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """
@@ -133,8 +133,8 @@ SELECT c.c_name AS c_name,
        c.c_custkey AS c_custkey,
        o.o_orderkey AS o_orderkey,
        o.o_orderdate AS o_orderdate,
-       CASE WHEN abs(o.o_totalprice * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) END AS total_cents,
-       CAST(sum(CASE WHEN abs(l.l_quantity) < CAST('inf' AS DOUBLE)
+       CASE WHEN abs(o.o_totalprice * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) END AS total_cents,
+       CAST(sum(CASE WHEN abs(l.l_quantity) < 9.0e12
                   THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -142,7 +142,7 @@ JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey IN (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey
-  HAVING sum(CASE WHEN abs(l_quantity) < CAST('inf' AS DOUBLE)
+  HAVING sum(CASE WHEN abs(l_quantity) < 9.0e12
              THEN CAST(l_quantity AS BIGINT) END) > 250)
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 ORDER BY total_cents DESC, o.o_orderkey
@@ -290,7 +290,7 @@ QUERIES["q_olap_market_share"] = (q_olap_market_share, SQL_OLAP_MARKET_SHARE)
 
 SQL_OLAP_AVG_BALANCE = """
 WITH avg_bal AS (
-  SELECT CAST(sum(CASE WHEN abs(c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
+  SELECT CAST(sum(CASE WHEN abs(c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
            AS sum_cents,
          CAST(count(*) AS BIGINT) AS cnt
   FROM customer
@@ -298,12 +298,12 @@ WITH avg_bal AS (
 )
 SELECT n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100e0
+       CAST(sum(CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100e0
          AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 CROSS JOIN avg_bal a
-WHERE CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END * a.cnt > a.sum_cents
+WHERE CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END * a.cnt > a.sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')

@@ -338,7 +338,7 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("value").isNotNull()
             & F.col("ts").isNotNull()
-            & (F.abs(F.col("value")) < F.lit(float("inf")))
+            & (F.abs(F.col("value")) < F.lit(9.0e12))
         )
         .select("event_id", "user_id", "ts", _cents(F.col("value")).alias("x_fp"))
     )
@@ -372,7 +372,7 @@ def _ewma_oracle() -> str:
 WITH src AS (
   SELECT event_id, user_id, ts, {_cents_sql("value")} AS x_fp
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-    AND abs(value) < CAST('inf' AS DOUBLE)
+    AND abs(value) < 9.0e12
 )
 SELECT event_id, user_id, ts, x_fp,
        CAST({" + ".join(nums)} AS BIGINT) AS ewma_num,
@@ -522,7 +522,7 @@ def q_cov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness)."""
     ev = load(tune(spark), sf_dir, "events").filter(
         F.col("value").isNotNull()
-        & (F.abs(F.col("value")) < F.lit(float("inf")))
+        & (F.abs(F.col("value")) < F.lit(9.0e12))
     )
     src = ev.select(
         "event_type",
@@ -559,7 +559,7 @@ WITH src AS (
   SELECT event_type, {_cents_sql("value")} AS x,
          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
   FROM events WHERE value IS NOT NULL
-    AND abs(value) < CAST('inf' AS DOUBLE)
+    AND abs(value) < 9.0e12
 ),
 agg AS (
   SELECT event_type, count(*) AS n,

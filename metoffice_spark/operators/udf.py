@@ -211,12 +211,16 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # float64 (cents * 1e6 < 2^53, so floor-div stays exact),
         # bound lo/hi over the NON-null values only (SQL min/max), and
         # ship masked Int64 arrays so NULLs arrive as NULLs.
-        # ~isfinite, not isnan (r10 extreme-value probe): a ±Inf
-        # reading is as unrepresentable in cents as a NaN one, and
-        # .astype("int64") of inf is platform-undefined — non-finite
-        # maps to NULL exactly like the oracle's masked cents CASE.
-        v = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
-        null = ~np.isfinite(v)
+        # ~(abs < 9.0e12), not isnan (r10 extreme-value probe,
+        # tightened r12 huge-finite probe): a NaN/±Inf reading is as
+        # unrepresentable in cents as a huge-finite one — numpy's
+        # .astype("int64") of 1e19 silently WRAPS where the oracle's
+        # ANSI cast raises — so the kernel mirrors the repo-wide
+        # FIXED_POINT_MAX guard: anything not provably in magnitude
+        # contract maps to NULL exactly like the oracle's cents CASE.
+        raw = pdf["value"].to_numpy(dtype="float64")
+        v = np.floor(raw * 100 + 0.5)
+        null = ~(np.abs(raw) < 9.0e12)
         valid = v[~null]
         lo = valid.min() if valid.size else 0.0
         span = max((valid.max() - lo) if valid.size else 1.0, 1.0)
@@ -251,7 +255,7 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UDF_GROUPED_MAP = """
 WITH ev AS (
   SELECT event_type, event_id,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v_fp
   FROM events
 ),
@@ -314,7 +318,7 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle (an unmasked floor would diverge: Spark floor(NaN)=0,
         # DuckDB crashes the BIGINT cast)
         F.expr(
-            "case when abs(value) < cast('inf' as double) "
+            "case when abs(value) < 9.0e12 "
             "then cast(floor(value * 100 + 0.5) as bigint) end"
         ).alias("cents"),
     )
@@ -389,7 +393,7 @@ ORACLE_UDF_COGROUPED = """
 WITH ev AS (
   SELECT user_id, event_id, event_type,
          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-         CASE WHEN abs(value) < CAST('inf' AS DOUBLE)
+         CASE WHEN abs(value) < 9.0e12
               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
   FROM events
   WHERE ts IS NOT NULL

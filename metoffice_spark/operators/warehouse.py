@@ -68,7 +68,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("o_orderdate").isNotNull()
             # finite extension (r10 composed battery, q_gini_spend
             # class): all-non-finite customers must not reach ntile
-            & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
+            & (F.abs(F.col("o_totalprice")) < F.lit(9.0e12))
         )
         .select(
             "o_custkey",
@@ -142,7 +142,7 @@ WITH per_cust AS (
            AS money
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+    AND abs(o_totalprice) < 9.0e12
   GROUP BY o_custkey
 ),
 obs AS (SELECT max(last_d) AS obs_d FROM per_cust),
@@ -362,7 +362,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # finite extension (r10 composed battery): the q_gini_spend
         # all-non-finite-customer shape — NULL totals rank per-engine
         F.col("o_totalprice").isNotNull()
-        & (F.abs(F.col("o_totalprice")) < F.lit(float("inf")))
+        & (F.abs(F.col("o_totalprice")) < F.lit(9.0e12))
     ).select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -414,7 +414,7 @@ WITH spend AS (
   SELECT o_custkey,
          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
   FROM orders WHERE o_totalprice IS NOT NULL
-    AND abs(o_totalprice) < CAST('inf' AS DOUBLE)
+    AND abs(o_totalprice) < 9.0e12
   GROUP BY o_custkey
 ),
 deciled AS (
@@ -473,7 +473,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             # finite extension (r10 composed battery, q_gini_spend
             # class): an all-non-finite part must not reach the
             # revenue-rank cumsum
-            & (F.abs(F.col("l_extendedprice")) < F.lit(float("inf")))
+            & (F.abs(F.col("l_extendedprice")) < F.lit(9.0e12))
         )
         .select(
             "l_partkey",
@@ -524,7 +524,7 @@ WITH rev AS (
   SELECT l_partkey,
          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
   FROM lineitem WHERE l_extendedprice IS NOT NULL
-    AND abs(l_extendedprice) < CAST('inf' AS DOUBLE)
+    AND abs(l_extendedprice) < 9.0e12
   GROUP BY l_partkey
 ),
 cum AS (
@@ -576,7 +576,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.when(F.abs(F.col("o_totalprice") * 100 + F.lit(0.5)) < F.lit(float("inf")), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        F.when(F.abs(F.col("o_totalprice")) < F.lit(9.0e12), F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .alias("cents"),
     )
     spend = (
@@ -613,7 +613,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HHI = """
 WITH spend AS (
   SELECT c.c_nationkey, o.o_custkey,
-         CAST(sum(CASE WHEN abs(o.o_totalprice * 100 + 0.5) < CAST('inf' AS DOUBLE) THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s
+         CAST(sum(CASE WHEN abs(o.o_totalprice) < 9.0e12 THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS s
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_nationkey, o.o_custkey
 ),
@@ -669,7 +669,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "part")
         .filter(
             F.col("p_retailprice").isNotNull()
-            & (F.abs(F.col("p_retailprice")) < F.lit(float("inf")))
+            & (F.abs(F.col("p_retailprice")) < F.lit(9.0e12))
         )
         .select(
             "p_partkey",
@@ -705,7 +705,7 @@ WITH part_p AS (
          CAST(p_size AS BIGINT) AS size
   FROM part
   WHERE p_retailprice IS NOT NULL
-    AND abs(p_retailprice) < CAST('inf' AS DOUBLE)
+    AND abs(p_retailprice) < 9.0e12
 ),
 flagged AS (
   SELECT p_partkey, price_cents, size,

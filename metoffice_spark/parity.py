@@ -21,6 +21,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# ONE magnitude bound for every fixed-point spelling in the repo
+# (r12 huge-finite probe, closing ADVICE r10 item 2 / VERDICT r11
+# item 3). A FINITE word with |x| >= 9.0e12 passes every abs(x) < inf
+# guard, but its scaled fixed-point value overflows int64 at the
+# strictest scale in use (10^6: 9.0e12 * 1e6 = 9.0e18 < 2^63 ~
+# 9.22e18, anything much bigger is not). The r11 contract said the
+# overflow is a "loud symmetric crash" — the r12 registry-wide probe
+# (--extval kind=huge at 1e17, FUZZPARITY logs) FALSIFIED that:
+# Spark's floor(double) returns LONG via Java's saturating double->
+# long conversion, so un-summed floor paths silently answer
+# Long.MAX-shaped values (q_benford_test's leading digit became '9',
+# every unguarded rhu() returned 9223372036854.775807) while DuckDB's
+# explicit CAST raises — 13 asymmetric divergences. A huge-finite
+# word is therefore QUARANTINED like NaN/±Inf: every fixed-point
+# guard bounds the magnitude, the value becomes NULL (missing
+# measurement, the validity-class semantics every null-axis probe
+# pins), and q_dq_checks DETECTS the violation
+# (*_fits_fixed_point rows). Keep the SQL literal '9.0e12' textually
+# identical on both engines.
+FIXED_POINT_MAX = 9.0e12
+FIXED_POINT_MAX_SQL = "9.0e12"
+
 
 def rhu_sql(x: str, d: int) -> str:
     """Round-half-up(+inf) of expression ``x`` to ``d`` decimals, as DOUBLE.
@@ -28,13 +50,17 @@ def rhu_sql(x: str, d: int) -> str:
     Non-finite inputs round to NULL (r10 extreme-value probe): Spark's
     ``floor`` converts NaN to BIGINT 0 where DuckDB keeps NaN — a
     SILENT divergence, not even a crash. An unroundable value is an
-    invalid measurement; NULL is the engine-agnostic spelling."""
+    invalid measurement; NULL is the engine-agnostic spelling.
+    HUGE-finite inputs (|x| >= FIXED_POINT_MAX) round to NULL too
+    (r12): Spark's floor->LONG saturates at Long.MAX where DuckDB
+    keeps the exact double — the q_case_when probe read
+    9223372036854.775 vs 1.07e16 on the same 1e17 word."""
     if d == 0:
         body = f"floor(({x}) + 0.5)"
     else:
         p = 10 ** d
         body = f"(floor(({x}) * {p} + 0.5) / {p})"
-    return f"CASE WHEN abs({x}) < CAST('inf' AS DOUBLE) THEN {body} END"
+    return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
 
 
 def fixed_str_sql(x: str, d: int) -> str:
@@ -42,21 +68,26 @@ def fixed_str_sql(x: str, d: int) -> str:
 
     JS ``toFixed`` analog (MWC:290, 349-365) with half-up-on-abs ties;
     sign handled separately so negative values render correctly.
-    """
+    Non-finite or huge-finite inputs (|x| >= FIXED_POINT_MAX) render
+    NULL (r12): the BIGINT casts inside would raise on DuckDB while
+    Spark's floor->LONG silently saturates — self-defending guard,
+    same validity class as rhu_sql."""
     if d == 0:
-        return (
+        body = (
             f"(CASE WHEN ({x}) < 0 AND floor(abs({x}) + 0.5) > 0 THEN '-' ELSE '' END"
             f" || CAST(CAST(floor(abs({x}) + 0.5) AS BIGINT) AS STRING))"
         )
+        return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
     p = 10 ** d
     n = f"CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)"
     whole = f"CAST(floor({n} / CAST({p} AS DOUBLE)) AS BIGINT)"
     frac = f"({n} - {whole} * {p})"
-    return (
+    body = (
         f"(CASE WHEN ({x}) < 0 AND {n} > 0 THEN '-' ELSE '' END"
         f" || CAST({whole} AS STRING) || '.'"
         f" || lpad(CAST({frac} AS STRING), {d}, '0'))"
     )
+    return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
 
 
 def rhu(x: Column, d: int) -> Column:
@@ -66,25 +97,34 @@ def rhu(x: Column, d: int) -> Column:
     else:
         p = float(10 ** d)
         body = F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
-    return F.when(F.abs(x) < F.lit(float("inf")), body)
+    return F.when(F.abs(x) < F.lit(FIXED_POINT_MAX), body)
 
 
 def fixed_str(x: Column, d: int) -> Column:
     """Column form of ``fixed_str_sql`` via ``F.expr`` on a one-off alias."""
     # Build through expr on a self-contained expression tree: wrap the
     # column into a SQL fragment is impossible generically, so rebuild
-    # with Column ops mirroring fixed_str_sql exactly.
+    # with Column ops mirroring fixed_str_sql exactly (including the
+    # r12 magnitude guard — F.when with no otherwise = NULL).
     if d == 0:
         n = F.floor(F.abs(x) + F.lit(0.5)).cast("bigint")
         sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
-        return F.concat(sign, n.cast("string"))
+        return F.when(
+            F.abs(x) < F.lit(FIXED_POINT_MAX), F.concat(sign, n.cast("string"))
+        )
     p = 10 ** d
     n = F.floor(F.abs(x) * F.lit(float(p)) + F.lit(0.5)).cast("bigint")
     whole = F.floor(n / F.lit(float(p))).cast("bigint")
     frac = n - whole * F.lit(p)
     sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
-    return F.concat(
-        sign, whole.cast("string"), F.lit("."), F.lpad(frac.cast("string"), d, "0")
+    return F.when(
+        F.abs(x) < F.lit(FIXED_POINT_MAX),
+        F.concat(
+            sign,
+            whole.cast("string"),
+            F.lit("."),
+            F.lpad(frac.cast("string"), d, "0"),
+        ),
     )
 
 

@@ -1360,3 +1360,137 @@ def test_dim_unicode_slice_parity(qid, spark, dim_unicode_dir):
         assert compare(spark, con, fn, sql, dim_unicode_dir) == []
     finally:
         con.close()
+
+# --- huge-finite money axis (r12: --extval huge) ------------------------------
+#
+# A FINITE money word at 1e17 passes every abs(x) < inf guard but
+# overflows the int64 fixed-point cast at every cents scale in use
+# (1e17 * 100 = 1e19 > 2^63). The r11 contract said "loud symmetric
+# crash"; the r12 registry-wide probe (--raise-symmetric) FALSIFIED
+# its premise — Spark's floor(double)->LONG SATURATES silently at
+# Long.MAX (Java conversion) where DuckDB's explicit CAST raises, so
+# un-summed floor paths silently answered (q_benford_test's leading
+# digit became '9'; q_case_when's rhu read 9223372036854.775 vs the
+# true 1.07e16) — 13 asymmetric divergences. Decided r12: huge-finite
+# is the FOURTH quarantined validity class (after NULL, non-finite,
+# out-of-horizon) — every fixed-point guard bounds the magnitude at
+# FIXED_POINT_MAX = 9.0e12 (parity.py), the value becomes NULL, and
+# q_dq_checks DETECTS the violation. Pinned here: detection +
+# quarantine-parity per mutated domain; the registry-wide sweep is
+# tools/fuzz_parity.py --extval ... huge (FUZZPARITY_r12_exthuge2
+# green log; FUZZPARITY_r12_exthuge is the falsifying first run).
+
+HUGE_EXTVAL = {
+    ("lineitem", "l_extendedprice", "huge"): 60,
+    ("orders", "o_totalprice", "huge"): 60,
+    ("events", "value", "huge"): 60,
+}
+
+# one representative cents consumer per mutated money domain
+# (q_win_frame, not q_win_analytic: the analytic lag/lead family
+# carries o_totalprice as a raw double — huge values flow through
+# bitwise-symmetric untouched; the cents paths are the quarantining
+# surface), plus the two pandas kernels whose numpy int64 casts WRAP
+# silently without the kernel-side mask
+HUGE_QUARANTINE_QIDS = (
+    "q_agg_hash",         # lineitem.l_extendedprice cents sum
+    "q_win_frame",        # orders.o_totalprice cents running windows
+    "q_attribution",      # events.value cents credit (behavior._CENTS)
+    "q_benford_test",     # the saturated-digit finder (digit '9')
+    "q_case_when",        # the rhu() saturation finder
+    "q_udf_grouped_map",  # numpy astype(int64) wrap -> kernel mask
+    "q_udf_cogrouped",    # cents gathered through the as-of kernel
+)
+
+
+@pytest.fixture(scope="module")
+def huge_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke, seed=53, keep_permille=700, extval=HUGE_EXTVAL
+    )
+
+
+def test_huge_slice_dq_detects(spark, huge_dir):
+    """q_dq_checks itself must SURVIVE the huge slice (its predicates
+    are pure double comparisons), match its oracle bitwise, and flag
+    violations in all three *_fits_fixed_point rows."""
+    fn, sql = REG["q_dq_checks"]
+    con = connect_oracle(huge_dir)
+    try:
+        assert compare(spark, con, fn, sql, huge_dir) == []
+    finally:
+        con.close()
+    rows = {
+        r.check_name: r for r in fn(spark, huge_dir).collect()
+    }
+    for check in (
+        "lineitem_money_fits_fixed_point",
+        "orders_totalprice_fits_fixed_point",
+        "events_value_fits_fixed_point",
+    ):
+        assert rows[check].n_violations > 0, check
+        assert rows[check]["pass"] is False, check
+    # the huge words are finite: the *_finite checks must stay clean
+    for check in (
+        "lineitem_money_finite",
+        "orders_totalprice_finite",
+        "events_value_finite",
+    ):
+        assert rows[check].n_violations == 0, check
+
+
+@pytest.mark.parametrize("qid", HUGE_QUARANTINE_QIDS)
+def test_huge_slice_quarantine_parity(qid, spark, huge_dir):
+    """The quarantine half, probed: the representative cents consumers
+    must treat the huge word as a NULL measurement and keep matching
+    their oracles bitwise — neither engine may crash (the pre-r12
+    DuckDB surface) nor silently saturate (the pre-r12 Spark one)."""
+    fn, sql = REG[qid]
+    con = connect_oracle(huge_dir)
+    try:
+        assert compare(spark, con, fn, sql, huge_dir) == []
+    finally:
+        con.close()
+
+
+# --- time-bounds horizon edges (r12: --extval tshorizon) ----------------------
+#
+# The obs substrate quarantines timestamps outside the half-open
+# validity horizon [2000-01-01, 2100-01-01) (obs.py OBS_TIME_MIN/MAX,
+# the r11 watermark-poisoning fix). The r11 axis proved the far
+# sentinels (1970, 2199); this axis locks the BOUNDARY itself bitwise:
+# each selected events.ts becomes one of {AT min (IN), max-1s (IN),
+# min-1s (OUT), AT max (OUT — half-open)}, key-hash-chosen. The IN
+# stamps stretch every per-station grid/window span to a century —
+# the gapfill/interpolate grids go to ~3.5M slots/station on BOTH
+# engines (defined min->max semantics, still bounded) — while the OUT
+# stamps must quarantine exactly like NULL ts on every consumer.
+HORIZON_QIDS = (
+    "q_rollup_hypertable",   # (station, day) ca levels at the edges
+    "q_ts_gapfill",          # century grid + LOCF across it
+    "q_rain_daily_delta",    # day-boundary deltas at the horizon ends
+    "q_stream_tumbling",     # watermark span 2000->2099 (IN stamps)
+    "q_stream_watermark",    # explicit late-data machine at the edges
+    "q_stream_stateful",     # per-key state across the century span
+    "q_time_weighted_avg",   # trapezoid integral across the span
+)
+
+
+@pytest.fixture(scope="module")
+def horizon_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=59,
+        keep_permille=700,
+        extval={("events", "ts", "tshorizon"): 120},
+    )
+
+
+@pytest.mark.parametrize("qid", HORIZON_QIDS)
+def test_horizon_edge_slice_parity(qid, spark, horizon_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(horizon_dir)
+    try:
+        assert compare(spark, con, fn, sql, horizon_dir) == []
+    finally:
+        con.close()

@@ -138,8 +138,10 @@ def test_dq_checks_all_pass_on_clean_data(spark, sf_smoke):
 
     rows = q_dq_checks(spark, sf_smoke).collect()
     # +3 in r09 (documents corpus-contract checks), +2 in r10 (the
-    # finite-money domain checks of the extreme-value contract)
-    assert len(rows) == 10
+    # finite-money domain checks of the extreme-value contract),
+    # +4 in r12 (the huge-finite fits_fixed_point checks for the
+    # lineitem/orders/events money domains, plus events_value_finite)
+    assert len(rows) == 14
     assert all(r["pass"] and r["n_violations"] == 0 for r in rows)
 
 

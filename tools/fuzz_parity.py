@@ -21,7 +21,7 @@ data-dependent parity bug even though the stock gate is green.
         [--nullgroup table.keycol.valcol=permille ...] \
         [--dupkey table.column=permille ...] [--duprows table=permille ...] \
         [--extval table.column.kind=permille ...] \
-        [--nullprobe] [--scramble] [--window] [qid ...]
+        [--nullprobe] [--scramble] [--raise-symmetric] [--window] [qid ...]
 
 With no qids: every registered query. `--window` adds the driver's
 50-qid window. `--nullify` sets that permille of the (fact) table's
@@ -339,6 +339,34 @@ def materialize_slice(
                         tbl.column(ec),
                         pa.scalar(val, field.type),
                     )
+                elif kind == "huge":
+                    # huge-FINITE money word (r12, ADVICE r10 item 2):
+                    # 1e17 is finite (passes every abs(x) < inf guard)
+                    # but its fixed-point scaling overflows int64 at
+                    # every cents scale in use (1e17*100 = 1e19 >
+                    # 2^63). The first registry-wide run of this kind
+                    # (under --raise-symmetric) FALSIFIED the r11
+                    # "loud symmetric crash" contract: Spark's
+                    # floor(double)->LONG saturates SILENTLY where
+                    # DuckDB's cast raises — 13 asymmetric
+                    # divergences (FUZZPARITY_r12_exthuge). Since r12
+                    # the word is QUARANTINED to NULL at every
+                    # fixed-point guard (FIXED_POINT_MAX = 9.0e12,
+                    # parity.py) and DETECTED by q_dq_checks, so this
+                    # kind must now pass PLAIN parity registry-wide.
+                    # --raise-symmetric remains available as the
+                    # adjudication mode for any future crash-contract
+                    # probe.
+                    if not pa.types.is_floating(field.type):
+                        raise SystemExit(
+                            f"--extval huge needs a float column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pa.scalar(1.0e17, field.type),
+                    )
                 elif kind == "neg":
                     if not pa.types.is_floating(field.type):
                         raise SystemExit(
@@ -376,6 +404,41 @@ def materialize_slice(
                                 for i, v in enumerate(vec)
                             ]
                         )
+                    mutated = pa.array(out_rows, type=field.type)
+                elif kind == "tshorizon":
+                    # time-bounds horizon EDGES (r12, VERDICT r11 item
+                    # 7): the obs substrate quarantines timestamps
+                    # outside the half-open validity horizon
+                    # [2000-01-01, 2100-01-01) (obs.py). Each selected
+                    # row gets one of the four boundary stamps, key-
+                    # hash-chosen: exactly AT the lower bound (IN), at
+                    # the last representable second below the upper
+                    # bound (IN), one second below the lower bound
+                    # (OUT), and exactly AT the upper bound (OUT —
+                    # half-open). Locks the boundary bitwise on both
+                    # engines instead of arguing it from the two far
+                    # sentinels epoch0/tsfar.
+                    if not pa.types.is_timestamp(field.type):
+                        raise SystemExit(
+                            f"--extval tshorizon needs a timestamp column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    import datetime as _dt
+
+                    _EDGES = (
+                        _dt.datetime(2000, 1, 1, 0, 0, 0),      # AT min: IN
+                        _dt.datetime(2099, 12, 31, 23, 59, 59), # max-1s: IN
+                        _dt.datetime(1999, 12, 31, 23, 59, 59), # min-1s: OUT
+                        _dt.datetime(2100, 1, 1, 0, 0, 0),      # AT max: OUT
+                    )
+                    rows = tbl.column(ec).to_pylist()
+                    out_rows = []
+                    for ri, (hit, ts) in enumerate(zip(emask, rows)):
+                        if not hit or ts is None:
+                            out_rows.append(ts)
+                            continue
+                        k = int(ekeys[ri])
+                        out_rows.append(_EDGES[k % len(_EDGES)])
                     mutated = pa.array(out_rows, type=field.type)
                 elif kind in ("epoch0", "tsfar"):
                     # time-axis extremes: the Unix epoch origin
@@ -447,7 +510,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|empty|blank|nanvec|epoch0|tsfar|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -614,12 +677,25 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|empty|blank|nanvec|epoch0|tsfar|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
     if use_nullprobe:
         args.remove("--nullprobe")
+    # --raise-symmetric (r12, the huge-finite axis): some extval kinds
+    # inject OUT-OF-CONTRACT data whose documented surface is a LOUD
+    # crash (relational.py _cents docstring: a finite money word whose
+    # fixed-point scaling overflows int64 raises the ANSI BIGINT cast).
+    # Under this flag a qid where BOTH engines raise scores
+    # RAISE-BOTH — contract-conformant: no silent wrong answer, no
+    # asymmetric survival. A qid where only ONE engine raises (the
+    # other silently answering) is exactly the divergence the contract
+    # forbids and stays FAIL. Queries not touching the mutated column
+    # must still match bitwise as usual.
+    use_symraise = "--raise-symmetric" in args
+    if use_symraise:
+        args.remove("--raise-symmetric")
     use_scramble = "--scramble" in args
     if use_scramble:
         args.remove("--scramble")
@@ -680,6 +756,28 @@ if __name__ == "__main__":
             problems = compare(spark, con, fn, sql, slice_dir)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+        if problems and use_symraise and any(
+            p.startswith("EXCEPTION") for p in problems
+        ):
+            # adjudicate the raise: run each side independently. The
+            # engines' error TYPES differ (Spark ArithmeticException vs
+            # DuckDB ConversionException) — symmetry is about WHETHER
+            # the out-of-contract word is refused, not the message.
+            def _exc(run) -> str | None:
+                try:
+                    run()
+                    return None
+                except Exception as e:  # noqa: BLE001
+                    return type(e).__name__
+            s_exc = _exc(lambda: fn(spark, slice_dir).collect())
+            d_exc = _exc(lambda: con.execute(sql).fetchall())
+            if s_exc and d_exc:
+                print(f"{qid:28s} RAISE-BOTH ({s_exc} / {d_exc})")
+                continue
+            problems.append(
+                f"ASYMMETRIC RAISE: spark={s_exc or 'answered'} "
+                f"duckdb={d_exc or 'answered'}"
+            )
         if problems:
             failed.append(qid)
             print(f"{qid:28s} FAIL")
