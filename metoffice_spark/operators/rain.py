@@ -550,11 +550,21 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     elapsed-time fraction.
 
     Scale: identical shape to q_ts_gapfill — grid generated, join
-    keyed (station, bucket), and the endpoint carry is two window
-    passes over grid rows (96/day/station), one forward and one
-    backward, on the SAME (station, bucket) sort order so the second
-    window reuses the first's shuffle. Nothing scales with raw row
-    count past the bucket aggregate."""
+    keyed (station, bucket), and the endpoint carry is two O(n)
+    window passes over grid rows: the backward carry on the ASC
+    (station, bucket) sort and the FORWARD carry as last(ignorenulls)
+    over the DESC sort of the same partitioning (one extra in-
+    partition sort, zero extra exchanges). The naive spelling —
+    first(ignorenulls) OVER (CURRENT ROW, UNBOUNDED FOLLOWING) — is
+    the one Spark frame with NO running accumulator
+    (UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate
+    from each row to the partition end): O(n^2) per partition, found
+    by the r12 tshorizon probe when an in-horizon year-2000 edge
+    stamp stretched the grid to ~3.5M slots/station and the single
+    window task ran for an hour. The oracle keeps the standard
+    first_value-over-following spelling — DuckDB computes it
+    linearly. Nothing scales with raw row count past the bucket
+    aggregate."""
     obs = observations(tune(spark), sf_dir)
     b15 = (
         obs.groupBy(F.col("station_id"), F.window("ts", "15 minutes").alias("w"))
@@ -580,10 +590,14 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = (
+    # forward carry via the DESC sort (see docstring): last(ignorenulls)
+    # over an UNBOUNDED PRECEDING frame is the O(n) running-accumulator
+    # frame; "first non-null at-or-after current in ASC order" ==
+    # "last non-null at-or-before current in DESC order".
+    fwd_rev = (
         Window.partitionBy("station_id")
-        .orderBy("bucket")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_sec = F.when(F.col("t_fp").isNotNull(), F.col("t_sec"))
     filled = joined.select(
@@ -593,8 +607,8 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_sec",
         F.last("t_fp", ignorenulls=True).over(back).alias("prev_fp"),
         F.last(obs_sec, ignorenulls=True).over(back).alias("prev_sec"),
-        F.first("t_fp", ignorenulls=True).over(fwd).alias("next_fp"),
-        F.first(obs_sec, ignorenulls=True).over(fwd).alias("next_sec"),
+        F.last("t_fp", ignorenulls=True).over(fwd_rev).alias("next_fp"),
+        F.last(obs_sec, ignorenulls=True).over(fwd_rev).alias("next_sec"),
     )
     frac = (F.col("t_sec") - F.col("prev_sec")).cast("double") / (
         F.col("next_sec") - F.col("prev_sec")

@@ -619,8 +619,14 @@ def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_event").cast("bigint").alias("events"),
         F.sum(F.expr("1 - is_event")).cast("bigint").alias("censored"),
     )
-    w_risk = Window.orderBy(F.col("d").asc()).rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # reverse cumsum via the DESC sort (r12, the q_ts_interpolate
+    # finding): Spark's (CURRENT ROW, UNBOUNDED FOLLOWING) frame has
+    # no running accumulator and re-evaluates per row — O(n^2) in the
+    # day-count; the DESC-sorted UNBOUNDED PRECEDING frame is the
+    # O(n) spelling of the same at-risk total. The relation is tiny
+    # (distinct lifetime days), but the spelling is the principle.
+    w_risk = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return days.select(
         "d",

@@ -1468,6 +1468,7 @@ def test_huge_slice_quarantine_parity(qid, spark, huge_dir):
 HORIZON_QIDS = (
     "q_rollup_hypertable",   # (station, day) ca levels at the edges
     "q_ts_gapfill",          # century grid + LOCF across it
+    "q_ts_interpolate",      # century grid + the O(n) fwd-carry fix
     "q_rain_daily_delta",    # day-boundary deltas at the horizon ends
     "q_stream_tumbling",     # watermark span 2000->2099 (IN stamps)
     "q_stream_watermark",    # explicit late-data machine at the edges

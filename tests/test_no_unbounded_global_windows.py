@@ -187,3 +187,28 @@ def test_nested_loop_join_ratchet(registry_plans):
         "nested-loop count changed (audit, then fix the plan or "
         f"re-pin the ratchet consciously): {offenders}"
     )
+
+
+def test_no_quadratic_unbounded_following_frame(registry_plans):
+    """(X, UNBOUNDED FOLLOWING) frames with X != UNBOUNDED PRECEDING
+    are the ONE Spark window shape with no running accumulator:
+    UnboundedFollowingWindowFunctionFrame re-evaluates its aggregate
+    from each row to the partition end — O(n^2) per partition. Found
+    by the r12 tshorizon probe (q_ts_interpolate's forward endpoint
+    carry ran an hour on a 3.5M-slot century grid); the O(n) spelling
+    is last(...) over the DESC sort's UNBOUNDED PRECEDING frame. The
+    FULL frame (unboundedpreceding -> unboundedfollowing) is computed
+    once per partition and stays allowed (q_win_analytic)."""
+    import re
+
+    pat = re.compile(
+        r"specifiedwindowframe\((?:Row|Range)Frame,"
+        r" (?!unboundedpreceding)[^,]*, unboundedfollowing",
+        re.IGNORECASE,
+    )
+    offenders = {
+        qid: m
+        for qid, plan in registry_plans.items()
+        if (m := pat.findall(plan.toString()))
+    }
+    assert offenders == {}
