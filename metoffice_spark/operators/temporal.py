@@ -49,9 +49,16 @@ QUERIES: dict = {}
 # classic gaps-and-islands pattern: change marks via lag(), version
 # ids via a running sum of marks.
 
-# Shared window-order clause: (ts, event_id) is a total order, so the
-# running sum's default RANGE frame has no peers and both engines see
-# the identical prefix at every row.
+# Shared window-order clause: (ts, event_id, event_type) — a total
+# order, so the running sum's default RANGE frame has no payload-
+# distinct peers and both engines see the identical prefix at every
+# row. The third key is the r12 composed-battery fix: dupkey-remapped
+# event_ids landing on identical extval sentinel stamps collide on
+# (ts, event_id) with DIFFERENT event_type payloads, and the change
+# detector's versions then depend on which peer sorts first — an
+# engine accident. event_type carries an EXPLICIT NULLS LAST (Spark
+# defaults NULLS FIRST, DuckDB NULLS LAST); byte-identical duprows
+# ties remain pick-invariant. Unreachable on unique-id data.
 _SCD2_SQL = """
 WITH seq AS (
   SELECT user_id, event_type, ts, event_id,
@@ -60,11 +67,13 @@ WITH seq AS (
               THEN 1 ELSE 0 END AS chg
   FROM events
   WHERE ts IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, event_id, event_type NULLS LAST)
 ),
 ver AS (
   SELECT user_id, event_type, ts,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+         sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id, event_type NULLS LAST) AS version
   FROM seq
 ),
 grp AS (
@@ -93,7 +102,9 @@ def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id"), F.col("event_type").asc_nulls_last()
+    )
     # NULL-aware change detector (r07 null-group fuzz finding): the
     # old `lag IS NULL OR lag <> cur` spelling makes X -> NULL a
     # NON-change on both engines (three-valued logic), so one version
