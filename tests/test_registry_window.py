@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R11_WINDOW = [
-    "q_ab_ztest",
-    "q_agg_bitmap_distinct",
-    "q_agg_histogram",
-    "q_attribution",
-    "q_bool_retrieval",
-    "q_cdc_apply",
-    "q_dataset_card",
-    "q_dedup_incremental",
-    "q_dedup_lines",
-    "q_dp_release",
-    "q_eval_pr",
-    "q_fn_datetime_suite",
-    "q_fn_null_suite",
-    "q_fn_url_suite",
-    "q_graph_triangles",
-    "q_hierarchy_expand",
-    "q_join_spatial",
-    "q_link_editdist",
-    "q_lm_bigram_score",
-    "q_markov_transitions",
-    "q_minhash_est_audit",
-    "q_mmr_diversify",
-    "q_multimodal_framesample",
-    "q_nb_langid",
-    "q_pattern_match",
-    "q_pca_power",
-    "q_percentile_cont",
-    "q_pseudonymize",
-    "q_quality_classifier",
-    "q_rank_rrf_fusion",
-    "q_repetition_ngram",
-    "q_sample_reservoir",
-    "q_scd2_build",
-    "q_semdedup_centroid",
-    "q_sketch_cms",
-    "q_sketch_hll_merge",
-    "q_sketch_setops",
-    "q_skew_diag",
-    "q_src_schema_merge",
-    "q_stats_collect",
-    "q_stream_cagg",
-    "q_stream_cep",
-    "q_stream_static_join",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
-    "q_ts_gapfill",
-    "q_ts_seasonal_profile",
-    "q_win_range_interval",
-    "q_win_rolling_median",
-    "q_ohlc_bars",
+_R12_WINDOW = [
+    "q_agg_distinct_twophase",
+    "q_ann_pq",
+    "q_anomaly_zscore",
+    "q_chi2_terms",
+    "q_cohort_retention",
+    "q_cov_stats",
+    "q_eval_auc",
+    "q_fn_json_suite",
+    "q_funnel_steps",
+    "q_gini_spend",
+    "q_graph_jaccard",
+    "q_join_temporal",
+    "q_kmeans_step",
+    "q_metric_decompose",
+    "q_mix_rebalance",
+    "q_olap_avg_balance",
+    "q_olap_cust_distribution",
+    "q_olap_disjunctive",
+    "q_olap_exists",
+    "q_olap_having_in",
+    "q_olap_important_stock",
+    "q_olap_market_share",
+    "q_olap_min_cost_supp",
+    "q_olap_part_promotion",
+    "q_olap_product_profit",
+    "q_olap_promo_share",
+    "q_olap_revenue_delta",
+    "q_olap_scalar_subquery",
+    "q_olap_ship_latency",
+    "q_olap_top_supplier",
+    "q_olap_volume_shipping",
+    "q_olap_waiting_supplier",
+    "q_percentile_exact",
+    "q_pipeline_e2e",
+    "q_ridge_normal",
+    "q_rollup_hypertable",
+    "q_sessionize_batch",
+    "q_shard_assign",
+    "q_sink_compact",
+    "q_stream_anomaly",
+    "q_stream_gap_detector",
+    "q_stream_twap",
+    "q_tfidf",
+    "q_ts_interpolate",
+    "q_udf_grouped_map",
+    "q_win_ewma",
+    "q_winsorize",
+    "q_batch_length_buckets",
+    "q_benford_test",
+    "q_bpe_train",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R11_WINDOW
+    assert list(all_queries())[:50] == _R12_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():

@@ -405,7 +405,7 @@ def materialize_slice(
                             ]
                         )
                     mutated = pa.array(out_rows, type=field.type)
-                elif kind == "tshorizon":
+                elif kind in ("tshorizon", "tshorizon_out"):
                     # time-bounds horizon EDGES (r12, VERDICT r11 item
                     # 7): the obs substrate quarantines timestamps
                     # outside the half-open validity horizon
@@ -425,12 +425,20 @@ def materialize_slice(
                         )
                     import datetime as _dt
 
+                    # tshorizon_out: only the two OUT stamps — locks the
+                    # half-open quarantine boundary WITHOUT the IN
+                    # stamps that stretch per-station grids to a
+                    # century (the cheap variant the pinned pytest
+                    # slices use for the two grid exploders; the full
+                    # 4-stamp axis runs registry-wide per round)
                     _EDGES = (
                         _dt.datetime(2000, 1, 1, 0, 0, 0),      # AT min: IN
                         _dt.datetime(2099, 12, 31, 23, 59, 59), # max-1s: IN
                         _dt.datetime(1999, 12, 31, 23, 59, 59), # min-1s: OUT
                         _dt.datetime(2100, 1, 1, 0, 0, 0),      # AT max: OUT
                     )
+                    if kind == "tshorizon_out":
+                        _EDGES = _EDGES[2:]
                     rows = tbl.column(ec).to_pylist()
                     out_rows = []
                     for ri, (hit, ts) in enumerate(zip(emask, rows)):
@@ -510,7 +518,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -677,7 +685,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
