@@ -1377,8 +1377,10 @@ def test_dim_unicode_slice_parity(qid, spark, dim_unicode_dir):
 # FIXED_POINT_MAX = 9.0e12 (parity.py), the value becomes NULL, and
 # q_dq_checks DETECTS the violation. Pinned here: detection +
 # quarantine-parity per mutated domain; the registry-wide sweep is
-# tools/fuzz_parity.py --extval ... huge (FUZZPARITY_r12_exthuge2
-# green log; FUZZPARITY_r12_exthuge is the falsifying first run).
+# tools/fuzz_parity.py --extval ... huge
+# (FUZZPARITY_r12_exthuge_sf0.001.log is the green run;
+# FUZZPARITY_r12_exthuge_raise_symmetric_FALSIFIED.log the
+# falsifying first one).
 
 HUGE_EXTVAL = {
     ("lineitem", "l_extendedprice", "huge"): 60,
