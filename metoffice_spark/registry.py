@@ -72,19 +72,76 @@ _MODULES = (
     "mining",
 )
 
-# Round-12 rotation (ONE rotation per round; registry stays FROZEN at
-# 292 qids). The window is ALL 47 qids whose latest driver row is
-# r6-era (q_ohlc_bars moved to r11 last round) plus THREE fills: the
-# alphabetically-first r7-era qids (q_batch_length_buckets,
-# q_benford_test, q_bpe_train). After this lands no latest row
-# predates r7, and the window matches the queue pinned in the r11
-# registry comment and VERDICT r11 item 1. Window membership was
-# recomputed programmatically from CORRECTNESS_r01..r11 latest-row
-# ages (age dist at r11 head: r6x47 r7x46 r8x50 r9x49 r10x50 r11x50);
-# no builder or oracle changed between the r11 gate and this rotation,
-# so there is no changed-query fill this round.
+# Round-13 rotation (ONE rotation per round; registry stays FROZEN at
+# 292 qids). The window is ALL 43 qids whose latest driver row is
+# r7-era (alphabetical from q_compress_dict — exactly the queue pinned
+# in the r12 registry comment and VERDICT r12 item 1) plus SEVEN
+# fills: the alphabetically-first r8-era qids (q_agg_cube, q_agg_hash,
+# q_als_step, q_attribution_linear, q_bloom_file_index, q_case_when,
+# q_cohort_ltv). After this lands no latest row predates r8. Window
+# membership was recomputed programmatically from
+# CORRECTNESS_r01..r12 latest-row ages (age dist at r12 head: r7x43
+# r8x50 r9x49 r10x50 r11x50 r12x50); no builder or oracle changed
+# between the r12 gate and this rotation, so there is no
+# changed-query fill this round.
 _PRIORITY = (
-    # --- R12: all 47 r6-era greens, alphabetical ---
+    # --- R13: all 43 r7-era greens, alphabetical ---
+    "q_compress_dict",
+    "q_dataset_fingerprint",
+    "q_dedup_containment",
+    "q_delta_encode",
+    "q_drift_chi2",
+    "q_er_blocking",
+    "q_eval_calibration",
+    "q_eval_multiclass",
+    "q_eval_ndcg",
+    "q_eval_rouge",
+    "q_event_paths",
+    "q_feature_hashing",
+    "q_forecast_snaive",
+    "q_funnel_latency",
+    "q_graph_bfs",
+    "q_hard_negatives",
+    "q_heavy_hitters_mg",
+    "q_hhi_concentration",
+    "q_jackknife_var",
+    "q_knn_classify",
+    "q_ks_test",
+    "q_l_diversity",
+    "q_lag_features",
+    "q_lorenz_curve",
+    "q_mix_temperature",
+    "q_null_imputation",
+    "q_pmi_collocations",
+    "q_pref_pairs",
+    "q_quality_ensemble",
+    "q_quantile_normalize",
+    "q_random_projection",
+    "q_rare_label_encode",
+    "q_sample_coordinated",
+    "q_sft_template",
+    "q_sink_jsonl",
+    "q_sketch_quantile",
+    "q_skyline_pareto",
+    "q_span_corruption",
+    "q_spearman_corr",
+    "q_split_temporal",
+    "q_target_encoding",
+    "q_text_readability",
+    "q_time_weighted_avg",
+    # --- R13 fills: the 7 alphabetically-first r8-era qids ---
+    "q_agg_cube",
+    "q_agg_hash",
+    "q_als_step",
+    "q_attribution_linear",
+    "q_bloom_file_index",
+    "q_case_when",
+    "q_cohort_ltv",
+    # --- driver window ends here (50) ---
+    # R14+ QUEUE: after this window lands, the oldest latest-rows
+    # are the 43 remaining r8-era qids (alphabetical from
+    # q_filter_predicate), then r9.
+    # The r12 window (all green in CORRECTNESS_r12) slides behind:
     "q_agg_distinct_twophase",
     "q_ann_pq",
     "q_anomaly_zscore",
@@ -132,65 +189,9 @@ _PRIORITY = (
     "q_udf_grouped_map",
     "q_win_ewma",
     "q_winsorize",
-    # --- R12 fills: the 3 alphabetically-first r7-era qids ---
     "q_batch_length_buckets",
     "q_benford_test",
     "q_bpe_train",
-    # --- driver window ends here (50) ---
-    # R13+ QUEUE: after this window lands, the oldest latest-rows
-    # are the 43 remaining r7-era qids (alphabetical from
-    # q_compress_dict), then r8.
-    # The r11 window (all green in CORRECTNESS_r11) slides behind:
-    "q_ab_ztest",
-    "q_agg_bitmap_distinct",
-    "q_agg_histogram",
-    "q_attribution",
-    "q_bool_retrieval",
-    "q_cdc_apply",
-    "q_dataset_card",
-    "q_dedup_incremental",
-    "q_dedup_lines",
-    "q_dp_release",
-    "q_eval_pr",
-    "q_fn_datetime_suite",
-    "q_fn_null_suite",
-    "q_fn_url_suite",
-    "q_graph_triangles",
-    "q_hierarchy_expand",
-    "q_join_spatial",
-    "q_link_editdist",
-    "q_lm_bigram_score",
-    "q_markov_transitions",
-    "q_minhash_est_audit",
-    "q_mmr_diversify",
-    "q_multimodal_framesample",
-    "q_nb_langid",
-    "q_pattern_match",
-    "q_pca_power",
-    "q_percentile_cont",
-    "q_pseudonymize",
-    "q_quality_classifier",
-    "q_rank_rrf_fusion",
-    "q_repetition_ngram",
-    "q_sample_reservoir",
-    "q_scd2_build",
-    "q_semdedup_centroid",
-    "q_sketch_cms",
-    "q_sketch_hll_merge",
-    "q_sketch_setops",
-    "q_skew_diag",
-    "q_src_schema_merge",
-    "q_stats_collect",
-    "q_stream_cagg",
-    "q_stream_cep",
-    "q_stream_static_join",
-    "q_ts_autocorr",
-    "q_ts_changepoint",
-    "q_ts_gapfill",
-    "q_ts_seasonal_profile",
-    "q_win_range_interval",
-    "q_win_rolling_median",
-    "q_ohlc_bars",
 )
 
 

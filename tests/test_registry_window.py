@@ -11,62 +11,62 @@ from __future__ import annotations
 
 from metoffice_spark.registry import all_queries
 
-_R12_WINDOW = [
-    "q_agg_distinct_twophase",
-    "q_ann_pq",
-    "q_anomaly_zscore",
-    "q_chi2_terms",
-    "q_cohort_retention",
-    "q_cov_stats",
-    "q_eval_auc",
-    "q_fn_json_suite",
-    "q_funnel_steps",
-    "q_gini_spend",
-    "q_graph_jaccard",
-    "q_join_temporal",
-    "q_kmeans_step",
-    "q_metric_decompose",
-    "q_mix_rebalance",
-    "q_olap_avg_balance",
-    "q_olap_cust_distribution",
-    "q_olap_disjunctive",
-    "q_olap_exists",
-    "q_olap_having_in",
-    "q_olap_important_stock",
-    "q_olap_market_share",
-    "q_olap_min_cost_supp",
-    "q_olap_part_promotion",
-    "q_olap_product_profit",
-    "q_olap_promo_share",
-    "q_olap_revenue_delta",
-    "q_olap_scalar_subquery",
-    "q_olap_ship_latency",
-    "q_olap_top_supplier",
-    "q_olap_volume_shipping",
-    "q_olap_waiting_supplier",
-    "q_percentile_exact",
-    "q_pipeline_e2e",
-    "q_ridge_normal",
-    "q_rollup_hypertable",
-    "q_sessionize_batch",
-    "q_shard_assign",
-    "q_sink_compact",
-    "q_stream_anomaly",
-    "q_stream_gap_detector",
-    "q_stream_twap",
-    "q_tfidf",
-    "q_ts_interpolate",
-    "q_udf_grouped_map",
-    "q_win_ewma",
-    "q_winsorize",
-    "q_batch_length_buckets",
-    "q_benford_test",
-    "q_bpe_train",
+_R13_WINDOW = [
+    "q_compress_dict",
+    "q_dataset_fingerprint",
+    "q_dedup_containment",
+    "q_delta_encode",
+    "q_drift_chi2",
+    "q_er_blocking",
+    "q_eval_calibration",
+    "q_eval_multiclass",
+    "q_eval_ndcg",
+    "q_eval_rouge",
+    "q_event_paths",
+    "q_feature_hashing",
+    "q_forecast_snaive",
+    "q_funnel_latency",
+    "q_graph_bfs",
+    "q_hard_negatives",
+    "q_heavy_hitters_mg",
+    "q_hhi_concentration",
+    "q_jackknife_var",
+    "q_knn_classify",
+    "q_ks_test",
+    "q_l_diversity",
+    "q_lag_features",
+    "q_lorenz_curve",
+    "q_mix_temperature",
+    "q_null_imputation",
+    "q_pmi_collocations",
+    "q_pref_pairs",
+    "q_quality_ensemble",
+    "q_quantile_normalize",
+    "q_random_projection",
+    "q_rare_label_encode",
+    "q_sample_coordinated",
+    "q_sft_template",
+    "q_sink_jsonl",
+    "q_sketch_quantile",
+    "q_skyline_pareto",
+    "q_span_corruption",
+    "q_spearman_corr",
+    "q_split_temporal",
+    "q_target_encoding",
+    "q_text_readability",
+    "q_time_weighted_avg",
+    "q_agg_cube",
+    "q_agg_hash",
+    "q_als_step",
+    "q_attribution_linear",
+    "q_bloom_file_index",
+    "q_case_when",
+    "q_cohort_ltv",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_rotation():
-    assert list(all_queries())[:50] == _R12_WINDOW
+    assert list(all_queries())[:50] == _R13_WINDOW
 
 
 def test_registry_is_complete_and_fully_oracled():
