@@ -85,7 +85,7 @@ _sql_query(
 
 SQL_OLAP_REVENUE_DELTA = """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CASE WHEN abs(l_extendedprice * l_discount * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS revenue_cents
+       CAST(sum(CASE WHEN abs(l_extendedprice * l_discount) < 9.0e12 THEN CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -174,14 +174,14 @@ _sql_query(
 
 SQL_OLAP_IMPORTANT_STOCK = """
 SELECT l.l_partkey,
-       CAST(sum(CASE WHEN abs(l.l_quantity * p.p_retailprice * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS value_cents
+       CAST(sum(CASE WHEN abs(l.l_quantity * p.p_retailprice) < 9.0e12 THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS value_cents
 FROM lineitem l, part p, supplier s, nation n
 WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
   AND n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
 GROUP BY l.l_partkey
-HAVING 1000 * sum(CASE WHEN abs(l.l_quantity * p.p_retailprice * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END)
-       > (SELECT sum(CASE WHEN abs(l2.l_quantity * p2.p_retailprice * 100.0
-                                   + 0.5) < 9.0e12
+HAVING 1000 * sum(CASE WHEN abs(l.l_quantity * p.p_retailprice) < 9.0e12 THEN CAST(floor(l.l_quantity * p.p_retailprice * 100.0 + 0.5) AS BIGINT) END)
+       > (SELECT sum(CASE WHEN abs(l2.l_quantity * p2.p_retailprice)
+                                   < 9.0e12
                           THEN CAST(floor(l2.l_quantity * p2.p_retailprice
                                           * 100.0 + 0.5) AS BIGINT) END)
           FROM lineitem l2, part p2, supplier s2, nation n2

@@ -133,7 +133,7 @@ SELECT c.c_name AS c_name,
        c.c_custkey AS c_custkey,
        o.o_orderkey AS o_orderkey,
        o.o_orderdate AS o_orderdate,
-       CASE WHEN abs(o.o_totalprice * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) END AS total_cents,
+       CASE WHEN abs(o.o_totalprice) < 9.0e12 THEN CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) END AS total_cents,
        CAST(sum(CASE WHEN abs(l.l_quantity) < 9.0e12
                   THEN CAST(l.l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty
 FROM customer c
@@ -290,7 +290,7 @@ QUERIES["q_olap_market_share"] = (q_olap_market_share, SQL_OLAP_MARKET_SHARE)
 
 SQL_OLAP_AVG_BALANCE = """
 WITH avg_bal AS (
-  SELECT CAST(sum(CASE WHEN abs(c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
+  SELECT CAST(sum(CASE WHEN abs(c_acctbal) < 9.0e12 THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
            AS sum_cents,
          CAST(count(*) AS BIGINT) AS cnt
   FROM customer
@@ -298,12 +298,12 @@ WITH avg_bal AS (
 )
 SELECT n.n_name AS nation,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100e0
+       CAST(sum(CASE WHEN abs(c.c_acctbal) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 100e0
          AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 CROSS JOIN avg_bal a
-WHERE CASE WHEN abs(c.c_acctbal * 100.0 + 0.5) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END * a.cnt > a.sum_cents
+WHERE CASE WHEN abs(c.c_acctbal) < 9.0e12 THEN CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) END * a.cnt > a.sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')

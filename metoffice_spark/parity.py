@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 # ONE magnitude bound for every fixed-point spelling in the repo
 # (r12 huge-finite probe, closing ADVICE r10 item 2 / VERDICT r11
 # item 3). A FINITE word with |x| >= 9.0e12 passes every abs(x) < inf
-# guard, but its scaled fixed-point value overflows int64 at the
-# strictest scale in use (10^6: 9.0e12 * 1e6 = 9.0e18 < 2^63 ~
-# 9.22e18, anything much bigger is not). The r11 contract said the
+# guard, but its scaled fixed-point value overflows int64 at scale
+# 10^6 (9.0e12 * 1e6 = 9.0e18 < 2^63 ~ 9.22e18, anything much bigger
+# is not); scales ABOVE 10^6 (d=8 is in use, relational.py exp_disc/
+# ln_price/log10_price/cos_disc) need a TIGHTER bound — see
+# _bound_sql below (ADVICE r12 item 1). The r11 contract said the
 # overflow is a "loud symmetric crash" — the r12 registry-wide probe
 # (--extval kind=huge at 1e17, FUZZPARITY logs) FALSIFIED that:
 # Spark's floor(double) returns LONG via Java's saturating double->
@@ -42,6 +44,29 @@ from pyspark.sql import functions as F
 # identical on both engines.
 FIXED_POINT_MAX = 9.0e12
 FIXED_POINT_MAX_SQL = "9.0e12"
+
+
+def _bound_sql(d: int) -> str:
+    """Scale-aware magnitude-guard literal for fixed-point scale 10**d.
+
+    FIXED_POINT_MAX (9.0e12) only keeps floor(x * 10^d + 0.5) inside
+    int64 for d <= 6; at d=8 (in use: relational.py exp_disc et al.) a
+    value in [2^63/1e8 ~ 9.22e10, 9.0e12) passes the flat guard yet
+    saturates Spark's floor->LONG while DuckDB's floor stays an exact
+    double — the same silent asymmetric class the r12 huge probe
+    caught (ADVICE r12 item 1). Shrink the bound one decade per digit
+    beyond 6: 9.0e12 / 10^(d-6), which is always < 2^63/10^d with a
+    whole ~2.4% + decade margin against float rounding at the
+    boundary. For d <= 6 the literal stays textually '9.0e12', so the
+    dialect-common SQL for every existing d<=6 site is unchanged.
+    Both engines always receive the SAME generated text, so parity is
+    structural whatever d is."""
+    return f"9.0e{12 - max(0, d - 6)}"
+
+
+def _bound(d: int) -> float:
+    """Float twin of ``_bound_sql`` for the Column builders."""
+    return float(_bound_sql(d))
 
 
 def rhu_sql(x: str, d: int) -> str:
@@ -60,7 +85,7 @@ def rhu_sql(x: str, d: int) -> str:
     else:
         p = 10 ** d
         body = f"(floor(({x}) * {p} + 0.5) / {p})"
-    return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
+    return f"CASE WHEN abs({x}) < {_bound_sql(d)} THEN {body} END"
 
 
 def fixed_str_sql(x: str, d: int) -> str:
@@ -77,7 +102,7 @@ def fixed_str_sql(x: str, d: int) -> str:
             f"(CASE WHEN ({x}) < 0 AND floor(abs({x}) + 0.5) > 0 THEN '-' ELSE '' END"
             f" || CAST(CAST(floor(abs({x}) + 0.5) AS BIGINT) AS STRING))"
         )
-        return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
+        return f"CASE WHEN abs({x}) < {_bound_sql(d)} THEN {body} END"
     p = 10 ** d
     n = f"CAST(floor(abs({x}) * {p} + 0.5) AS BIGINT)"
     whole = f"CAST(floor({n} / CAST({p} AS DOUBLE)) AS BIGINT)"
@@ -87,7 +112,7 @@ def fixed_str_sql(x: str, d: int) -> str:
         f" || CAST({whole} AS STRING) || '.'"
         f" || lpad(CAST({frac} AS STRING), {d}, '0'))"
     )
-    return f"CASE WHEN abs({x}) < {FIXED_POINT_MAX_SQL} THEN {body} END"
+    return f"CASE WHEN abs({x}) < {_bound_sql(d)} THEN {body} END"
 
 
 def rhu(x: Column, d: int) -> Column:
@@ -97,7 +122,7 @@ def rhu(x: Column, d: int) -> Column:
     else:
         p = float(10 ** d)
         body = F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
-    return F.when(F.abs(x) < F.lit(FIXED_POINT_MAX), body)
+    return F.when(F.abs(x) < F.lit(_bound(d)), body)
 
 
 def fixed_str(x: Column, d: int) -> Column:
@@ -110,7 +135,7 @@ def fixed_str(x: Column, d: int) -> Column:
         n = F.floor(F.abs(x) + F.lit(0.5)).cast("bigint")
         sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
         return F.when(
-            F.abs(x) < F.lit(FIXED_POINT_MAX), F.concat(sign, n.cast("string"))
+            F.abs(x) < F.lit(_bound(d)), F.concat(sign, n.cast("string"))
         )
     p = 10 ** d
     n = F.floor(F.abs(x) * F.lit(float(p)) + F.lit(0.5)).cast("bigint")
@@ -118,7 +143,7 @@ def fixed_str(x: Column, d: int) -> Column:
     frac = n - whole * F.lit(p)
     sign = F.when((x < 0) & (n > 0), F.lit("-")).otherwise(F.lit(""))
     return F.when(
-        F.abs(x) < F.lit(FIXED_POINT_MAX),
+        F.abs(x) < F.lit(_bound(d)),
         F.concat(
             sign,
             whole.cast("string"),
