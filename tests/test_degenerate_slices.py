@@ -1166,6 +1166,46 @@ def test_nanvec_slice_parity(qid, spark, nanvec_dir):
         con.close()
 
 
+# HUGE-FINITE components inside embedding vectors (--extval hugevec:
+# the nanvec mutation pattern at 1e17 — r13, VERDICT r12 item 2). A
+# huge component passes every is-finite test, but its fixed-point
+# scaling would saturate Spark's floor->LONG silently where DuckDB
+# keeps the exact double (the scalar `huge` kind's FALSIFIED-contract
+# finding, FUZZPARITY_r12_exthuge). Contract: same VECTOR-validity
+# class as nanvec — the _ivec substrate's abs(x) < 9.0e12 bound
+# rejects the component, so the WHOLE vector nulls on both engines,
+# reducing the axis to the proven NULL-embedding shape. The qid set
+# mirrors EXTVAL_NANVEC_QIDS (the same substrate + boundary sites)
+# plus the non-_ivec integer-free consumers (pca/knn/random_projection
+# read raw doubles; their validity filters must bound magnitude too).
+EXTVAL_HUGEVEC_QIDS = EXTVAL_NANVEC_QIDS + (
+    "q_pca_power",
+    "q_knn_classify",
+    "q_random_projection",
+    "q_semdedup_centroid",
+)
+
+
+@pytest.fixture(scope="module")
+def hugevec_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={("embeddings", "embedding", "hugevec"): 200},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_HUGEVEC_QIDS)
+def test_hugevec_slice_parity(qid, spark, hugevec_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(hugevec_dir)
+    try:
+        assert compare(spark, con, fn, sql, hugevec_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

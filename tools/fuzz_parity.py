@@ -378,19 +378,30 @@ def materialize_slice(
                         tbl.column(ec),
                         pc.negate_checked(tbl.column(ec)),
                     )
-                elif kind == "nanvec":
-                    # corrupt-encoder shape: in selected rows, a
-                    # hash-chosen ~1/4 of the embedding's components
-                    # become NaN (failed encoder words) — the
-                    # list<float> axis no scalar kind reaches
+                elif kind in ("nanvec", "hugevec"):
+                    # corrupt-encoder shapes on the list<float> axis
+                    # no scalar kind reaches. nanvec: in selected
+                    # rows, a hash-chosen ~1/4 of the embedding's
+                    # components become NaN (failed encoder words).
+                    # hugevec (r13, VERDICT r12 item 2): the same
+                    # component pattern becomes HUGE-FINITE (1e17) —
+                    # passes every is-finite test, but any fixed-point
+                    # scaling, dot product, or norm that consumes it
+                    # must hit the _ivec substrate bound (parity.py
+                    # FIXED_POINT_MAX) and quarantine the VECTOR, not
+                    # saturate int64 asymmetrically the way the
+                    # scalar `huge` kind proved Spark's floor->LONG
+                    # does. float32 storage widens 1e17 to
+                    # 9.9999998e16 identically on both engines.
                     if not (
                         pa.types.is_list(field.type)
                         and pa.types.is_floating(field.type.value_type)
                     ):
                         raise SystemExit(
-                            f"--extval nanvec needs a list<float> column, "
+                            f"--extval {kind} needs a list<float> column, "
                             f"{t}.{ec} is {field.type}"
                         )
+                    bad = float("nan") if kind == "nanvec" else 1.0e17
                     rows = tbl.column(ec).to_pylist()
                     out_rows = []
                     for ri, (hit, vec) in enumerate(zip(emask, rows)):
@@ -400,7 +411,7 @@ def materialize_slice(
                         k = int(ekeys[ri])
                         out_rows.append(
                             [
-                                float("nan") if (k * 31 + i) % 4 == 0 else v
+                                bad if (k * 31 + i) % 4 == 0 else v
                                 for i, v in enumerate(vec)
                             ]
                         )
@@ -518,7 +529,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -685,7 +696,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
