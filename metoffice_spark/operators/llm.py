@@ -52,20 +52,48 @@ TOKS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
 
+# Dot-safe vector-component bound (r13 bigvec probe,
+# artifacts/FUZZPARITY_r13_extbigvec_FINDING.log). The cast bound
+# (9.0e12, parity.FIXED_POINT_MAX) only guarantees the scaled
+# component floor(x*1e6+0.5) fits int64; every downstream consumer
+# SQUARES the scaled words and sums them across the vector (NORM2,
+# DOT, PQ squared-diffs, Gram partials), so a component that merely
+# passes the cast bound — e.g. 1e9, scaled 1e15, squared 1e30 — makes
+# 13 of the 19 vector consumers RAISE on BOTH ANSI engines: not a
+# wrong answer, but one corrupt word killing a 100 TB job. The bound
+# must make the WORST consumer arithmetic total-safe:
+#     dim_max * (B * 1e6)^2 < 2^63   with dim_max = 64 (FIXTURES.md)
+#  => B < sqrt(2^63 / 64) / 1e6 ~ 380.3
+# B = 9.0e1 keeps the one-significant-digit guard family and a ~17x
+# margin (64 * (9.0e7)^2 ~ 5.2e17); squared DIFFS (ANN/PQ) double the
+# word to 1.8e8, still 4.4x inside. Cross-row accumulations (kmeans
+# centroid sums) stay safe to ~1e11 rows per group. A float32
+# embedding component with |x| >= 90 is a failed encoding in any
+# real vector space (stock data max |x| ~ 0.46), so this is the same
+# vector-validity quarantine class as NaN — the whole vector nulls,
+# the proven NULL-embedding shape. Keep the literal '9.0e1'
+# textually identical on both engines.
+VEC_COMPONENT_MAX_SQL = "9.0e1"
+
+
 def _ivec_spark(col: str) -> str:
     """array<float> -> array<bigint> fixed-point at 1e-6 (Spark SQL).
 
-    Vector-validity (r10 nanvec probe): a vector carrying any NaN/±Inf
-    component is a FAILED encoding — it has no position in the vector
-    space, and its fixed-point cast crashes both ANSI engines. It
-    becomes a NULL vector, the exact shape the r07 NULL-embedding
-    probes already proved every consumer handles symmetrically
-    (NULL norms, NULL cosine, natural exclusion from candidate sets).
-    NULL COMPONENTS are untouched: the exists lambda yields NULL for
-    them (3VL), which falls to the ELSE branch — same as before."""
+    Vector-validity (r10 nanvec probe; bound retuned by the r13
+    bigvec probe — see VEC_COMPONENT_MAX_SQL): a vector carrying any
+    NaN/±Inf component is a FAILED encoding — it has no position in
+    the vector space, and its fixed-point cast crashes both ANSI
+    engines; a huge-but-finite component (|x| >= 9.0e1) is the same
+    failure class whose squared fixed-point word would crash every
+    dot/norm consumer instead. Either way the vector becomes NULL,
+    the exact shape the r07 NULL-embedding probes already proved
+    every consumer handles symmetrically (NULL norms, NULL cosine,
+    natural exclusion from candidate sets). NULL COMPONENTS are
+    untouched: the exists lambda yields NULL for them (3VL), which
+    falls to the ELSE branch — same as before."""
     return (
         f"case when exists({col}, x ->"
-        " not (abs(cast(x as double)) < 9.0e12))"
+        f" not (abs(cast(x as double)) < {VEC_COMPONENT_MAX_SQL}))"
         f" then null else transform({col},"
         " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
         " as bigint)) end"
@@ -78,7 +106,7 @@ def _ivec_duck(col: str) -> str:
     # fall-through for NULL components
     return (
         f"CASE WHEN len(list_filter({col}, x ->"
-        " NOT (abs(CAST(x AS DOUBLE)) < 9.0e12))) > 0"
+        f" NOT (abs(CAST(x AS DOUBLE)) < {VEC_COMPONENT_MAX_SQL}))) > 0"
         f" THEN NULL ELSE list_transform({col},"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
         " AS BIGINT)) END"
@@ -639,8 +667,12 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("payload")).alias("min_digest"),
             F.sum(
                 F.expr(
+                    # 9.0e1 = VEC_COMPONENT_MAX_SQL: the checksum
+                    # SUMS scaled words across rows, so the dot-safe
+                    # vector bound (not the scalar cast bound) is the
+                    # one that keeps the accumulation inside int64
                     "case when abs(cast(element_at(embedding, 1)"
-                    " as double)) < 9.0e12"
+                    " as double)) < 9.0e1"
                     " then cast(floor(cast(element_at(embedding, 1)"
                     " as double) * 1000000.0 + 0.5) as bigint) end"
                 )
@@ -657,7 +689,7 @@ SELECT d.lang,
        -- CAST(text AS BLOB) raises on any non-ASCII character)
        CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
-       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < 9.0e12
+       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < 9.0e1
                 THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE)
                                * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
          AS emb0_fp_sum

@@ -1206,6 +1206,36 @@ def test_hugevec_slice_parity(qid, spark, hugevec_dir):
         con.close()
 
 
+# Components BELOW the cast bound but far above any dot-safe
+# magnitude (--extval bigvec: 1e9 — passes abs(x) < 9.0e12, scales to
+# 1e15, squares to 1e30). The r13 FINDING run
+# (artifacts/FUZZPARITY_r13_extbigvec_FINDING.md) showed 13 of 19
+# consumers RAISE-BOTH through NORM2/DOT/PQ arithmetic — a symmetric
+# crash, i.e. one corrupt word DoSes the whole job at scale. Fixed by
+# retuning the _ivec substrate to the dot-safe bound
+# VEC_COMPONENT_MAX_SQL = 9.0e1 (derivation at operators/llm.py):
+# the vector quarantines to NULL instead. This slice pins the
+# quarantine on the same qid set as hugevec.
+@pytest.fixture(scope="module")
+def bigvec_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={("embeddings", "embedding", "bigvec"): 200},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_HUGEVEC_QIDS)
+def test_bigvec_slice_parity(qid, spark, bigvec_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(bigvec_dir)
+    try:
+        assert compare(spark, con, fn, sql, bigvec_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

@@ -378,7 +378,7 @@ def materialize_slice(
                         tbl.column(ec),
                         pc.negate_checked(tbl.column(ec)),
                     )
-                elif kind in ("nanvec", "hugevec"):
+                elif kind in ("nanvec", "hugevec", "bigvec"):
                     # corrupt-encoder shapes on the list<float> axis
                     # no scalar kind reaches. nanvec: in selected
                     # rows, a hash-chosen ~1/4 of the embedding's
@@ -401,7 +401,17 @@ def materialize_slice(
                             f"--extval {kind} needs a list<float> column, "
                             f"{t}.{ec} is {field.type}"
                         )
-                    bad = float("nan") if kind == "nanvec" else 1.0e17
+                    bad = {
+                        "nanvec": float("nan"),
+                        "hugevec": 1.0e17,
+                        # bigvec (r13): BELOW the cast bound (passes
+                        # abs(x) < 9.0e12) but far above any dot-safe
+                        # magnitude — 1e9 scales to 1e15, whose square
+                        # overflows int64 in every NORM2/DOT consumer.
+                        # Probes the gap between cast-validity and
+                        # consumability.
+                        "bigvec": 1.0e9,
+                    }[kind]
                     rows = tbl.column(ec).to_pylist()
                     out_rows = []
                     for ri, (hit, vec) in enumerate(zip(emask, rows)):
@@ -529,7 +539,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -696,7 +706,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
