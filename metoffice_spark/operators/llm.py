@@ -75,24 +75,48 @@ TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <
 # textually identical on both engines.
 VEC_COMPONENT_MAX_SQL = "9.0e1"
 
+# Vector-space dimension (r13 dimvec probe,
+# artifacts/FUZZPARITY_r13_extdimvec_FINDING.md). The embeddings
+# table is a 64-dim vector space (FIXTURES.md; stock data uniformly
+# len 64 at every SF), and DIMENSION is part of the space's identity:
+# a truncated/padded/empty vector has no position in it any more than
+# a NaN-carrying one does. The probe showed the mismatch class is the
+# WORST kind — silently asymmetric, not a loud crash: Spark's
+# zip_with NULL-pads the short side of a DOT (NULL product ⇒ NULL
+# sum), while DuckDB's range(1, len(a)+1) indexing yields
+# out-of-range NULLs that list_aggregate('sum') IGNORES (a partial
+# dot over the overlapping prefix) — 12 of 18 embedding consumers
+# diverged in VALUES or rowcount, plus two ANSI element_at raises on
+# the empty shape. So dimension-validity is checked at the same
+# substrate gateway as component-validity: wrong length ⇒ the vector
+# quarantines to NULL, the proven NULL-embedding shape. Keep the
+# literal '64' textually identical on both engines.
+EMB_DIM_SQL = "64"
+
 
 def _ivec_spark(col: str) -> str:
     """array<float> -> array<bigint> fixed-point at 1e-6 (Spark SQL).
 
     Vector-validity (r10 nanvec probe; bound retuned by the r13
-    bigvec probe — see VEC_COMPONENT_MAX_SQL): a vector carrying any
+    bigvec probe — see VEC_COMPONENT_MAX_SQL; dimension check added
+    by the r13 dimvec probe — see EMB_DIM_SQL): a vector carrying any
     NaN/±Inf component is a FAILED encoding — it has no position in
     the vector space, and its fixed-point cast crashes both ANSI
     engines; a huge-but-finite component (|x| >= 9.0e1) is the same
     failure class whose squared fixed-point word would crash every
-    dot/norm consumer instead. Either way the vector becomes NULL,
-    the exact shape the r07 NULL-embedding probes already proved
-    every consumer handles symmetrically (NULL norms, NULL cosine,
-    natural exclusion from candidate sets). NULL COMPONENTS are
-    untouched: the exists lambda yields NULL for them (3VL), which
-    falls to the ELSE branch — same as before."""
+    dot/norm consumer instead; a wrong-DIMENSION vector (truncated /
+    padded / empty) is the same class again, whose zip_with-vs-list-
+    indexing mismatch SILENTLY diverges the engines. In every case
+    the vector becomes NULL, the exact shape the r07 NULL-embedding
+    probes already proved every consumer handles symmetrically (NULL
+    norms, NULL cosine, natural exclusion from candidate sets). NULL
+    COMPONENTS are untouched: the exists lambda yields NULL for them
+    (3VL), which falls to the ELSE branch — same as before. A NULL
+    vector stays NULL: size(NULL) and exists(NULL, ...) are NULL, the
+    CASE falls through, and transform(NULL) is NULL."""
     return (
-        f"case when exists({col}, x ->"
+        f"case when size({col}) != {EMB_DIM_SQL}"
+        f" or exists({col}, x ->"
         f" not (abs(cast(x as double)) < {VEC_COMPONENT_MAX_SQL}))"
         f" then null else transform({col},"
         " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
@@ -105,7 +129,8 @@ def _ivec_duck(col: str) -> str:
     # results are dropped by list_filter, matching the Spark spelling's
     # fall-through for NULL components
     return (
-        f"CASE WHEN len(list_filter({col}, x ->"
+        f"CASE WHEN len({col}) != {EMB_DIM_SQL}"
+        f" OR len(list_filter({col}, x ->"
         f" NOT (abs(CAST(x AS DOUBLE)) < {VEC_COMPONENT_MAX_SQL}))) > 0"
         f" THEN NULL ELSE list_transform({col},"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
@@ -670,11 +695,20 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # 9.0e1 = VEC_COMPONENT_MAX_SQL: the checksum
                     # SUMS scaled words across rows, so the dot-safe
                     # vector bound (not the scalar cast bound) is the
-                    # one that keeps the accumulation inside int64
-                    "case when abs(cast(element_at(embedding, 1)"
+                    # one that keeps the accumulation inside int64.
+                    # 64 = EMB_DIM_SQL (r13 dimvec probe): the outer
+                    # CASE must gate on dimension BEFORE element_at
+                    # touches the array — ANSI element_at(v, 1) on an
+                    # empty vector raises on Spark while DuckDB's
+                    # v[1] answers NULL, an asymmetric raise the
+                    # probe caught on this exact site; nesting (not
+                    # AND) guarantees the access is never evaluated
+                    # for an out-of-dimension vector
+                    "case when size(embedding) = 64 then"
+                    " case when abs(cast(element_at(embedding, 1)"
                     " as double)) < 9.0e1"
                     " then cast(floor(cast(element_at(embedding, 1)"
-                    " as double) * 1000000.0 + 0.5) as bigint) end"
+                    " as double) * 1000000.0 + 0.5) as bigint) end end"
                 )
             ).alias("emb0_fp_sum"),
         )
@@ -689,7 +723,8 @@ SELECT d.lang,
        -- CAST(text AS BLOB) raises on any non-ASCII character)
        CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
        min(md5(d.text)) AS min_digest,
-       CAST(sum(CASE WHEN abs(CAST(e.embedding[1] AS DOUBLE)) < 9.0e1
+       CAST(sum(CASE WHEN len(e.embedding) = 64
+                      AND abs(CAST(e.embedding[1] AS DOUBLE)) < 9.0e1
                 THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE)
                                * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
          AS emb0_fp_sum

@@ -65,6 +65,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     docs = load(spark, sf_dir, "documents")
     events = load(spark, sf_dir, "events")
+    emb = load(spark, sf_dir, "embeddings")
 
     # finite-domain contract (r10 extreme-value probe): a NaN/±Inf
     # money or quantity word is corrupt upstream data, and the
@@ -124,6 +125,31 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("huge_money"),
+    )
+    # vector-consumability contract (r13 dimvec + bigvec probes; the
+    # r10 nanvec shape): the vector-space operator families are
+    # defined over 64-dim vectors whose every component is finite and
+    # dot-safe (|x| < 9.0e1 = llm.VEC_COMPONENT_MAX_SQL; 64 =
+    # llm.EMB_DIM_SQL). A wrong-dimension vector SILENTLY diverges
+    # the engines' dot spellings (zip_with NULL-pads, list indexing
+    # NULLs are sum-ignored) and an out-of-band component overflows
+    # every NORM2/DOT int64 word — both are quarantined to NULL at
+    # the _ivec substrate and DETECTED here. NaN components hit the
+    # same predicate (|NaN| < b is false on both engines' total
+    # order). Detection only — pure double comparisons + a length
+    # check, so the check itself can never crash. One scan, counts
+    # only (the 64-dim arrays never shuffle).
+    emb_agg = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(
+                F.expr(
+                    "size(embedding) != 64 or exists(embedding,"
+                    " x -> not (abs(cast(x as double)) < 9.0e1))"
+                ),
+                1,
+            )
+        ).alias("bad_vec"),
     )
     ev_agg = events.agg(
         F.count(F.lit(1)).alias("n"),
@@ -190,6 +216,11 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("huge_money"),
                 ),
             )
+        ).alias("c")
+    ).select("c.*")
+    emb_rows = emb_agg.select(
+        crow(
+            "embeddings_vector_consumable", F.col("n"), F.col("bad_vec")
         ).alias("c")
     ).select("c.*")
     ord_rows = ord_agg.select(
@@ -262,6 +293,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c.*")
     return (
         li_rows.unionByName(ev_rows)
+        .unionByName(emb_rows)
         .unionByName(ord_rows)
         .unionByName(doc_rows)
         .withColumn("pass", F.col("n_violations") == 0)
@@ -299,6 +331,14 @@ ev_agg AS (
                      AND abs(value) < CAST('inf' AS DOUBLE)
                THEN 1 END) AS huge_money
   FROM events
+),
+emb_agg AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN len(embedding) != 64
+                      OR len(list_filter(embedding, x ->
+                            NOT (abs(CAST(x AS DOUBLE)) < 9.0e1))) > 0
+               THEN 1 END) AS bad_vec
+  FROM embeddings
 ),
 ord_agg AS (
   SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS dup_pk,
@@ -347,6 +387,9 @@ SELECT 'events_value_finite', CAST(n AS BIGINT), CAST(bad_money AS BIGINT),
 UNION ALL
 SELECT 'events_value_fits_fixed_point', CAST(n AS BIGINT),
        CAST(huge_money AS BIGINT), huge_money = 0 FROM ev_agg
+UNION ALL
+SELECT 'embeddings_vector_consumable', CAST(n AS BIGINT),
+       CAST(bad_vec AS BIGINT), bad_vec = 0 FROM emb_agg
 UNION ALL
 SELECT 'orders_pk_unique', CAST(n AS BIGINT), CAST(dup_pk AS BIGINT),
        dup_pk = 0 FROM ord_agg

@@ -847,7 +847,15 @@ FROM part
 
 def q_fn_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array / JSON scalar ops: events.props JSON extraction + embedding
-    array ops (size, element_at, slice)."""
+    array ops (size, element_at, slice).
+
+    try_element_at, not element_at (r13 dimvec probe): this is a
+    FUNCTION suite over raw arrays, not a vector-space consumer, so
+    the contract for an out-of-range index is the indexing function's
+    own defined semantics — and DuckDB's v[i] is defined as NULL
+    out-of-range, while ANSI element_at raises. try_element_at is the
+    faithful Spark spelling of that defined NULL (the probe's empty /
+    truncated shapes raised asymmetrically under plain element_at)."""
     spark = tune(spark)
     ev = load(spark, sf_dir, "events")
     emb = load(spark, sf_dir, "embeddings")
@@ -859,12 +867,12 @@ def q_fn_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("e_first"),
-        F.element_at("embedding", -1).alias("e_last"),
+        F.try_element_at("embedding", F.lit(1)).alias("e_first"),
+        F.try_element_at("embedding", F.lit(-1)).alias("e_last"),
         # slice demonstrated, emitted as scalars (array-typed output
         # columns hash differently across engines)
-        F.element_at(head3, 2).alias("e_h2"),
-        F.element_at(head3, 3).alias("e_h3"),
+        F.try_element_at(head3, F.lit(2)).alias("e_h2"),
+        F.try_element_at(head3, F.lit(3)).alias("e_h3"),
     )
     return j.join(arr, j.event_id == arr.vec_id, "inner").select(
         "event_id", "prop_k", "vec_id", "dim", "e_first", "e_last", "e_h2", "e_h3"

@@ -1236,6 +1236,45 @@ def test_bigvec_slice_parity(qid, spark, bigvec_dir):
         con.close()
 
 
+# Wrong-DIMENSION vectors (--extval dimvec: key-hash-chosen truncate
+# to 63 / pad to 65 / truncate to 16 / EMPTY) whose components are
+# all individually in-band. The r13 FINDING run
+# (artifacts/FUZZPARITY_r13_extdimvec_FINDING.md) showed 12 of 18
+# consumers diverge — mostly in silently DIFFERENT VALUES (Spark's
+# zip_with NULL-pads a mismatched dot to NULL; DuckDB's range-indexed
+# NULLs are sum-IGNORED, a partial dot), plus two asymmetric ANSI
+# element_at raises on the empty shape. Fixed by adding the dimension
+# check to the _ivec substrate (EMB_DIM_SQL, operators/llm.py: wrong
+# length quarantines the vector to NULL), nesting the dim guard
+# outside q_multimodal_cols' element access, try_element_at in
+# q_fn_array_map_json, and the embeddings_vector_consumable detector
+# row in q_dq_checks. This slice pins all four.
+EXTVAL_DIMVEC_QIDS = EXTVAL_HUGEVEC_QIDS + (
+    "q_fn_array_map_json",  # try_element_at on raw truncated arrays
+    "q_dq_checks",          # embeddings_vector_consumable detector
+)
+
+
+@pytest.fixture(scope="module")
+def dimvec_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={("embeddings", "embedding", "dimvec"): 200},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_DIMVEC_QIDS)
+def test_dimvec_slice_parity(qid, spark, dimvec_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(dimvec_dir)
+    try:
+        assert compare(spark, con, fn, sql, dimvec_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

@@ -80,6 +80,31 @@ def test_bound_literal_in_sync_everywhere():
     )
 
 
+def test_vector_bound_literal_in_sync_everywhere():
+    """Same contract as the 9.0e12 sync above, for the r13 dot-safe
+    vector-component bound (llm.VEC_COMPONENT_MAX_SQL = '9.0e1'): it
+    is spelled verbatim in q_dq_checks' embeddings detector and the
+    multimodal checksum sites, so a retune must flag every stale
+    copy. Single-digit-exponent 9.0eN literals are used for nothing
+    else in the tree."""
+    from metoffice_spark.operators.llm import VEC_COMPONENT_MAX_SQL
+
+    vec_class = re.compile(r"\b9\.0e[0-9]\b")
+    stale = []
+    for path in _source_files():
+        if os.path.basename(path) == "llm.py":
+            continue  # canonical definition site
+        with open(path) as f:
+            for lineno, line in enumerate(f, 1):
+                for lit in vec_class.findall(line):
+                    if lit != VEC_COMPONENT_MAX_SQL:
+                        stale.append(f"{os.path.relpath(path, _ROOT)}:{lineno}: {lit}")
+    assert stale == [], (
+        "vector-bound literals out of sync with llm.VEC_COMPONENT_MAX_SQL "
+        f"({VEC_COMPONENT_MAX_SQL}):\n" + "\n".join(stale)
+    )
+
+
 def test_bound_is_scale_aware():
     # d <= 6: the flat bound, textually unchanged ('9.0e12' everywhere)
     for d in (0, 1, 2, 3, 4, 6):

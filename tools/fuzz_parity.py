@@ -378,6 +378,43 @@ def materialize_slice(
                         tbl.column(ec),
                         pc.negate_checked(tbl.column(ec)),
                     )
+                elif kind == "dimvec":
+                    # wrong-LENGTH vectors (r13, SURVEY candidate
+                    # axis): a corrupt encoder can also emit the wrong
+                    # DIMENSION — truncated (63, 16), padded (65), or
+                    # empty (0) vectors whose components are all
+                    # individually in-band. Probes the gap between
+                    # component-validity and shape-validity: Spark's
+                    # zip_with NULL-pads the short side (NULL dot),
+                    # DuckDB's range(len(a)) indexing yields NULLs
+                    # that list_aggregate('sum') IGNORES (partial
+                    # dot) — a silent asymmetric class unless the
+                    # substrate quarantines on dimension.
+                    if not (
+                        pa.types.is_list(field.type)
+                        and pa.types.is_floating(field.type.value_type)
+                    ):
+                        raise SystemExit(
+                            f"--extval {kind} needs a list<float> column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    rows = tbl.column(ec).to_pylist()
+                    out_rows = []
+                    for ri, (hit, vec) in enumerate(zip(emask, rows)):
+                        if not hit or vec is None:
+                            out_rows.append(vec)
+                            continue
+                        k = int(ekeys[ri])
+                        shape = k % 4
+                        if shape == 0:
+                            out_rows.append(vec[:-1])  # 63: off-by-one
+                        elif shape == 1:
+                            out_rows.append(vec + [0.25])  # 65: padded
+                        elif shape == 2:
+                            out_rows.append(vec[: max(1, len(vec) // 4)])
+                        else:
+                            out_rows.append([])  # empty vector
+                    mutated = pa.array(out_rows, type=field.type)
                 elif kind in ("nanvec", "hugevec", "bigvec"):
                     # corrupt-encoder shapes on the list<float> axis
                     # no scalar kind reaches. nanvec: in selected
@@ -539,7 +576,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -706,7 +743,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
