@@ -106,18 +106,22 @@ def _ivec_spark(col: str) -> str:
     failure class whose squared fixed-point word would crash every
     dot/norm consumer instead; a wrong-DIMENSION vector (truncated /
     padded / empty) is the same class again, whose zip_with-vs-list-
-    indexing mismatch SILENTLY diverges the engines. In every case
-    the vector becomes NULL, the exact shape the r07 NULL-embedding
-    probes already proved every consumer handles symmetrically (NULL
-    norms, NULL cosine, natural exclusion from candidate sets). NULL
-    COMPONENTS are untouched: the exists lambda yields NULL for them
-    (3VL), which falls to the ELSE branch — same as before. A NULL
-    vector stays NULL: size(NULL) and exists(NULL, ...) are NULL, the
-    CASE falls through, and transform(NULL) is NULL."""
+    indexing mismatch SILENTLY diverges the engines; and a NULL
+    COMPONENT (r13 nulvec probe) is an INCOMPLETE encoding — the
+    probe showed letting it through is the same silent fork in a
+    different guise (Spark's aggregate() lambda sum NULL-poisons the
+    norm while DuckDB's list_aggregate('sum') ignores NULL words —
+    a partial norm, 11 of 18 consumers diverging in values). In
+    every case the vector becomes NULL, the exact shape the r07
+    NULL-embedding probes already proved every consumer handles
+    symmetrically (NULL norms, NULL cosine, natural exclusion from
+    candidate sets). A NULL vector stays NULL: size(NULL) and
+    exists(NULL, ...) are NULL, the CASE falls through, and
+    transform(NULL) is NULL."""
     return (
         f"case when size({col}) != {EMB_DIM_SQL}"
-        f" or exists({col}, x ->"
-        f" not (abs(cast(x as double)) < {VEC_COMPONENT_MAX_SQL}))"
+        f" or exists({col}, x -> x is null"
+        f" or not (abs(cast(x as double)) < {VEC_COMPONENT_MAX_SQL}))"
         f" then null else transform({col},"
         " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5)"
         " as bigint)) end"
@@ -125,13 +129,14 @@ def _ivec_spark(col: str) -> str:
 
 
 def _ivec_duck(col: str) -> str:
-    # len(list_filter(...)) > 0 is DuckDB's exists-lambda: NULL lambda
-    # results are dropped by list_filter, matching the Spark spelling's
-    # fall-through for NULL components
+    # len(list_filter(...)) > 0 is DuckDB's exists-lambda; the
+    # explicit `x IS NULL OR` disjunct makes a NULL component a
+    # quarantine hit on both engines (r13 nulvec probe) instead of a
+    # 3VL fall-through whose downstream sum semantics diverge
     return (
         f"CASE WHEN len({col}) != {EMB_DIM_SQL}"
-        f" OR len(list_filter({col}, x ->"
-        f" NOT (abs(CAST(x AS DOUBLE)) < {VEC_COMPONENT_MAX_SQL}))) > 0"
+        f" OR len(list_filter({col}, x -> x IS NULL"
+        f" OR NOT (abs(CAST(x AS DOUBLE)) < {VEC_COMPONENT_MAX_SQL}))) > 0"
         f" THEN NULL ELSE list_transform({col},"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
         " AS BIGINT)) END"

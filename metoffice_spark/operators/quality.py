@@ -126,26 +126,30 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("huge_money"),
     )
-    # vector-consumability contract (r13 dimvec + bigvec probes; the
-    # r10 nanvec shape): the vector-space operator families are
-    # defined over 64-dim vectors whose every component is finite and
-    # dot-safe (|x| < 9.0e1 = llm.VEC_COMPONENT_MAX_SQL; 64 =
-    # llm.EMB_DIM_SQL). A wrong-dimension vector SILENTLY diverges
-    # the engines' dot spellings (zip_with NULL-pads, list indexing
-    # NULLs are sum-ignored) and an out-of-band component overflows
-    # every NORM2/DOT int64 word — both are quarantined to NULL at
-    # the _ivec substrate and DETECTED here. NaN components hit the
-    # same predicate (|NaN| < b is false on both engines' total
-    # order). Detection only — pure double comparisons + a length
-    # check, so the check itself can never crash. One scan, counts
-    # only (the 64-dim arrays never shuffle).
+    # vector-consumability contract (r13 dimvec + bigvec + nulvec
+    # probes; the r10 nanvec shape): the vector-space operator
+    # families are defined over 64-dim vectors whose every component
+    # is present, finite, and dot-safe (|x| < 9.0e1 =
+    # llm.VEC_COMPONENT_MAX_SQL; 64 = llm.EMB_DIM_SQL). A
+    # wrong-dimension vector SILENTLY diverges the engines' dot
+    # spellings (zip_with NULL-pads, list indexing NULLs are
+    # sum-ignored), a NULL component forks the same way one level
+    # down (Spark's lambda sum NULL-poisons, DuckDB's sum skips), and
+    # an out-of-band component overflows every NORM2/DOT int64 word —
+    # all are quarantined to NULL at the _ivec substrate and DETECTED
+    # here. NaN components hit the magnitude predicate (|NaN| < b is
+    # false on both engines' total order). Detection only — pure
+    # double comparisons + a length check, so the check itself can
+    # never crash. One scan, counts only (the 64-dim arrays never
+    # shuffle).
     emb_agg = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(
             F.when(
                 F.expr(
                     "size(embedding) != 64 or exists(embedding,"
-                    " x -> not (abs(cast(x as double)) < 9.0e1))"
+                    " x -> x is null"
+                    " or not (abs(cast(x as double)) < 9.0e1))"
                 ),
                 1,
             )
@@ -335,8 +339,8 @@ ev_agg AS (
 emb_agg AS (
   SELECT count(*) AS n,
          count(CASE WHEN len(embedding) != 64
-                      OR len(list_filter(embedding, x ->
-                            NOT (abs(CAST(x AS DOUBLE)) < 9.0e1))) > 0
+                      OR len(list_filter(embedding, x -> x IS NULL
+                         OR NOT (abs(CAST(x AS DOUBLE)) < 9.0e1))) > 0
                THEN 1 END) AS bad_vec
   FROM embeddings
 ),

@@ -1275,6 +1275,71 @@ def test_dimvec_slice_parity(qid, spark, dimvec_dir):
         con.close()
 
 
+# NULL COMPONENTS inside otherwise-valid vectors (--extval nulvec:
+# the nanvec mutation pattern with NULL instead of NaN). The r13
+# FINDING run (artifacts/FUZZPARITY_r13_extnulvec_FINDING.md) showed
+# 11 of 18 consumers diverge silently: the _ivec 3VL fall-through let
+# NULL words into the fixed-point array, where Spark's aggregate()
+# lambda sum NULL-poisons (NULL norm, row drops) while DuckDB's
+# list_aggregate('sum') skips NULL words (partial norm, wrong score).
+# Fixed by the explicit `x is null or` quarantine disjunct in _ivec
+# and the q_dq_checks consumability detector. Same qid set as dimvec.
+@pytest.fixture(scope="module")
+def nulvec_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={("embeddings", "embedding", "nulvec"): 200},
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_DIMVEC_QIDS)
+def test_nulvec_slice_parity(qid, spark, nulvec_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(nulvec_dir)
+    try:
+        assert compare(spark, con, fn, sql, nulvec_dir) == []
+    finally:
+        con.close()
+
+
+# The composed VECTOR battery (r13): every vector-corruption axis at
+# once — scrambled row order, byte-identical duplicate rows,
+# whole-vector NULLs, and all four component kinds
+# (dimvec/nulvec/bigvec/nanvec, independent masks) stacked on the
+# same embedding column. First run was green: the consumability
+# contract (present ∧ finite ∧ dot-safe ∧ 64-dim, quarantine to
+# NULL at _ivec) holds under composition, not just per-axis — this
+# pins that. Log: artifacts/FUZZPARITY_r13_vecbattery_sf0.001.log.
+@pytest.fixture(scope="module")
+def vecbattery_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=37,
+        keep_permille=500,
+        scramble=True,
+        duprows={"embeddings": 150},
+        nullify={("embeddings", "embedding"): 120},
+        extval={
+            ("embeddings", "embedding", "dimvec"): 80,
+            ("embeddings", "embedding", "nulvec"): 80,
+            ("embeddings", "embedding", "bigvec"): 80,
+            ("embeddings", "embedding", "nanvec"): 60,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", EXTVAL_DIMVEC_QIDS)
+def test_vecbattery_slice_parity(qid, spark, vecbattery_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(vecbattery_dir)
+    try:
+        assert compare(spark, con, fn, sql, vecbattery_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

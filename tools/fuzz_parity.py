@@ -415,6 +415,38 @@ def materialize_slice(
                         else:
                             out_rows.append([])  # empty vector
                     mutated = pa.array(out_rows, type=field.type)
+                elif kind == "nulvec":
+                    # NULL COMPONENTS inside otherwise-valid vectors
+                    # (r13): the whole-vector NULL shape is probed
+                    # since r07, but a component-level NULL reaches a
+                    # different fork — Spark's aggregate() lambda sum
+                    # NULL-poisons (a + NULL = NULL ⇒ NULL norm)
+                    # while DuckDB's list_aggregate('sum') IGNORES
+                    # NULLs (partial norm over the non-NULL words).
+                    # Same mutation pattern as nanvec: ~1/4 of the
+                    # selected rows' components become NULL.
+                    if not (
+                        pa.types.is_list(field.type)
+                        and pa.types.is_floating(field.type.value_type)
+                    ):
+                        raise SystemExit(
+                            f"--extval {kind} needs a list<float> column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    rows = tbl.column(ec).to_pylist()
+                    out_rows = []
+                    for ri, (hit, vec) in enumerate(zip(emask, rows)):
+                        if not hit or vec is None:
+                            out_rows.append(vec)
+                            continue
+                        k = int(ekeys[ri])
+                        out_rows.append(
+                            [
+                                None if (k * 31 + i) % 4 == 0 else v
+                                for i, v in enumerate(vec)
+                            ]
+                        )
+                    mutated = pa.array(out_rows, type=field.type)
                 elif kind in ("nanvec", "hugevec", "bigvec"):
                     # corrupt-encoder shapes on the list<float> axis
                     # no scalar kind reaches. nanvec: in selected
@@ -576,7 +608,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -743,7 +775,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
