@@ -76,6 +76,25 @@ must agree on NULL placement, where Spark sorts NULLS FIRST and
 DuckDB NULLS LAST. Filtering at the shared single-text substrate
 makes every obs consumer NULL-symmetric by construction; the driver
 testdata is NULL-free, so stock results are unchanged.
+
+Signed-zero canonicalization (r13 negzero probe): a ``-0.0`` reading
+is the SAME physical measurement as ``0.0`` — the sign bit is an
+encoding accident of the upstream serializer — but it is the one
+in-band double the engines' scalar pipelines disagree on: Spark's
+``floor(double)`` returns BIGINT (the -0 sign is lost and the
+subsequent IEEE ``-0.0 - 0`` yields ``-0.0``) while DuckDB's floor
+returns DOUBLE (``-0.0 - (-0.0)`` yields ``+0.0``), so the
+``x - floor(x/k)*k`` bucketing family forks on the sign bit and the
+divergence SURVIVES to emitted raw doubles (seven weather/stream
+consumers in the finding run); DuckDB's DOUBLE min/max over mixed
+signed zeros is additionally first-seen — order-dependent, i.e.
+nondeterministic at scale. Unlike the corrupt classes above this is
+VALID data, so it is CANONICALIZED on ingest rather than
+quarantined: ``CASE WHEN value = 0.0 THEN 0.0 ELSE value END``
+(IEEE equality is sign-blind on both engines, so exactly the two
+signed zeros take the THEN branch; the explicit CASE — not
+``value + 0.0`` — is immune to an optimizer folding the identity
+away).
 """
 
 from __future__ import annotations
@@ -102,7 +121,9 @@ OBS_TIME_MAX = "2100-01-01 00:00:00"
 
 OBS_SQL = f"""
 WITH ev AS (
-  SELECT ts, event_id AS obs_id, event_type, value,
+  SELECT ts, event_id AS obs_id, event_type,
+         CASE WHEN value = 0.0 THEN 0.0
+              ELSE value END                         AS value,
          CAST(user_id % 4 AS STRING)                 AS station_id,
          CAST(ts AS DATE)                            AS day,
          CASE WHEN event_type = 'click'

@@ -1340,6 +1340,57 @@ def test_vecbattery_slice_parity(qid, spark, vecbattery_dir):
         con.close()
 
 
+# IEEE -0.0 (--extval negzero): the one IN-BAND double the engines'
+# scalar pipelines disagree on. The r13 FINDING run
+# (artifacts/FUZZPARITY_r13_extnegzero_FINDING.md) showed the
+# dialect-common bucketing expression x - floor(x/k)*k forks on the
+# sign bit (Spark's floor->BIGINT loses -0, the final IEEE -0.0 - 0
+# keeps it; DuckDB's floor->DOUBLE makes -0.0 - (-0.0) = +0.0), and
+# the divergence survives to the seven obs consumers that emit raw
+# doubles; DuckDB's DOUBLE min/max over mixed signed zeros is
+# additionally first-seen (order-dependent). Valid data -> the obs
+# substrate CANONICALIZES (-0.0 -> 0.0 via the sign-blind equality
+# CASE) rather than quarantines. This slice pins the canonicalization
+# on the failing consumers + the fixed-point control families.
+NEGZERO_QIDS = (
+    "q_fn_mast_corr",       # raw windspeed_ms emission (found)
+    "q_fn_units",           # WOW payload chain (found)
+    "q_fn_winddir",         # calm-branch + raw speed (found)
+    "q_src_json_rest",      # full observation record (found)
+    "q_stream_join",        # stream machines replay the obs snapshot
+    "q_stream_sliding",     # (found x3)
+    "q_stream_static_join",
+    "q_rain_daily_delta",   # rain counter: floor-cast control
+    "q_agg_stats",          # fixed-point money family control
+    "q_dq_checks",          # -0.0 is VALID: zero violations counted
+)
+
+
+@pytest.fixture(scope="module")
+def negzero_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={
+            ("events", "value", "negzero"): 200,
+            ("lineitem", "l_discount", "negzero"): 150,
+            ("lineitem", "l_extendedprice", "negzero"): 150,
+            ("orders", "o_totalprice", "negzero"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", NEGZERO_QIDS)
+def test_negzero_slice_parity(qid, spark, negzero_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(negzero_dir)
+    try:
+        assert compare(spark, con, fn, sql, negzero_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

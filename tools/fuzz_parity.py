@@ -322,7 +322,7 @@ def materialize_slice(
                 )
                 idx = tbl.schema.get_field_index(ec)
                 field = tbl.schema.field(idx)
-                if kind in ("nan", "inf", "neginf", "zero"):
+                if kind in ("nan", "inf", "neginf", "zero", "negzero"):
                     if not pa.types.is_floating(field.type):
                         raise SystemExit(
                             f"--extval {kind} needs a float column, "
@@ -333,6 +333,13 @@ def materialize_slice(
                         "inf": float("inf"),
                         "neginf": float("-inf"),
                         "zero": 0.0,
+                        # negzero (r13): IEEE -0.0 — compares equal
+                        # to +0.0 but carries a distinct bit pattern,
+                        # probing the engines' float-key
+                        # normalization (Spark normalizes -0.0 in
+                        # group/join keys; a hash- or format-level
+                        # fork elsewhere would be silent)
+                        "negzero": -0.0,
                     }[kind]
                     mutated = pc.if_else(
                         pa.array(~emask),
@@ -608,7 +615,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|negzero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -775,7 +782,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|negzero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
