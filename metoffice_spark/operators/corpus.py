@@ -578,8 +578,13 @@ est AS (
   SELECT so.doc_id AS doc_a,
          CAST(1000000 * len(list_filter(range(1, {_N_MINHASH} + 1),
               i -> so.mh[i] = sp.mh[i])) AS BIGINT) // {_N_MINHASH} AS est_fp
+  -- sp.doc_id >= 100000 mirrors the Spark plant branch filter
+  -- (r13 idneg probe): without it a NEGATIVE orig id pairs
+  -- arithmetically with a REAL sub-100000 document that the Spark
+  -- side's plant_m (doc_id >= 100000) never admits
   FROM sigs so JOIN sigs sp ON sp.doc_id = so.doc_id + 100000
   WHERE so.doc_id % 25 = 0 AND so.doc_id < 100000
+    AND sp.doc_id >= 100000
 ),
 exact AS (
   SELECT o.doc_id AS doc_a, p.doc_id AS doc_b,
@@ -588,6 +593,7 @@ exact AS (
            AS exact_fp
   FROM shingled o JOIN shingled p ON p.doc_id = o.doc_id + 100000
   WHERE o.doc_id % 25 = 0 AND o.doc_id < 100000
+    AND p.doc_id >= 100000
 )
 SELECT e.doc_a, e.doc_b, s.est_fp, e.exact_fp,
        CAST(abs(s.est_fp - e.exact_fp) AS BIGINT) AS err_fp

@@ -1415,7 +1415,13 @@ SELECT doc_id,
        CAST(COALESCE(list_aggregate(v, 'max'), 0) AS INT) AS px_max,
        CAST(1000000 * len(list_filter(v, x -> x < {_DARK_CUTOFF}))
             // greatest(n, 1) AS BIGINT) AS dark_frac_fp,
-       CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id % 24) + 1 ELSE 1 END AS INT)
+       -- fmt-conditioned pmod (r13 idneg probe): the decode kernel's
+       -- pandas `doc_id % 24` is Python FLOOR-mod — already [0,24)
+       -- for any sign — while the old `doc_id % 3 = 2` truncated-mod
+       -- condition missed the negative video residues (-1/-2) that
+       -- the fmt CASE's ELSE branch routes to 'video'
+       CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 3 = 1 THEN 1
+                 ELSE ((doc_id % 24) + 24) % 24 + 1 END AS INT)
          AS n_frames
 FROM px
 """

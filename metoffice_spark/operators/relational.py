@@ -1093,8 +1093,15 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r09 null-id probe) — NULL % N is NULL, and a NULL salt key
     # silently drops the row from the inner equi-join the salt is
     # supposed to be TRANSPARENT to (the oracle is the unsalted join).
+    # pmod, not % (r13 idneg probe): a NEGATIVE obs_id under
+    # truncated % lands in salts -7..-1, which the replicated dim
+    # (salts 0..N-1) never carries — the same silent-drop violation
+    # of salt transparency, on the sign axis.
     salted_fact = obs.withColumn(
-        "salt", F.coalesce((F.col("obs_id") % _N_SALTS).cast("int"), F.lit(0))
+        "salt",
+        F.coalesce(
+            F.pmod(F.col("obs_id"), F.lit(_N_SALTS)).cast("int"), F.lit(0)
+        ),
     )
     salted_dim = dim.crossJoin(
         spark.range(_N_SALTS).select(F.col("id").cast("int").alias("salt"))

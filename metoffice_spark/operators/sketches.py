@@ -406,12 +406,24 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     used, and the count(DISTINCT) audit."""
     spark = tune(spark)
     ev = load(spark, sf_dir, "events")
+    # Sign-correct decomposition (r13 idneg probe): ids are opaque
+    # SIGNED words, and the naive (id div 32, id % 32) splits them
+    # with truncation — a negative id yields a NEGATIVE bit position,
+    # where the engines fork loudly (DuckDB `<<` raises on a negative
+    # shift; Java's shiftleft masks the shift amount and answers
+    # garbage). The floor-division pair below — non-negative bit via
+    # pmod, word index from the exactly-divisible remainder-free
+    # numerator (truncation == floor there) — is total over int64.
     words = (
         ev.select(
             "event_type",
-            F.expr("cast(user_id div 32 as int)").alias("word_idx"),
-            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
-            .alias("bit"),
+            F.expr(
+                "cast((user_id - ((user_id % 32) + 32) % 32) div 32 as bigint)"
+            ).alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint),"
+                " cast(((user_id % 32) + 32) % 32 as int))"
+            ).alias("bit"),
         )
         .groupBy("event_type", "word_idx")
         .agg(F.expr("bit_or(bit)").alias("word"))
@@ -434,9 +446,15 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_BITMAP = """
 WITH words AS (
-  SELECT event_type, CAST(user_id // 32 AS INT) AS word_idx,
-         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS word
-  FROM events GROUP BY event_type, CAST(user_id // 32 AS INT)
+  -- sign-correct (r13 idneg): pmod bit + floor-div word, see builder
+  SELECT event_type,
+         CAST((user_id - ((user_id % 32) + 32) % 32) // 32 AS BIGINT)
+           AS word_idx,
+         bit_or(CAST(1 AS BIGINT)
+                << CAST(((user_id % 32) + 32) % 32 AS INT)) AS word
+  FROM events
+  GROUP BY event_type,
+           CAST((user_id - ((user_id % 32) + 32) % 32) // 32 AS BIGINT)
 ),
 counts AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,

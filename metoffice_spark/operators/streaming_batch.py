@@ -778,7 +778,11 @@ def q_stream_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all three plain `% 3 == k` predicates and silently vanishes from
     # the replay; bucketing NULL ids into batch 2 keeps every
     # observation delivered exactly once.
-    bucket3 = F.coalesce(F.col("obs_id") % 3, F.lit(2))
+    # pmod, not % (r13 idneg probe): truncated % sends a NEGATIVE
+    # obs_id to bucket -1/-2, which matches NONE of the three split
+    # predicates — the same silent-nondelivery class as the NULL id,
+    # on the sign axis; pmod makes the split exhaustive over int64.
+    bucket3 = F.coalesce(F.pmod(F.col("obs_id"), F.lit(3)), F.lit(2))
     input_dir, root = _replay(
         spark,
         sf_dir,
@@ -868,7 +872,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     # coalesce: exhaustive batch split under NULL obs_id (r09 null-id
     # probe; same class as q_stream_cagg / the r08 q_incr_agg split).
-    bucket3 = F.coalesce(F.col("obs_id") % 3, F.lit(2))
+    # pmod, not % (r13 idneg probe): truncated % sends a NEGATIVE
+    # obs_id to bucket -1/-2, which matches NONE of the three split
+    # predicates — the same silent-nondelivery class as the NULL id,
+    # on the sign axis; pmod makes the split exhaustive over int64.
+    bucket3 = F.coalesce(F.pmod(F.col("obs_id"), F.lit(3)), F.lit(2))
     input_dir, root = _replay(
         spark,
         sf_dir,

@@ -1391,6 +1391,56 @@ def test_negzero_slice_parity(qid, spark, negzero_dir):
         con.close()
 
 
+# NEGATIVE ids (--extval idneg): ids are opaque signed int64 words.
+# The r13 FINDING run (artifacts/FUZZPARITY_r13_extidneg_FINDING.md)
+# found FIVE distinct mechanisms in 6 qids: a negative-shift bitmap
+# (DuckDB raises, Java masks — fixed with the pmod/floor-div pair), a
+# salt domain the replicated dim never carries (silent row drop —
+# F.pmod), an oracle pairing negative orig ids with real documents by
+# unguarded arithmetic (plant-side floor added), a Python floor-mod
+# vs SQL truncated-mod frame-count fork (fmt-conditioned pmod in the
+# oracle), and a non-exhaustive 3-way replay split dropping negative
+# residues (F.pmod — the r09 NULL-id exactly-once lesson on the sign
+# axis). This slice pins all five + the symmetric-by-text
+# q_stream_join split and the dq substrate.
+IDNEG_QIDS = (
+    "q_agg_bitmap_distinct",
+    "q_join_salted",
+    "q_minhash_est_audit",
+    "q_multimodal_decode",
+    "q_stream_cagg",
+    "q_stream_static_join",
+    "q_stream_join",
+    "q_dq_checks",
+)
+
+
+@pytest.fixture(scope="module")
+def idneg_dir(sf_smoke):
+    return materialize_slice(
+        sf_smoke,
+        seed=13,
+        keep_permille=700,
+        extval={
+            ("events", "event_id", "idneg"): 150,
+            ("events", "user_id", "idneg"): 150,
+            ("documents", "doc_id", "idneg"): 150,
+            ("embeddings", "vec_id", "idneg"): 150,
+            ("lineitem", "l_suppkey", "idneg"): 150,
+        },
+    )
+
+
+@pytest.mark.parametrize("qid", IDNEG_QIDS)
+def test_idneg_slice_parity(qid, spark, idneg_dir):
+    fn, sql = REG[qid]
+    con = connect_oracle(idneg_dir)
+    try:
+        assert compare(spark, con, fn, sql, idneg_dir) == []
+    finally:
+        con.close()
+
+
 # The composed extreme battery: extval axes on FOUR tables at once,
 # stacked on the r10 dup/NULL/scramble stress axes. Three finds the
 # single-axis extval runs missed: q_gini_spend and q_lorenz_curve's

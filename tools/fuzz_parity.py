@@ -422,6 +422,27 @@ def materialize_slice(
                         else:
                             out_rows.append([])  # empty vector
                     mutated = pa.array(out_rows, type=field.type)
+                elif kind == "idneg":
+                    # NEGATIVE ids (r13): ids are opaque int words —
+                    # nothing entitles an operator to assume a sign.
+                    # Negating a slice of them probes every id
+                    # arithmetic site at once: modulo-derived
+                    # stations/sectors/shards (both engines keep the
+                    # dividend sign), truncating integer division
+                    # (Spark `div` and DuckDB `//` both truncate
+                    # toward zero — micro-probed), hash masks, and
+                    # FK joins (a negated key simply stops matching,
+                    # identically on both engines).
+                    if not pa.types.is_integer(field.type):
+                        raise SystemExit(
+                            f"--extval idneg needs an int column, "
+                            f"{t}.{ec} is {field.type}"
+                        )
+                    mutated = pc.if_else(
+                        pa.array(~emask),
+                        tbl.column(ec),
+                        pc.negate_checked(tbl.column(ec)),
+                    )
                 elif kind == "nulvec":
                     # NULL COMPONENTS inside otherwise-valid vectors
                     # (r13): the whole-vector NULL shape is probed
@@ -615,7 +636,7 @@ def materialize_slice(
                 else:
                     raise SystemExit(
                         f"--extval: unknown kind {kind!r}; want one of "
-                        "nan|inf|neginf|neg|zero|negzero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
+                        "nan|inf|neginf|neg|zero|negzero|idneg|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode"
                     )
                 tbl = tbl.set_column(idx, field, mutated)
         # hash the key column ONCE before any nullify mutation: a
@@ -782,7 +803,7 @@ if __name__ == "__main__":
             sys.exit(
                 f"bad --extval spec {spec!r}; "
                 "want table.column.kind=permille "
-                "(kind: nan|inf|neginf|neg|zero|negzero|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
+                "(kind: nan|inf|neginf|neg|zero|negzero|idneg|huge|empty|blank|nanvec|hugevec|bigvec|dimvec|nulvec|epoch0|tsfar|tshorizon|tshorizon_out|unicode)"
             )
         extval[(parts[0], parts[1], parts[2])] = int(p)
     use_nullprobe = "--nullprobe" in args
