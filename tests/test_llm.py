@@ -80,7 +80,10 @@ def test_sim_search_self_similarity_is_one(spark):
     """cos(v, v) == 1.0 exactly in the fixed-point formulation."""
     from metoffice_spark.operators.llm import NORM2_SPARK, _cos_spark, _ivec_spark
 
-    df = spark.createDataFrame([(1, [0.5, -0.25, 0.125])], "id long, embedding array<float>")
+    # a full 64-dim vector: _ivec quarantines any other dimension to
+    # NULL by design (the r13 dimvec probe — EMB_DIM_SQL)
+    vec = ([0.5, -0.25, 0.125] * 22)[:64]
+    df = spark.createDataFrame([(1, vec)], "id long, embedding array<float>")
     base = df.select(F.expr(_ivec_spark("embedding")).alias("v")).withColumn(
         "n2", F.expr(NORM2_SPARK.format(v="v"))
     )
