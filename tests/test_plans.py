@@ -298,12 +298,13 @@ def test_cms_shuffles_cells_not_events(spark, sf_smoke):
 def test_dq_checks_one_scan_per_table(spark, sf_smoke):
     """The check suite must share scans: exactly one FileScan per
     checked table (lineitem, orders, customer, documents since the
-    r09 corpus-contract checks, and events since the r12 money-domain
-    checks), never one per check."""
+    r09 corpus-contract checks, events since the r12 money-domain
+    checks, and embeddings since the r13 vector-consumability check),
+    never one per check."""
     from metoffice_spark.operators.quality import q_dq_checks
 
     plan = _plan(q_dq_checks(spark, sf_smoke))
-    assert plan.count("FileScan") == 5, plan.count("FileScan")
+    assert plan.count("FileScan") == 6, plan.count("FileScan")
 
 
 def test_pit_join_is_union_window_not_bnlj(spark, sf_smoke):

@@ -140,8 +140,9 @@ def test_dq_checks_all_pass_on_clean_data(spark, sf_smoke):
     # +3 in r09 (documents corpus-contract checks), +2 in r10 (the
     # finite-money domain checks of the extreme-value contract),
     # +4 in r12 (the huge-finite fits_fixed_point checks for the
-    # lineitem/orders/events money domains, plus events_value_finite)
-    assert len(rows) == 14
+    # lineitem/orders/events money domains, plus events_value_finite),
+    # +1 in r13 (embeddings_vector_consumable)
+    assert len(rows) == 15
     assert all(r["pass"] and r["n_violations"] == 0 for r in rows)
 
 
