@@ -480,8 +480,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_init = _PR_BASE // max(nodes.count(), 1)
     r = nodes.select("node", F.lit(r_init).cast("bigint").alias("rank_fp"))
     for _ in range(_PR_ROUNDS):
+        # r13 optimization round: BROADCAST the |V|-bounded rank side
+        # (the q_graph_bfs frontier discipline — guide §3.1). The
+        # sort-merge form re-sorted the cached 2|E| edge relation
+        # EVERY round (ed is hash-partitioned on src but unsorted);
+        # the broadcast hash join probes the cached partitions in
+        # place, so a round costs one small broadcast + the dst
+        # aggregate instead of a full |E| sort. When |V| outgrows the
+        # broadcast threshold (~1e8 nodes), drop the hint and the
+        # join falls back to the persisted src partitioning (only the
+        # rank side moves) — the documented BFS fallback, unchanged.
         insum = (
-            r.join(ed, r.node == ed.src)
+            F.broadcast(r).join(ed, r.node == ed.src)
             .groupBy("dst")
             .agg(F.sum(F.expr("div(rank_fp, outdeg)")).alias("in_sum"))
         )

@@ -21,6 +21,22 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r13 optimization round (guide §6): the driver tables ship as ONE
+    # parquet file each (2-11 MB at sf0.1), and the default
+    # openCostInBytes=4 MB floors the computed split size at 4 MB —
+    # every scan degenerates to 1-3 tasks REGARDLESS of core count
+    # (measured: lineitem scans as 3 partitions on local[32]; the
+    # plain orders⋈lineitem noop is ~20 % faster once the scan splits
+    # 32 ways). 128 KB keeps scan parallelism adaptive to
+    # spark.sql.files.minPartitionNum (= default parallelism = the
+    # core count), which is also what the driver's low-core bench rep
+    # should see. At the 100 TB design point files are 128 MB-1 GB, so
+    # the split size is governed by maxPartitionBytes and this knob is
+    # inert; it only matters for the small-file tail, where a lower
+    # open-cost charge packs fewer tiny files per task — more
+    # parallelism at a slightly higher task count, the right trade on
+    # a large cluster too.
+    "spark.sql.files.openCostInBytes": "131072",
 }
 
 
