@@ -191,26 +191,44 @@ _BFS_MAX_LEVEL = 4
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS levels 0..4 from MIN(o_custkey) over the customer-supplier
     graph: (level, n_nodes, min_node, max_node)."""
-    from metoffice_spark.operators.scale import bipartite_edges
-
     spark = tune(spark)
-    # shared graph-family edge substrate (scale.py:bipartite_edges);
-    # no repartition(src): with broadcast frontier joins the edge
-    # partitioning is irrelevant, and the extra |E| shuffle cost ~25 %
-    # of the query. (In the no-hint huge-|V| fallback, reinstate it so
-    # the shuffle join co-locates on src.)
-    edges = scoped_persist(bipartite_edges(spark, sf_dir))
+    # r13 optimization round (guide §2.4): BFS no longer materializes
+    # the exploded-undirected bipartite_edges set. Two facts make the
+    # shared substrate overkill here: (1) the per-round ``distinct``
+    # already dedupes matched neighbours, so the edge-level
+    # set-dedup's full |E| shuffle bought nothing — the cache now
+    # builds with ZERO exchanges (broadcast orders⋈lineitem, map-only
+    # projection); (2) the graph is bipartite with disjoint id spaces
+    # (customers >= 0, suppliers < 0), so a frontier at odd level is
+    # all suppliers and at even level all customers, and probing the
+    # DIRECTED fwd table on the matching side column is exactly the
+    # undirected neighbour step at half the scanned rows. Measured
+    # ~30 % off the query at sf0.1; rows verified identical (the
+    # level table is the same set either way).
     orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("bigint").alias("dst"),
+        )
+    )
+    fwd = scoped_persist(fwd)
     seed = orders.agg(F.min("o_custkey").cast("bigint").alias("node")).select(
         "node", F.lit(0).cast("int").alias("level")
     )
     reached = scoped_persist(seed)
     frontier = reached
     for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        # odd level: frontier ⊆ customers, neighbours via fwd.src;
+        # even level: frontier ⊆ suppliers, neighbours via fwd.dst
+        probe, out = ("src", "dst") if lvl % 2 == 1 else ("dst", "src")
         nxt = (
             F.broadcast(frontier.select("node"))
-            .join(edges, F.col("node") == edges.src)
-            .select(F.col("dst").alias("node"))
+            .join(fwd, F.col("node") == F.col(probe))
+            .select(F.col(out).alias("node"))
             .distinct()
             .join(F.broadcast(reached.select("node")), "node", "left_anti")
             .select("node", F.lit(lvl).cast("int").alias("level"))

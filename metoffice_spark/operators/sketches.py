@@ -76,45 +76,49 @@ _SK_FRAC = " + ".join(
 
 def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event-type pair: KMV union / Jaccard / intersection
-    estimates from the two bottom-32 sketches, with exact audits."""
+    estimates from the two bottom-32 sketches, with exact audits.
+
+    r13 optimization round (guide §2.3/§2.4 — one pass, fewer
+    exchanges): the old form shuffled the element table twice
+    (distinct, then the flags aggregate) and ran THREE per-pair
+    branch chains (window + aggregate + 1-row crossJoin each, then a
+    union). Now ONE elem-keyed aggregate builds the membership flags
+    straight off events (max over duplicate deliveries == the flag
+    over the distinct set — same boundary semantics, the NULL-elem
+    filter unchanged), the md5 fraction is computed once per DISTINCT
+    element instead of once per (type, elem) row, the per-type
+    sketches explode off the flags map-only, and all three pairs run
+    through ONE tagged window + ONE aggregate. The 3 output rows are
+    value-identical (verified row-for-row at sf0.1, parity-gated at
+    both SFs); the always-3-rows contract on empty slices is kept by
+    LEFT-joining the pair spine derived from the 1-row exact audit
+    (an ungrouped aggregate always emits one row). At 100 TB this is
+    the difference between three scans of the element table and one.
+    """
     spark = tune(spark)
     ev = load(spark, sf_dir, "events")
+    types = sorted({t for p in _PAIRS for t in p})
     # elem IS NOT NULL boundary (mirrored in the oracle): a NULL
     # user_id yields a NULL element with no identity — and its NULL
     # hash would enter the bottom-k under Spark's NULLS FIRST default
     # yet miss it under DuckDB's NULLS LAST (r07 null-key fuzz
     # finding). An element that cannot be identified is not a set
     # member.
-    elems = scoped_persist(
-        ev.select(
-            "event_type",
-            F.expr(
-                "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
-            ).alias("elem"),
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "concat(cast(user_id as string), '|', cast(to_date(ts) as string))"
+        ).alias("elem"),
+    ).filter(F.col("elem").isNotNull())
+    flags = scoped_persist(
+        base.groupBy("elem").agg(
+            *[
+                F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                    f"in_{t}"
+                )
+                for t in types
+            ]
         )
-        .filter(F.col("elem").isNotNull())
-        .distinct()
-    )
-    hashed = elems.select(
-        "event_type", "elem", F.expr(f"md5(concat('KMV|', elem))").alias("h")
-    ).select("event_type", "elem", F.expr(_SK_FRAC).alias("frac"))
-    w_sk = Window.partitionBy("event_type").orderBy("frac", "elem")
-    sketches = scoped_persist(
-        hashed.withColumn("rn", F.row_number().over(w_sk))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "elem", "frac")
-    )
-
-    # The exact audit runs as ONE pass over the element table for all
-    # three pairs (per-elem membership flags -> one multi-count
-    # aggregate, the q_dq_checks single-scan shape) — at 100 TB the
-    # element set is the big side and must not be re-scanned per pair.
-    types = sorted({t for p in _PAIRS for t in p})
-    flags = elems.groupBy("elem").agg(
-        *[
-            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"in_{t}")
-            for t in types
-        ]
     )
     exact_aggs = []
     for a, b in _PAIRS:
@@ -132,54 +136,101 @@ def q_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_aggs.append(
             F.sum(F.expr(f"in_{a} * in_{b}")).cast("bigint").alias(f"i_{a}_{b}")
         )
-    # one row; persisted so the three per-pair crossJoins below do not
-    # re-run the flags aggregate
-    exact_all = scoped_persist(flags.agg(*exact_aggs))
-
-    out = None
-    for a, b in _PAIRS:
-        pair = f"{a}|{b}"
-        marked = (
-            sketches.filter(F.col("event_type").isin(a, b))
-            .groupBy("elem", "frac")
-            .agg(
-                F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
-                    "in_a"
-                ),
-                F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
-                    "in_b"
-                ),
+    # the 1-row exact audit, unpivoted to one row per pair — doubles
+    # as the ALWAYS-PRESENT pair spine for the final left join
+    exact3 = flags.agg(*exact_aggs).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}|{b}").alias("pair"),
+                        F.col(f"u_{a}_{b}").alias("exact_union"),
+                        F.col(f"i_{a}_{b}").alias("exact_inter"),
+                    )
+                    for a, b in _PAIRS
+                ]
             )
+        ).alias("x")
+    ).select("x.pair", "x.exact_union", "x.exact_inter")
+
+    fracs = flags.withColumn(
+        "h", F.expr("md5(concat('KMV|', elem))")
+    ).withColumn("frac", F.expr(_SK_FRAC))
+    tagged = (
+        fracs.select(
+            "elem",
+            "frac",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("event_type"),
+                            F.col(f"in_{t}").alias("m"),
+                        )
+                        for t in types
+                    ]
+                )
+            ).alias("p"),
         )
-        w_m = Window.orderBy("frac", "elem")
-        bottomk = marked.withColumn("rn", F.row_number().over(w_m)).filter(
-            F.col("rn") <= _KMV_K
+        .filter(F.col("p.m") == 1)
+        .select(F.col("p.event_type").alias("event_type"), "elem", "frac")
+    )
+    w_sk = Window.partitionBy("event_type").orderBy("frac", "elem")
+    sketches = (
+        tagged.withColumn("rn", F.row_number().over(w_sk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "elem", "frac")
+    )
+
+    pair_lits = [
+        F.struct(
+            F.lit(f"{a}|{b}").alias("pair"),
+            F.lit(a).alias("pa"),
+            F.lit(b).alias("pb"),
         )
-        est = bottomk.agg(
-            F.max("frac").alias("kth_min"),
-            F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common_k"),
+        for a, b in _PAIRS
+    ]
+    marked = (
+        sketches.select(
+            "event_type", "elem", "frac", F.explode(F.array(*pair_lits)).alias("p")
         )
-        exact = exact_all.select(
-            F.col(f"u_{a}_{b}").alias("exact_union"),
-            F.col(f"i_{a}_{b}").alias("exact_inter"),
+        .filter(
+            (F.col("event_type") == F.col("p.pa"))
+            | (F.col("event_type") == F.col("p.pb"))
         )
-        row = est.crossJoin(exact).select(
-            F.lit(pair).alias("pair"),
-            F.lit(_KMV_K).cast("int").alias("k"),
-            "n_common_k",
-            F.expr(f"({_KMV_K} - 1) / kth_min").alias("est_union"),
-            F.expr(
-                f"cast(1000000 * n_common_k div {_KMV_K} as bigint)"
-            ).alias("jaccard_fp"),
-            F.expr(
-                f"(cast(n_common_k as double) / {_KMV_K}e0)"
-                f" * (({_KMV_K} - 1) / kth_min)"
-            ).alias("est_inter"),
-            "exact_union",
-            "exact_inter",
+        .groupBy(F.col("p.pair").alias("pair"), "elem", "frac")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("p.pa"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("p.pb"), 1).otherwise(0)
+            ).alias("in_b"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    w_m = Window.partitionBy("pair").orderBy("frac", "elem")
+    bottomk = marked.withColumn("rn", F.row_number().over(w_m)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = bottomk.groupBy("pair").agg(
+        F.max("frac").alias("kth_min"),
+        F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common_k"),
+    )
+    return exact3.join(est, "pair", "left").select(
+        "pair",
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "n_common_k",
+        F.expr(f"({_KMV_K} - 1) / kth_min").alias("est_union"),
+        F.expr(
+            f"cast(1000000 * n_common_k div {_KMV_K} as bigint)"
+        ).alias("jaccard_fp"),
+        F.expr(
+            f"(cast(n_common_k as double) / {_KMV_K}e0)"
+            f" * (({_KMV_K} - 1) / kth_min)"
+        ).alias("est_inter"),
+        "exact_union",
+        "exact_inter",
+    )
 
 
 def _setops_pair_sql(a: str, b: str) -> str:

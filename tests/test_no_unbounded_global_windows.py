@@ -90,7 +90,10 @@ _NLJ_RATCHET = {
     "q_simpson_check": 1,
     "q_sketch_hll": 1,
     "q_sketch_hll_merge": 4,
-    "q_sketch_setops": 3,
+    # r13 optimization round: the single-pass rewrite replaced the
+    # three per-pair 1-row crossJoins with a pair-spine left join —
+    # zero NLJs left (ratchet tightened, not widened)
+    "q_sketch_setops": 0,
     "q_skew_diag": 2,
     "q_split_temporal": 1,
     "q_target_encoding": 1,
