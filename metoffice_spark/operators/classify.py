@@ -320,10 +320,18 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+md5 work off the scan's few input partitions.
     from metoffice_spark.operators.llm import _spread
 
-    doc_spans = _spread(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_spans_spark()))).alias("sh"),
-    ).distinct()
+    doc_spans = (
+        _spread(docs.select("doc_id", "text"), "doc_id")
+        # tokenize ONCE into a column: the span builder's transform()
+        # lambda is interpreted, so an inlined tokenizer re-splits the
+        # document per span index (r13 finding, see _spans_spark)
+        .select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_spans_spark()))).alias("sh"),
+        )
+        .distinct()
+    )
     w_sh = Window.partitionBy("sh")
     per_doc = (
         doc_spans.withColumn("n_docs_span", F.count(F.lit(1)).over(w_sh))
@@ -549,7 +557,15 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim_fp"),
         )
     )
-    picked = (
+    # r13 optimization round: persist each round's 1-row pick. The
+    # selection loop references `picked` TWICE per round (the
+    # remaining-candidates anti-join and the picked-similarity
+    # semi-join) and unions it forward, so the unpersisted lineage
+    # doubled per round — round K re-executed round 1's subtree
+    # ~2^(K-1) times (measured 9-21 s at sf0.1; ~1.5 s persisted).
+    # Same per-level persist discipline as the BFS frontier; the
+    # cached frames are single rows.
+    picked = scoped_persist(
         cands.orderBy(F.col("rel_fp").desc(), F.col("doc_id").asc())
         .limit(1)
         .select(
@@ -579,7 +595,9 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("mmr_fp").desc(), F.col("doc_id").asc())
             .limit(1)
         )
-        picked = picked.unionByName(nxt)
+        # union of ALREADY-persisted 1-row frames (the BFS pattern) —
+        # persisting the union would re-materialize every level
+        picked = picked.unionByName(scoped_persist(nxt))
     return picked
 
 

@@ -66,12 +66,16 @@ QUERIES: dict = {}
 # V and the doc count are setup scalars (llm.py discipline).
 
 
-def _bigrams_spark() -> str:
-    t = TOKS_SPARK
+def _bigrams_spark(col: str = "toks") -> str:
+    # r13 optimization round: takes a MATERIALIZED token-array column.
+    # transform() lambdas are interpreted per element, so inlining
+    # TOKS_SPARK here re-ran split+filter over the whole document for
+    # every bigram index — O(tokens²) per document (the
+    # q_repetition_ngram finding: 13 s → 1.1 s once tokenized once).
     return (
-        f"case when size({t}) < 2 then array()"
-        f" else transform(sequence(1, size({t}) - 1),"
-        f" i -> concat_ws(' ', {t}[i - 1], {t}[i])) end"
+        f"case when size({col}) < 2 then array()"
+        f" else transform(sequence(1, size({col}) - 1),"
+        f" i -> concat_ws(' ', {col}[i - 1], {col}[i])) end"
     )
 
 
@@ -92,7 +96,8 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(doc, bigram) counts: the partial-aggregated substrate both
     # the model AND the scoring pass derive from (one tokenize).
     db = scoped_persist(
-        docs.select("doc_id", F.explode(F.expr(_bigrams_spark())).alias("bg"))
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_bigrams_spark())).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -176,11 +181,12 @@ QUERIES["q_lm_bigram_score"] = (q_lm_bigram_score, ORACLE_LM_BIGRAM)
 # aggregate; the shuffle key is (doc_id, gram-string); nothing is
 # corpus-global, so the operator is embarrassingly parallel per doc.
 
+# On a materialized `toks` column — see _bigrams_spark for why the
+# tokenizer must never be inlined into the transform() lambda.
 _REP_GRAMS_SPARK = (
-    f"case when size({TOKS_SPARK}) < 3 then array()"
-    f" else transform(sequence(1, size({TOKS_SPARK}) - 2),"
-    f" i -> concat_ws(' ', ({TOKS_SPARK})[i - 1], ({TOKS_SPARK})[i],"
-    f" ({TOKS_SPARK})[i + 1])) end"
+    "case when size(toks) < 3 then array()"
+    " else transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) end"
 )
 
 _REP_GRAMS_DUCK = (
@@ -196,7 +202,8 @@ def q_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     docs = load(spark, sf_dir, "documents")
     per_gram = (
-        docs.select("doc_id", F.explode(F.expr(_REP_GRAMS_SPARK)).alias("g"))
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_REP_GRAMS_SPARK)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )

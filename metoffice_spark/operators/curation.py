@@ -59,14 +59,16 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sequence(1, 0) is DESCENDING in Spark — docs with < 3 tokens must
     # short-circuit to an empty array (the round-3 short-doc guard).
+    # On a materialized `toks` column (r13): the transform() lambda is
+    # interpreted, so inlining the tokenizer re-split the document per
+    # gram index — O(tokens²) per doc (see corpus._bigrams_spark).
     grams_expr = (
-        f"case when size({_TOKS_ARR}) < 3 then array()"
-        f" else transform(sequence(1, size({_TOKS_ARR}) - 2),"
-        f" i -> concat_ws(' ', {_TOKS_ARR}[i - 1], {_TOKS_ARR}[i],"
-        f" {_TOKS_ARR}[i + 1])) end"
+        "case when size(toks) < 3 then array()"
+        " else transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) end"
     )
     grams = scoped_persist(
-        docs.select(
+        docs.select("doc_id", "source", F.expr(_TOKS_ARR).alias("toks")).select(
             "doc_id",
             "source",
             F.explode(F.expr(grams_expr)).alias("phrase"),

@@ -311,8 +311,13 @@ def q_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_b").isNotNull())
     )
-    uni = scoped_persist(_rouge_counts(docs, TOKS_SPARK))
-    bi = scoped_persist(_rouge_counts(docs, _bigrams_spark()))
+    # tokenize ONCE into a column before the bigram builder: its
+    # transform() lambda is interpreted, so an inlined tokenizer
+    # re-splits the document per bigram index (r13 finding, see
+    # corpus._bigrams_spark)
+    toksed = docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+    uni = scoped_persist(_rouge_counts(toksed, "toks"))
+    bi = scoped_persist(_rouge_counts(toksed, _bigrams_spark()))
     ov1, len1 = _rouge_side(pairs, uni, "1")
     ov2, len2 = _rouge_side(pairs, bi, "2")
 

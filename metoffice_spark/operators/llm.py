@@ -1766,12 +1766,17 @@ QUERIES["q_multimodal_framesample"] = (
 _SPAN = 8
 
 
-def _spans_spark() -> str:
-    t = TOKS_SPARK
+def _spans_spark(col: str = "toks") -> str:
+    # r13 optimization round: operates on a MATERIALIZED token-array
+    # column, never the inlined tokenizer. Spark's higher-order
+    # transform() lambda is interpreted per element, so an inlined
+    # TOKS_SPARK here re-ran split+filter over the whole document for
+    # EVERY span index — O(tokens²) per document (the q_repetition_
+    # ngram finding: 13 s → 1.1 s at sf0.1 once tokenized once).
     return (
-        f"case when size({t}) < {_SPAN} then array()"
-        f" else transform(sequence(1, size({t}) div {_SPAN}),"
-        f" i -> md5(concat_ws(' ', slice({t}, (i - 1) * {_SPAN} + 1, {_SPAN}))))"
+        f"case when size({col}) < {_SPAN} then array()"
+        f" else transform(sequence(1, size({col}) div {_SPAN}),"
+        f" i -> md5(concat_ws(' ', slice({col}, (i - 1) * {_SPAN} + 1, {_SPAN}))))"
         f" end"
     )
 
@@ -1826,7 +1831,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _spread(docs.unionByName(excerpts), "doc_id")
     doc_spans = scoped_persist(
-        corpus.select("doc_id", F.explode(F.expr(_spans_spark())).alias("sp"))
+        corpus.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_spans_spark())).alias("sp"))
         .distinct()
     )
     rare = doc_spans.join(

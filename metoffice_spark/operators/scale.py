@@ -885,17 +885,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(F.col("ea").alias("wb"), F.col("eb").alias("wc")), "wb"
         )
     )
-    tris = wedges.join(
-        edges.select(F.col("ea").alias("wa"), F.col("eb").alias("wc")),
-        ["wa", "wc"],
+    # r13 optimization round (guide §2.3): the wedge relation (49M
+    # rows at sf0.1) was traversed TWICE — once for its count, once
+    # joined against edges for the triangle count. One LEFT join gets
+    # both: edges are distinct, so a wedge matches its closing edge at
+    # most once — count(*) is the wedge count, count(hit) the closed
+    # ones. Output verified identical; halves the bytes through the
+    # closure shuffle at any scale.
+    closing = edges.select(
+        F.col("ea").alias("wa"), F.col("eb").alias("wc")
+    ).withColumn("hit", F.lit(1))
+    wt = wedges.join(closing, ["wa", "wc"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.count("hit").cast("bigint").alias("n_triangles"),
     )
     counts = (
         nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges")))
-        .crossJoin(tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+        .crossJoin(wt)
     )
-    return counts.withColumn(
+    return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles").withColumn(
         "closure_fp",
         F.expr(
             "cast(1000000 * n_triangles div greatest(n_wedges, 1) as bigint)"
