@@ -110,7 +110,18 @@ def _replay(
     root = _run_root()
     input_dir = os.path.join(root, "input")
     os.makedirs(input_dir)
-    obs = observations(spark, sf_dir).select(*_OBS_COLS)
+    # r13 optimization round: persist the projected substrate for the
+    # replay setup. A split replay wrote one file PER predicate, each
+    # re-running the full observation derivation (two window chains
+    # over events), and the callers' _replay_max_ts scalar ran it once
+    # more — 4 substrate computations before streaming even started.
+    # The persist is canonically equal to the callers' own
+    # observations(...).select(_OBS_COLS) frames, so CacheManager
+    # serves them all from one entry; it rotates out at the next
+    # builder's tune() like every scoped persist.
+    from metoffice_spark.session import scoped_persist
+
+    obs = scoped_persist(observations(spark, sf_dir).select(*_OBS_COLS))
     if not split_preds:
         _write_file(obs, os.path.join(input_dir, "0000.parquet"), 1_000_000)
     else:
@@ -170,6 +181,14 @@ def _run_to_parquet(stream_df: DataFrame, root: str, mode: str = "append") -> st
 def _replay_max_ts(obs: DataFrame):
     import datetime as _dt
 
+    from metoffice_spark.session import scoped_persist
+
+    # r13: persist before the scalar collect — the callers' obs frame
+    # is canonically equal to the one _replay() persists, so this
+    # materialization is the ONE substrate computation the whole
+    # replay setup pays (max scalar, then every split-file filter all
+    # hit the same cache entry).
+    obs = scoped_persist(obs)
     mx = obs.select(F.max("ts").alias("m")).collect()[0].m  # replay setup only
     return mx if mx is not None else _dt.datetime(1970, 1, 1)
 
