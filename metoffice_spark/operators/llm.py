@@ -1537,18 +1537,32 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.join(labels, adj.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "lbl")
         )
+        # r14 (VERDICT r13 item 4, guide §2.4): convergence detection
+        # FOLDED into the label aggregate. The old form ran TWO jobs
+        # per round — the localCheckpoint materialization, then a
+        # separate new⋈old join (two more exchanges) just to count
+        # changed labels. The union already carries each doc's own
+        # (old) label row, so tagging it lets the same aggregate emit
+        # old_lbl = max(own-tagged lbl) next to the min; chg is then a
+        # per-row flag, and the ONE action below both materializes the
+        # lazy checkpoint and returns the changed count — one job, no
+        # extra shuffle, per round.
         new_labels = (
-            labels.unionByName(neigh)
+            labels.select("doc_id", "lbl", F.lit(True).alias("own"))
+            .unionByName(neigh.select("doc_id", "lbl", F.lit(False).alias("own")))
             .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()  # driver-side convergence check only
-        )
-        labels = new_labels
+            .agg(
+                F.min("lbl").alias("lbl"),
+                (
+                    F.min("lbl")
+                    < F.max(F.when(F.col("own"), F.col("lbl")))
+                ).alias("chg"),
+            )
+        ).localCheckpoint(eager=False)
+        # first action computes every partition → the lazy checkpoint
+        # materializes in the same job that returns the count
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
             break
     else:

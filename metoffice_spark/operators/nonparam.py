@@ -205,6 +205,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undirected neighbour step at half the scanned rows. Measured
     # ~30 % off the query at sf0.1; rows verified identical (the
     # level table is the same set either way).
+    # Cache-size trade (ADVICE r13): fwd persists WITHOUT distinct, so
+    # the cached relation holds one row per orders⋈lineitem match —
+    # it scales with |lineitem|, not |E| (the per-level .distinct()
+    # keeps results identical). At the 100 TB design point, if the
+    # multiplicity blow-up makes |matches| >> |E|, reinstate
+    # .distinct() here (one |E| shuffle buys a |E|-bounded cache) —
+    # the same knob as the documented huge-|V| fallback.
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     fwd = (

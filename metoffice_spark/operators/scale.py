@@ -876,34 +876,67 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("ea"), F.col("pb").alias("eb"))
         .distinct()
     )
-    nodes = edges.select(F.col("ea").alias("n")).union(
-        edges.select(F.col("eb").alias("n"))
-    ).distinct()
-    wedges = (
-        edges.select(F.col("ea").alias("wa"), F.col("eb").alias("wb"))
-        .join(
-            edges.select(F.col("ea").alias("wb"), F.col("eb").alias("wc")), "wb"
+    # r14 optimization round (guide §2.3/§2.4): the wedge relation is
+    # NEVER materialized any more. The r13 form generated all ordered
+    # wedges (edges ⋈ edges on the middle node — 49M rows at sf0.1)
+    # and shuffled them once more for the closing-edge join: the 49M-row
+    # exchange+sort dominated the query (~25 s locally) and scales as
+    # Σ deg² — the wedge explosion is the textbook scale-killer of
+    # triangle counting. Two standard identities remove it:
+    #   n_wedges    = Σ_b indeg(b)·outdeg(b)   (a pure degree aggregate:
+    #                 every in-edge of b pairs with every out-edge)
+    #   n_triangles = Σ_{(a,c)∈E} |out(a) ∩ in(c)|  (edge-iterator: for
+    #                 each closing edge, count middle nodes directly)
+    # so the only |wedge|-sized work left is the hash-set intersection
+    # CPU inside array_intersect — no wedge row is ever shuffled. One
+    # full-outer adjacency table (node, out-list, in-list) serves
+    # everything: n_nodes = its row count, n_edges = Σ outdeg,
+    # n_wedges = Σ indeg·outdeg (all in ONE ungrouped aggregate —
+    # replaces the union+distinct node pass AND keeps the 1-row
+    # crossJoin count at the ratcheted 2), and the triangle join
+    # attaches its lists by plain equi-joins AQE can skew-split. The
+    # lists are distinct by construction (edges are distinct), so the
+    # intersection size is exact. A hot node costs its degree in list
+    # bytes — ≪ its deg² wedge fan-out before. Output verified
+    # row-identical vs the r13 form.
+    outs = edges.groupBy(F.col("ea").alias("n")).agg(
+        F.collect_list("eb").alias("outs")
+    )
+    ins = edges.groupBy(F.col("eb").alias("n")).agg(
+        F.collect_list("ea").alias("ins")
+    )
+    adjacency = scoped_persist(outs.join(ins, "n", "full_outer"))
+    # explicit NULL-array guards: a full-outer node missing one side
+    # must contribute 0 (never size(NULL), whose value is mode-
+    # dependent: NULL under ANSI, -1 under legacy sizeOfNull)
+    outdeg = F.when(F.col("outs").isNotNull(), F.size("outs")).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    indeg = F.when(F.col("ins").isNotNull(), F.size("ins")).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    stats = adjacency.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.sum(outdeg), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(F.sum(indeg * outdeg), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    tri_cnt = (
+        edges.join(
+            adjacency.select(F.col("n").alias("ea"), "outs"), "ea"
+        )
+        .join(adjacency.select(F.col("n").alias("eb"), "ins"), "eb")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("outs", "ins")).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_triangles")
         )
     )
-    # r13 optimization round (guide §2.3): the wedge relation (49M
-    # rows at sf0.1) was traversed TWICE — once for its count, once
-    # joined against edges for the triangle count. One LEFT join gets
-    # both: edges are distinct, so a wedge matches its closing edge at
-    # most once — count(*) is the wedge count, count(hit) the closed
-    # ones. Output verified identical; halves the bytes through the
-    # closure shuffle at any scale.
-    closing = edges.select(
-        F.col("ea").alias("wa"), F.col("eb").alias("wc")
-    ).withColumn("hit", F.lit(1))
-    wt = wedges.join(closing, ["wa", "wc"], "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
-        F.count("hit").cast("bigint").alias("n_triangles"),
-    )
-    counts = (
-        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        .crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
-        .crossJoin(wt)
-    )
+    counts = stats.crossJoin(tri_cnt)
     return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles").withColumn(
         "closure_fp",
         F.expr(

@@ -65,10 +65,11 @@ _NLJ_RATCHET = {
     "q_forecast_snaive": 1,
     "q_graph_assortativity": 1,
     "q_graph_modularity": 1,
-    # r13 optimization round: the one-pass wedge closure folded the
-    # wedge-count and triangle-count aggregates into one left join —
-    # one fewer 1-row crossJoin (ratchet tightened, not widened)
-    "q_graph_triangles": 2,
+    # r14 optimization round: the edge-iterator rewrite computes
+    # n_nodes/n_edges/n_wedges in ONE ungrouped aggregate over the
+    # adjacency table — the only 1-row crossJoin left pairs it with
+    # the triangle aggregate (ratchet tightened again, 2 → 1)
+    "q_graph_triangles": 1,
     "q_hard_negatives": 1,
     "q_heavy_hitters_mg": 1,
     "q_jackknife_var": 1,
