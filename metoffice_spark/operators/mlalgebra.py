@@ -54,20 +54,54 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tune(spark)
     # unembedded (NULL) vectors do not participate in the Gram matrix —
     # boundary filter mirrored in the oracle (r07 null-embed finding;
-    # Spark's posexplode DROPS null-array rows where the oracle's
-    # range-spine unnest kept emitting NULL cells)
-    xs = scoped_persist(
+    # the old posexplode DROPPED null-array rows where the oracle's
+    # range-spine unnest kept emitting NULL cells; the explicit
+    # v IS NOT NULL below keeps the same boundary for quarantined
+    # (_ivec → NULL) vectors).
+    # r14 optimization round (guide §4.2; the header's own documented
+    # boundary): the Gram matrix no longer goes through the explode
+    # self-join — 320k exploded rows joined on vec_id fanned out to
+    # 20.5M (row, pair) products through JVM row codegen (~92 executor-
+    # seconds at sf0.1, the whole query's CPU). Each task now stacks
+    # its vectors into one int64 matrix and hands numpy ONE exact
+    # X^T·X gemm (int64 ops are the same wrap-on-overflow arithmetic
+    # as BIGINT, and the header's overflow budget bounds |G| ≤ n·1e12
+    # ≪ 2^63), emitting 64×64 partial rows per task; one global
+    # aggregate sums the partials. Gram relation verified equal
+    # cell-for-cell vs the join form at sf0.1.
+    vecs = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
-        .select("vec_id", F.posexplode(F.expr(_ivec_spark("embedding"))))
-        .select("vec_id", F.col("pos").alias("i"), F.col("col").alias("xi"))
+        .select(F.expr(_ivec_spark("embedding")).alias("v"))
+        .filter(F.col("v").isNotNull())
     )
-    a = xs.select("vec_id", F.col("i").alias("gi"), F.col("xi").alias("xa"))
-    b = xs.select("vec_id", F.col("i").alias("gj"), F.col("xi").alias("xb"))
+
+    def _gram_partials(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((64, 64), dtype=np.int64)
+        any_rows = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.int64)
+            acc += x.T @ x
+            any_rows = True
+        if any_rows:
+            gi, gj = np.meshgrid(
+                np.arange(64, dtype=np.int32),
+                np.arange(64, dtype=np.int32),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {"gi": gi.ravel(), "gj": gj.ravel(), "g": acc.ravel()}
+            )
+
     gram = scoped_persist(
-        a.join(b, "vec_id")
+        vecs.mapInPandas(_gram_partials, "gi int, gj int, g long")
         .groupBy("gi", "gj")
-        .agg(F.sum(F.expr("xa * xb")).cast("bigint").alias("g"))
+        .agg(F.sum("g").cast("bigint").alias("g"))
         .select(
             "gi", "gj", F.expr(_tdiv_spark("g", "1000000")).alias("gs")
         )

@@ -451,10 +451,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (no mid-loop action). The 1-row node-count side crossJoins
     as a broadcast."""
     spark = tune(spark)
-    # persist ALREADY hash-partitioned on src: the degree aggregate
-    # and the ed join both reuse the cached partitioning (zero extra
-    # |E| exchanges — the old unpartitioned-persist-then-repartition
-    # form shuffled the edge list twice)
+    # repartitioned on src ONCE: the degree aggregate and the ed join
+    # both hang off this one exchange (zero extra |E| exchanges)
     edges = bipartite_edges(spark, sf_dir).repartition(F.col("src"))
     from metoffice_spark.session import scoped_persist
 
@@ -464,7 +462,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME src partitioning — a hash join over co-located keys.
     # (The earlier frame-free window form sorted all 2|E| edge rows by
     # src inside WindowExec; the aggregate ships |nodes| rows instead.)
-    edges = scoped_persist(edges)
+    # r14: ONLY ed is persisted. The r13 form also persisted the bare
+    # repartitioned edge relation — a second full 2|E| cache write the
+    # rounds never read (they probe ed). The deg branch and the join
+    # branch both reference the same repartition exchange, which
+    # ReuseExchange dedupes inside ed's one materialization job, so
+    # dropping the extra persist costs no recompute. Measured
+    # (7-rep strict-alternation A/B, rows identical): 2.88 → 1.89 s
+    # median. Two rejected variants with A/B numbers are in
+    # OPTIMIZATION_r14.md (unpartitioned cache + per-round broadcast-
+    # deg re-join: slower; pre-broadcast per-node contributions:
+    # slower — the extra per-round stage outweighs the narrower probe).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = scoped_persist(edges.join(deg, "src"))
 

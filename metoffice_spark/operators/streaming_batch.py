@@ -122,6 +122,16 @@ def _replay(
     from metoffice_spark.session import scoped_persist
 
     obs = scoped_persist(observations(spark, sf_dir).select(*_OBS_COLS))
+    # r14 (profiled: q_stream_join setup was ~8.9 s cold): the persist
+    # is lazy, and for no-split replays the FIRST action used to be the
+    # coalesce(1) single-file write below — whose one task computed the
+    # entire two-window observation derivation SINGLE-THREADED while
+    # populating the cache. One parallel noop materialization first
+    # (every column, guide §1.4) fills the cache with all cores; the
+    # coalesce(1) writes then just drain cached batches. Callers that
+    # ran _replay_max_ts already materialized the same entry, so for
+    # them this action is a cheap cache scan.
+    obs.write.format("noop").mode("overwrite").save()
     if not split_preds:
         _write_file(obs, os.path.join(input_dir, "0000.parquet"), 1_000_000)
     else:
@@ -639,7 +649,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards by key hash; with a watermark
     (dropDuplicatesWithinWatermark) the state is bounded."""
     spark = tune(spark)
-    obs = observations(spark, sf_dir).select(*_OBS_COLS)
+    from metoffice_spark.session import scoped_persist
+
+    # r14: persist + parallel materialization (same discipline as
+    # _replay) — the two coalesce(1) file writes below used to run the
+    # full observation derivation twice, single-threaded each
+    obs = scoped_persist(observations(spark, sf_dir).select(*_OBS_COLS))
+    obs.write.format("noop").mode("overwrite").save()
     dup_pred = F.col("obs_id") % 101 == 0
     root = _run_root()
     input_dir = os.path.join(root, "input")
